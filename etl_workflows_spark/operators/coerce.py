@@ -1,0 +1,95 @@
+"""Per-cell safe type coercion — pure Catalyst expressions, no Python UDFs.
+
+Replicates the reference cleaner ``fix_csv_row`` (functions/load_csv/
+main.py:109-131) + the downstream load's parse, as one in-engine step:
+
+* INTEGER: cell coerces iff Python ``int(cell)`` would succeed — i.e. an
+  optionally-signed all-digit string, surrounding whitespace allowed.
+  ``int("12.5")`` FAILS (→ NULL); Spark's plain ``try_cast('12.5' AS
+  BIGINT)`` would truncate to 12, so we regex-guard (main.py:111-115).
+* FLOAT: cell coerces iff Python ``float(cell)`` would succeed. That
+  includes scientific notation, ``inf``/``Infinity``/``nan`` in any case
+  with optional sign (main.py:116-120). Spark's string→double cast accepts
+  ``Infinity``/``NaN`` but not ``inf``, so those spellings are special-cased.
+* TIMESTAMP: try formats in declared order, first match wins; no match →
+  NULL (main.py:121-130). Formats (main.py:30-35, strptime → Spark pattern,
+  single-letter fields because strptime accepts non-zero-padded components):
+
+      %Y-%m-%d %H:%M:%S  →  yyyy-M-d H:m:s
+      %Y-%m-%d           →  yyyy-M-d
+      %d/%m/%Y           →  d/M/yyyy     (day-first!)
+      %Y%m%d             →  yyyyMMdd
+
+* STRING: identity — the reference has no STRING branch, empty string
+  stays ``''`` (main.py:109-131, SURVEY.md T5/T6).
+
+Every branch compiles to built-in expressions (``rlike``/``cast``/
+``try_to_timestamp``/``coalesce``), so coercion stays inside whole-stage
+codegen and scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Python int(): optional surrounding whitespace, optional sign, digits.
+_INT_RE = r"^\s*[+-]?[0-9]+\s*$"
+# Python float(): whitespace, sign, then decimal/scientific ("1", "1.", ".5",
+# "1e3", "1.2E-4") — inf/nan handled separately.
+_FLOAT_RE = r"^\s*[+-]?(([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?)\s*$"
+_INF_RE = r"(?i)^\s*[+-]?(inf|infinity)\s*$"
+_NEG_INF_RE = r"(?i)^\s*-(inf|infinity)\s*$"
+_NAN_RE = r"(?i)^\s*[+-]?nan\s*$"
+
+# Declared order matters: first matching format wins (main.py:123-129).
+TIMESTAMP_FORMATS = ["yyyy-M-d H:m:s", "yyyy-M-d", "d/M/yyyy", "yyyyMMdd"]
+
+
+def safe_int(c: Column) -> Column:
+    """NULL unless the cell is an integer literal by Python ``int`` rules."""
+    return F.when(c.rlike(_INT_RE), F.trim(c).cast("long"))
+
+
+def safe_float(c: Column) -> Column:
+    """NULL unless the cell is a float literal by Python ``float`` rules."""
+    return (
+        F.when(c.rlike(_NEG_INF_RE), F.lit(float("-inf")))
+        .when(c.rlike(_INF_RE), F.lit(float("inf")))
+        .when(c.rlike(_NAN_RE), F.lit(float("nan")))
+        .when(c.rlike(_FLOAT_RE), F.trim(c).cast("double"))
+    )
+
+
+def safe_timestamp(c: Column) -> Column:
+    """First-match-wins multi-format parse; NULL when no format matches."""
+    return F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in TIMESTAMP_FORMATS])
+
+
+def coercion_expr(c: Column, bq_type: str) -> Column:
+    t = bq_type.upper()
+    if t in ("INTEGER", "INT64"):
+        return safe_int(c)
+    if t in ("FLOAT", "FLOAT64"):
+        return safe_float(c)
+    if t in ("TIMESTAMP", "DATETIME"):
+        return safe_timestamp(c)
+    if t == "DATE":
+        return safe_timestamp(c).cast("date")
+    if t in ("BOOLEAN", "BOOL"):
+        return F.try_cast(F.trim(c), "boolean")
+    # STRING and everything else: verbatim passthrough (T5).
+    return c
+
+
+def coerce_columns(df: DataFrame, schema_doc: dict) -> DataFrame:
+    """Bind positional raw columns ``c0..cN`` to the declared fields and
+    coerce each by its declared type. Output column names/order come from
+    the schema document (positional binding, SURVEY.md §1.3)."""
+    fields = schema_doc["fields"]
+    return df.select(
+        *[
+            coercion_expr(F.col(f"c{i}"), fields[i]["type"]).alias(fields[i]["name"])
+            for i in range(len(fields))
+        ]
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` in one JVM; the conf below is chosen so the
+same logical plans survive a 1000-executor cluster: AQE on (runtime skew-join
+and partition coalescing), Arrow for any Pandas-UDF exchange, explicit
+shuffle-partition sizing instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_workflows_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    On a real cluster, pass ``master=None`` with a pre-set config and these
+    settings still apply; none of them are local-mode-specific.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus != "*" else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Size shuffles for the target, not the Spark default of 200.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow batches for every Python<->JVM exchange (Pandas UDFs etc.).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamps regardless of host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

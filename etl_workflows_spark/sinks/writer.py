@@ -1,0 +1,84 @@
+"""Table sink: write dispositions + destination-name templating.
+
+Disposition mapping (SURVEY.md W2/W3):
+
+  * reference ``WRITE_TRUNCATE``  → ``mode("overwrite")``
+  * reference ``WRITE_APPEND``    → ``mode("append")``
+  * reference ``CREATE_IF_NEEDED``→ implicit in ``saveAsTable`` (and we
+    ``CREATE DATABASE IF NOT EXISTS`` for the namespace)
+
+Reference: LoadJobConfig at functions/load_csv/main.py:158-169 and
+QueryJobConfig at functions/load_query/main.py:50-55.
+
+Destination-name templating (functions/load_csv/main.py:26,45-47;
+README.md:31-32): every ``{start:end}`` group in the destination name is
+replaced by that character slice of the source file name, e.g. destination
+``ds.cars_{5:11}`` + file ``cars_202109.csv`` → table ``ds.cars_202109`` —
+this is how the reference date-partitions table names.
+
+Storage format: Parquet managed tables. At cluster scale the same writer
+accepts ``partition_by`` so big facts land partitioned (e.g. by date), which
+turns downstream date filters into partition pruning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from etl_workflows_spark.exceptions import CreationFailed, LoadJobError
+
+# Same pattern as the reference's DESTINATION_TABLE_REGEX (main.py:26).
+DESTINATION_TABLE_REGEX = r"\{([0-9]+:[0-9]+)\}"
+
+
+def template_destination(destination_table: str, source_file_name: str) -> str:
+    """Replace ``{start:end}`` groups with slices of the source file name."""
+    for g in re.findall(DESTINATION_TABLE_REGEX, destination_table):
+        start, end = g.split(":")
+        destination_table = destination_table.replace(
+            "{" + g + "}", source_file_name[int(start) : int(end)]
+        )
+    return destination_table
+
+
+def normalize_table_name(destination_table: str) -> str:
+    """Map the reference's ``project.dataset.table`` onto the Spark catalog's
+    ``database.table`` (the project component is a GCP billing concept with
+    no Spark equivalent — dropped; 1-part names go to the current database).
+    """
+    parts = destination_table.split(".")
+    if len(parts) >= 2:
+        return ".".join(parts[-2:])
+    return parts[0]
+
+
+def write_table(
+    df: DataFrame,
+    destination_table: str,
+    append: bool = False,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write ``df`` to a managed table with the requested disposition.
+
+    Returns the fully-qualified table name written. Errors during the write
+    map to the reference's taxonomy: namespace/table creation failures →
+    CreationFailed, anything else → LoadJobError (main.py:173-179).
+    """
+    table = normalize_table_name(destination_table)
+    spark = df.sparkSession
+    if "." in table:
+        db = table.split(".")[0]
+        try:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        except Exception as e:  # pragma: no cover - filesystem/catalog faults
+            raise CreationFailed() from e
+    writer = df.write.mode("append" if append else "overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.saveAsTable(table)
+    except Exception as e:
+        raise LoadJobError() from e
+    return table

@@ -1,0 +1,103 @@
+"""Raw CSV reader replicating the reference's wire format and row discipline.
+
+Wire format (reference functions/load_csv/main.py:23,92-96):
+  * delimiter ``;``
+  * NO quoting (``csv.QUOTE_NONE``) with backslash escape
+  * encoding ISO-8859-1
+  * transparent gzip by ``.gz`` extension
+  * optional header line, which is *discarded* — column binding is purely
+    positional against the declared schema order (SURVEY.md §1.3)
+
+Row discipline (main.py:101-103): a row whose field count differs from the
+declared schema's field count is silently dropped; surviving rows keep every
+cell as a raw string for expression-level coercion (operators/coerce.py).
+
+Two-stage implementation:
+
+1. **Line scan (JVM)** — Spark's CSV reader with a separator byte that never
+   occurs in text data (``\\x01``), so each physical line arrives as one
+   string column. This keeps gzip decompression, ISO-8859-1 decoding,
+   per-file header skipping, file-glob parallelism, and line-level split
+   parallelism on the JVM fast path.
+2. **Tokenize (Arrow-batched Python)** — ``mapInPandas`` feeds line batches
+   through ``csv.reader`` with the exact reference dialect
+   (``delimiter=';', QUOTE_NONE, escapechar='\\'``). Exactness is the point:
+   Spark's univocity parser cannot express "unquoted empty token is an empty
+   string but a *missing* token is an arity violation" — both parse to NULL
+   — and the arity filter (len(row) != n → drop) is the reference's core row
+   discipline. The tokenizer is the only Python stage in ingestion and is
+   Arrow-batched; coercion stays in Catalyst expressions.
+
+At 100 TB scale ingestion arrives as many files; stage 1 parallelizes by
+file and by split inside uncompressed files, so the Python stage scales
+horizontally with executors exactly like a Pandas-UDF pipeline stage.
+"""
+
+from __future__ import annotations
+
+import csv
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+ENCODING = "ISO-8859-1"
+# Never appears in ISO-8859-1 text data → whole line parses as one token.
+_LINE_SEP = "\x01"
+
+
+def read_lines(
+    spark: SparkSession, path: str, skip_header: bool = True
+) -> DataFrame:
+    """Read physical lines of ``path`` (or glob) as a one-column DataFrame.
+
+    Uses the CSV datasource (not ``text``) because only it supports
+    ``encoding`` and per-file header skipping.
+    """
+    schema = T.StructType([T.StructField("line", T.StringType(), True)])
+    return (
+        spark.read.schema(schema)
+        .option("sep", _LINE_SEP)
+        .option("quote", "")
+        .option("escape", _LINE_SEP)  # neutralized: nothing on the wire matches
+        .option("encoding", ENCODING)
+        .option("header", str(skip_header).lower())
+        .option("enforceSchema", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_raw_csv(
+    spark: SparkSession,
+    path: str,
+    n_fields: int,
+    skip_header: bool = True,
+) -> DataFrame:
+    """Read ``path`` as ``n_fields`` raw string columns ``c0..c{n-1}``,
+    dropping rows whose token count differs from ``n_fields``."""
+    lines = read_lines(spark, path, skip_header=skip_header)
+    out_schema = T.StructType(
+        [T.StructField(f"c{i}", T.StringType(), True) for i in range(n_fields)]
+    )
+    cols = [f"c{i}" for i in range(n_fields)]
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # csv.reader over an iterable of strings = one record per line
+            # (QUOTE_NONE ⇒ no multi-line records), exact reference dialect
+            # (main.py:93).
+            rows = [
+                row
+                for row in csv.reader(
+                    (s for s in pdf["line"] if s is not None),
+                    delimiter=";",
+                    quoting=csv.QUOTE_NONE,
+                    escapechar="\\",
+                )
+                if len(row) == n_fields  # arity filter (main.py:101-103)
+            ]
+            yield pd.DataFrame(rows, columns=cols, dtype=object)
+
+    return lines.mapInPandas(tokenize, schema=out_schema)

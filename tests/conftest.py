@@ -1,0 +1,122 @@
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_workflows_spark.session import get_spark  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+REFERENCE_CARS = "/root/reference/assets/cars_202109.csv"
+
+CARS_SCHEMA_YAML = """\
+fields:
+  - name: NAME
+    type: STRING
+    mode: NULLABLE
+  - name: MPG
+    type: FLOAT
+    mode: NULLABLE
+  - name: CYLINDERS
+    type: INTEGER
+    mode: NULLABLE
+  - name: DISPLACEMENT
+    type: FLOAT
+    mode: NULLABLE
+  - name: HORSEPOWER
+    type: FLOAT
+    mode: NULLABLE
+  - name: WEIGHT
+    type: FLOAT
+    mode: NULLABLE
+  - name: ACCELERATION
+    type: FLOAT
+    mode: NULLABLE
+  - name: MODEL
+    type: INTEGER
+    mode: NULLABLE
+  - name: ORIGIN
+    type: STRING
+    mode: NULLABLE
+"""
+
+
+@pytest.fixture(scope="session")
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(
+        app_name="etl_workflows_spark_tests",
+        extra_conf={
+            "spark.sql.warehouse.dir": warehouse,
+            "spark.driver.memory": "4g",
+        },
+    )
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir(tmp_path_factory):
+    """Materialize the wire-format-faithful fixtures (FIXTURES.md F1-F5).
+
+    The shipped reference asset is comma-delimited with a header; the
+    pipeline's wire format is ``;``-delimited (FIXTURES.md F1 caveat), so we
+    re-delimit the same 406 data rows.
+    """
+    d = tmp_path_factory.mktemp("fixtures")
+    bucket = d / "bucket"
+    assets = d / "assets"
+    bucket.mkdir()
+    assets.mkdir()
+
+    # cars_202109.csv: reference data re-delimited with ';'
+    with open(REFERENCE_CARS, newline="", encoding="ISO-8859-1") as f:
+        rows = list(csv.reader(f))
+    with open(bucket / "cars_202109.csv", "w", newline="", encoding="ISO-8859-1") as f:
+        w = csv.writer(f, delimiter=";", quoting=csv.QUOTE_NONE, escapechar="\\")
+        w.writerows(rows)
+
+    (assets / "cars_schema.yaml").write_text(CARS_SCHEMA_YAML)
+
+    import json
+    import yaml
+
+    (assets / "cars_schema.json").write_text(json.dumps(yaml.safe_load(CARS_SCHEMA_YAML)))
+    (assets / "bad_schema.txt").write_text("not a schema")
+
+    (assets / "big_US_cars.sql").write_text(
+        "SELECT * FROM cars WHERE ORIGIN = 'US' AND WEIGHT > 4500"
+    )
+    (assets / "bad_query.txt").write_text("SELECT 1")
+
+    # dirty_cars.csv: every cleaner branch (FIXTURES.md F2)
+    dirty = "\n".join(
+        [
+            "s;i;f;t",
+            "ok;12;1.5;2021-06-12 08:30:00",
+            "a;12.5;x;junk",
+            "b; 12 ;1e3;2021-06-12",
+            "c;7;inf;12/06/2021",
+            "d;8;2.5;20210612",
+            "e;9;3.5",
+            "f;1;2;3;extra",
+            ";;;",
+        ]
+    )
+    (d / "dirty_cars.csv").write_text(dirty, encoding="ISO-8859-1")
+
+    import gzip
+
+    with gzip.open(d / "dirty_cars.csv.gz", "wt", encoding="ISO-8859-1") as f:
+        f.write(dirty)
+
+    return d
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.path.join(TESTDATA, "sf0.001")
