@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, shingle-Jaccard, MinHash+LSH, SimHash.
+
+The scale story (this is the 100 TB core of a training-data pipeline):
+
+* **Exact** — hash-groupBy on a fingerprint; one shuffle on md5(text),
+  map-side partial aggregation collapses duplicates early.
+* **Shingle-Jaccard brute force** — exact ground truth; O(n²) pairs, only
+  for modest n or within LSH candidate buckets. This is the oracle-checked
+  reference implementation.
+* **MinHash + LSH** — the scale path: per-doc k-minhash signature (md5-based,
+  fully deterministic, reproducible in any engine), banded into buckets; a
+  self-join *within buckets only* yields candidate pairs which are then
+  verified with exact Jaccard. Shuffle cost is O(n·bands) instead of O(n²);
+  recall is tunable by (k, bands). cf. Broder, "On the resemblance and
+  containment of documents" (1997) — public algorithm.
+* **SimHash** — per-doc integer fingerprint whose Hamming distance bounds
+  cosine similarity of the token multiset; near-dup candidates share the
+  fingerprint (or a band of it). cf. Charikar (2002).
+
+Everything is built from Catalyst array/higher-order expressions — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- shared shingle / signature expressions --------------------------------
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct n-token shingles (word n-grams) of a document.
+
+    Guarded for docs with < n tokens (Spark's ``sequence(0, -1)`` would
+    produce a *descending* sequence, not an empty one)."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingle_col: Column, k: int = 8) -> Column:
+    """k-element MinHash signature: sig[s] = min over shingles of
+    md5(s || ':' || shingle).
+
+    md5 hex compares lexicographically as a uniform hash → deterministic
+    and engine-independent (any engine with md5 reproduces it bit-for-bit).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col, lambda sh: F.md5(F.concat(F.lit(f"{s}:"), sh))
+                )
+            )
+            for s in range(k)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+# --- operators -------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: fingerprint → keeper (min doc_id) + group size."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (the min doc_id), drop the rest.
+
+    Window-free formulation: groupBy + self-join back would shuffle twice;
+    a min-keyed semi join keeps it to one agg + one broadcast-able join at
+    the dup-group cardinality.
+    """
+    keepers = dedup_exact(docs, text_col).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi")
+
+
+def near_dup_pairs_exact(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Ground-truth near-dup pairs by exact shingle Jaccard (O(n²)).
+
+    Only for modest row counts or within LSH buckets — the oracle-checked
+    reference implementation the LSH path is measured against.
+    """
+    t = docs.select("doc_id", shingles(text_col, n).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    j = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_pairs_lsh(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: candidates from banded signature buckets,
+    verified with exact Jaccard.
+
+    With bands == k (band width 1) the probability of missing a pair at
+    Jaccard j is (1-j)^k — 0.4 % at j=0.5, k=8. Shuffles: one to build
+    signatures (narrow), one groupBy on (band, bucket), one dedup of
+    candidate pairs; never an all-pairs product.
+    """
+    rows_per_band = k // bands
+    t = docs.select(
+        "doc_id", shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = t.withColumn("sig", minhash_signature(F.col("sh"), k))
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return candidates.select(
+        "doc_a",
+        "doc_b",
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# --- simhash ---------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_nibble_int(c: Column, pos: int) -> Column:
+    """Value 0-15 of hex digit ``pos`` (1-based) of md5(c) — engine-portable
+    (position-in-alphabet trick; no conv/strtol needed)."""
+    return (F.instr(F.lit(_HEX), F.substring(F.md5(c), pos, 1)) - 1).cast("long")
+
+
+def simhash16(text_col: str = "text") -> Column:
+    """16-bit SimHash over distinct tokens.
+
+    bit b of md5(token) votes +1/-1; fingerprint bit b is 1 when the vote
+    is positive. 16 bits = first 4 hex nibbles — compact enough to stay a
+    plain BIGINT and portable to any engine with md5 + string ops.
+    """
+    toks = F.array_distinct(_tokens(text_col))
+    total = F.size(toks)
+    out = F.lit(0).cast("long")
+    for b in range(16):
+        nib_pos = 1 + (b // 4)
+        bit_in_nib = b % 4
+        set_count = F.size(
+            F.filter(
+                toks,
+                lambda x: (
+                    F.shiftright(_md5_nibble_int(x, nib_pos), bit_in_nib) % 2
+                )
+                == 1,
+            )
+        )
+        out = out + F.when(set_count * 2 > total, F.lit(2**b)).otherwise(0).cast(
+            "long"
+        )
+    return out
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", simhash16(text_col).alias("simhash"))
+
+
+def near_dup_pairs_simhash(
+    docs: DataFrame, max_hamming: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup candidates: pairs within ``max_hamming`` bits.
+
+    Implemented as an equi-join on the fingerprint's two halves (a pair
+    within Hamming distance 1 of a 16-bit code shares at least one 8-bit
+    half — pigeonhole banding), then exact popcount verification.
+    """
+    fp = simhash_fingerprints(docs, text_col)
+    halves = fp.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        F.shiftright("simhash", 8).alias("hi"),
+    )
+    a = halves.alias("a")
+    b = halves.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.lo") == F.col("b.lo"))
+                | (F.col("a.hi") == F.col("b.hi"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

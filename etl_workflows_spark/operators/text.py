@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (split / higher-order array functions /
+md5) — no Python UDFs, so they run inside whole-stage codegen and scale
+linearly. Tokenization is whitespace-based to match the corpus; swap
+``TOKEN_SPLIT_RE`` for a BPE-ish regex for real text.
+
+These are net-new vs the reference (SURVEY.md §2.7): the reference's text
+processing surface is BigQuery SQL, which these Spark expressions mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = " "
+# Small high-frequency function-word set used for quality/language scoring.
+STOPWORDS = ("a", "the", "of", "to", "and")
+
+
+def tokens(c: Column) -> Column:
+    return F.split(c, TOKEN_SPLIT_RE)
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def distinct_token_count(c: Column) -> Column:
+    return F.size(F.array_distinct(tokens(c)))
+
+
+def stopword_count(c: Column) -> Column:
+    sw = ",".join(f"'{w}'" for w in STOPWORDS)
+    return F.size(F.filter(tokens(c), lambda x: x.isin(*STOPWORDS)))
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document size/diversity statistics."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_uniq_tokens"),
+        (
+            (F.length(t) - (token_count(t) - F.lit(1)))
+            / token_count(t).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, lexical diversity, stopword ratio.
+
+    Score components are per-row IEEE arithmetic — deterministic across
+    engines; no rounding applied.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t).cast("double")
+    uniq_ratio = distinct_token_count(t) / n_tok
+    stop_ratio = stopword_count(t) / n_tok
+    length_score = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    return docs.select(
+        "doc_id",
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (length_score * uniq_ratio).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-heuristic language ID: function-word density vote.
+
+    With a real multilingual corpus the marker sets are per-language
+    character n-grams; this corpus is synthetic English-ish, so the vote
+    degenerates to en/unk — the operator shape (per-token set membership,
+    argmax over language scores) is what carries to production.
+    """
+    t = F.col(text_col)
+    en_ratio = stopword_count(t) / token_count(t).cast("double")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en_ratio.alias("en_marker_ratio"),
+        F.when(en_ratio > 0.02, "en").otherwise("unk").alias("pred_lang"),
+    )
+
+
+def token_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level token histogram (explode → count).
+
+    Scale: explode multiplies rows by ~tokens/doc; partial aggregation
+    collapses them map-side, so the shuffle carries only the vocabulary.
+    """
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over normalized text."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(t))).alias("fp"),
+    )

@@ -1,0 +1,14 @@
+"""Query catalog: every operator from SURVEY.md §2 as a (Spark, oracle-SQL)
+pair, used by ``__spark_entry__.py`` for the driver's DuckDB correctness gate.
+
+``QUERIES`` maps name → callable(spark, sf_dir) → DataFrame.
+``ORACLE_SQL`` maps name → equivalent ANSI SQL for DuckDB (absent for
+non-SQL-expressible ops, which get a weaker rows-only check).
+"""
+
+from etl_workflows_spark.queries import relational, llm
+
+QUERIES = {**relational.QUERIES, **llm.QUERIES}
+ORACLE_SQL = {**relational.ORACLE_SQL, **llm.ORACLE_SQL}
+
+__all__ = ["QUERIES", "ORACLE_SQL"]

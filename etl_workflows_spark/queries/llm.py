@@ -1,0 +1,312 @@
+"""LLM-data-pipeline query surface: text analysis, dedup, similarity search.
+
+Each entry pairs the Spark operator (operators/text.py, dedup.py,
+similarity.py) with a DuckDB oracle. Approximate operators (MinHash-LSH,
+SimHash banding, hyperplane-LSH ANN) have no SQL oracle — the driver
+records a rows-only check for them; their *exact* counterparts
+(brute-force Jaccard / cosine) ARE oracle-checked, which pins down the
+shared machinery (shingling, signatures, vector math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_workflows_spark.operators import dedup, similarity, text
+from etl_workflows_spark.queries.base import table
+
+# --- text analysis ---------------------------------------------------------
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_stats(table(spark, sf_dir, "documents"))
+
+
+_DOC_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS INTEGER) AS n_chars,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER) AS n_uniq_tokens,
+       (LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1))
+         / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+_STOPWORD_LIST = "['a', 'the', 'of', 'to', 'and']"
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(table(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         STRING_SPLIT(text, ' ') AS toks,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       LEN(LIST_DISTINCT(toks)) / n_tok AS uniq_ratio,
+       LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOPWORD_LIST}, x))) / n_tok AS stop_ratio,
+       LEAST(1.0, n_tok / 50.0) * (LEN(LIST_DISTINCT(toks)) / n_tok) AS quality
+FROM t
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(table(spark, sf_dir, "documents"))
+
+
+_LANG_ID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             x -> LIST_CONTAINS({_STOPWORD_LIST}, x)))
+           / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS r
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, r AS en_marker_ratio,
+       CASE WHEN r > 0.02 THEN 'en' ELSE 'unk' END AS pred_lang
+FROM t
+"""
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_frequencies(table(spark, sf_dir, "documents"))
+
+
+_TOKEN_FREQ_ORACLE = """
+SELECT token, COUNT(*) AS freq FROM (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+) GROUP BY token
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, MD5(LOWER(TRIM(text))) AS fp FROM documents
+"""
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(table(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT MD5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY MD5(text)
+"""
+
+
+# DuckDB shingle expression shared by the near-dup / minhash oracles:
+# distinct 3-token shingles, 1-indexed lists.
+_SHINGLES_CTE = """
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE LEN(toks) >= 3
+)
+"""
+
+
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (the oracle-checked ground
+    truth; the LSH variant below is the scale path)."""
+    return dedup.near_dup_pairs_exact(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+_NEAR_DUP_ORACLE = (
+    _SHINGLES_CTE
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       LEN(LIST_INTERSECT(a.sh, b.sh))
+         / CAST(LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
+        / CAST(LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) >= 0.5
+"""
+)
+
+
+def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — approximate candidate generation, exact
+    verification; no SQL oracle (rows-only check). tests/test_llm_ops.py
+    asserts recall against the exact variant."""
+    return dedup.near_dup_pairs_lsh(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic md5-based MinHash signature itself, oracle-checked
+    (pins the exact machinery the approximate LSH query rides on)."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(dedup.shingles("text"), k=8)
+    out = docs.select("doc_id", sig.alias("sig")).filter(F.size("sig") > 0)
+    return out.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"sig_{i}") for i in range(8)]
+    )
+
+
+_MINHASH_ORACLE = (
+    _SHINGLES_CTE
+    + "SELECT doc_id,\n"
+    + ",\n".join(
+        f"       LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('{s}:' || x))) AS sig_{s}"
+        for s in range(8)
+    )
+    + "\nFROM s"
+)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    """Generate the 16-bit SimHash oracle (nibble-decode trick, same as
+    operators/dedup.py simhash16)."""
+    terms = []
+    for b in range(16):
+        nib_pos = 1 + (b // 4)
+        bit = b % 4
+        cond = (
+            f"((STRPOS('0123456789abcdef', SUBSTR(MD5(x), {nib_pos}, 1)) - 1) "
+            f">> {bit}) & 1 = 1"
+        )
+        terms.append(
+            f"CASE WHEN 2 * LEN(LIST_FILTER(toks, x -> {cond})) > LEN(toks) "
+            f"THEN {2**b} ELSE 0 END"
+        )
+    body = "\n     + ".join(terms)
+    return f"""
+WITH t AS (
+  SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks FROM documents
+)
+SELECT doc_id, CAST({body} AS BIGINT) AS simhash FROM t
+"""
+
+
+# --- similarity search -----------------------------------------------------
+
+_VEC_CTE = """
+WITH e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+"""
+
+_DOT = "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), i -> {a}[i] * {b}[i]))"
+_NORM = "SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> x * x)))"
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-20 cosine neighbors of vec_id 0."""
+    return similarity.ann_topk_bruteforce(
+        table(spark, sf_dir, "embeddings"), query_vec_id=0, k=20
+    )
+
+
+_ANN_TOPK_ORACLE = (
+    _VEC_CTE
+    + f""",
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       {_DOT.format(a='e.v', b='q.qv')}
+         / ({_NORM.format(a='e.v')} * {_NORM.format(a='q.qv')}) AS cos_sim
+FROM e, q WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 20
+"""
+)
+
+
+def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine > 0.5 (exact)."""
+    return similarity.similar_pairs_bruteforce(
+        table(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+_SIMILAR_PAIRS_ORACLE = (
+    _VEC_CTE
+    + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT.format(a='a.v', b='b.v')}
+         / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.v', b='b.v')}
+        / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}) > 0.5
+"""
+)
+
+
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (approximate, rows-only check; recall measured in
+    tests against the brute-force twin)."""
+    return similarity.ann_topk_lsh(
+        table(spark, sf_dir, "embeddings"), query_vec_id=0, k=20
+    )
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_label_stats(table(spark, sf_dir, "embeddings"))
+
+
+_EMB_STATS_ORACLE = (
+    _VEC_CTE
+    + f"""
+SELECT label, COUNT(*) AS n_vectors,
+       MIN({_NORM.format(a='v')}) AS min_norm,
+       MAX({_NORM.format(a='v')}) AS max_norm
+FROM e JOIN embeddings USING (vec_id)
+GROUP BY label
+"""
+)
+
+
+QUERIES = {
+    "doc_stats": doc_stats,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "token_frequencies": token_frequencies,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "near_dup_jaccard": near_dup_jaccard,
+    "near_dup_minhash_lsh": near_dup_minhash_lsh,
+    "minhash_signatures": minhash_signatures,
+    "simhash_fingerprints": simhash_fingerprints,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+    "similar_pairs": similar_pairs,
+    "embedding_label_stats": embedding_label_stats,
+}
+
+ORACLE_SQL = {
+    "doc_stats": _DOC_STATS_ORACLE,
+    "text_quality": _QUALITY_ORACLE,
+    "lang_id": _LANG_ID_ORACLE,
+    "token_frequencies": _TOKEN_FREQ_ORACLE,
+    "doc_fingerprint": _FINGERPRINT_ORACLE,
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "near_dup_jaccard": _NEAR_DUP_ORACLE,
+    "minhash_signatures": _MINHASH_ORACLE,
+    "simhash_fingerprints": _simhash_oracle(),
+    "ann_cosine_topk": _ANN_TOPK_ORACLE,
+    "similar_pairs": _SIMILAR_PAIRS_ORACLE,
+    "embedding_label_stats": _EMB_STATS_ORACLE,
+    # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
+}

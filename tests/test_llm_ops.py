@@ -1,0 +1,87 @@
+"""Semantics tests for the LLM-pipeline operators: planted duplicates are
+found, approximate variants track their exact twins."""
+
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "tiny"),  # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_groups(spark):
+    groups = {
+        r["keeper_doc_id"]: r["n_copies"]
+        for r in dedup.dedup_exact(_docs(spark)).collect()
+    }
+    assert groups[1] == 2  # docs 1 and 4 collapse, keeper is min id
+    assert groups[2] == 1
+
+
+def test_drop_exact_duplicates(spark):
+    kept = {r["doc_id"] for r in dedup.drop_exact_duplicates(_docs(spark)).collect()}
+    assert kept == {1, 2, 3, 5}
+
+
+def test_near_dup_exact_finds_planted_pair(spark):
+    pairs = dedup.near_dup_pairs_exact(_docs(spark), threshold=0.5).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert by_pair[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in by_pair and 0.5 <= by_pair[(1, 2)] < 1.0  # near-dup
+    assert not any(3 in p for p in by_pair)
+
+
+def test_lsh_matches_exact_on_corpus(spark, sf_dir):
+    """LSH (band width 1, k=8) must recover every >=0.5 pair the exact
+    scan finds on the real corpus (miss prob (1-j)^8 <= 0.4% per pair)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.near_dup_pairs_exact(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.near_dup_pairs_lsh(docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # exact verification: no false positives ever
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_simhash_exact_dups_collide(spark):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(_docs(spark)).collect()}
+    assert fp[1] == fp[4]
+    assert 0 <= fp[1] < 2**16
+
+
+def test_ann_bruteforce_self_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = similarity.ann_topk_bruteforce(emb, query_vec_id=0, k=5).collect()
+    assert len(top) == 5
+    assert all(-1.0001 <= r["cos_sim"] <= 1.0001 for r in top)
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["vec_id"] != 0 for r in top)
+
+
+def test_ann_lsh_subset_of_bruteforce_ranking(spark, sf_dir):
+    """LSH results are genuine cosines (exact on the candidates it finds)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {r["vec_id"]: r["cos_sim"] for r in
+             similarity.ann_topk_bruteforce(emb, query_vec_id=0, k=2000).collect()}
+    lsh = similarity.ann_topk_lsh(emb, query_vec_id=0, k=20).collect()
+    for r in lsh:
+        assert abs(brute[r["vec_id"]] - r["cos_sim"]) < 1e-12
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    out = df.select(dedup.shingles("text").alias("sh")).collect()
+    assert out[0]["sh"] == []

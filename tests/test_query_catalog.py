@@ -1,0 +1,37 @@
+"""Catalog sanity: every query runs at sf0.001 and returns a stable schema;
+oracle coverage is complete for exact queries.
+
+(The full DuckDB value comparison runs in tools/oracle_check.py at sf0.01 —
+kept out of the default pytest run for speed; the driver runs it per-round.)
+"""
+
+import pytest
+
+from etl_workflows_spark.queries import ORACLE_SQL, QUERIES
+
+# Approximate operators intentionally have no SQL oracle.
+ROWS_ONLY = {"near_dup_minhash_lsh", "ann_cosine_topk_lsh"}
+
+
+def test_oracle_coverage():
+    assert set(ORACLE_SQL) == set(QUERIES) - ROWS_ONLY
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def test_entry_contract(spark):
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
