@@ -40,8 +40,9 @@ def test_near_dup_exact_finds_planted_pair(spark):
 
 
 def test_lsh_matches_exact_on_corpus(spark, sf_dir):
-    """LSH (band width 1, k=8) must recover every >=0.5 pair the exact
-    scan finds on the real corpus (miss prob (1-j)^8 <= 0.4% per pair)."""
+    """LSH (k=8, 4 bands of width 2) must recover the exact scan's pairs on
+    the real corpus: its near-dups sit at j>0.8 where the per-pair miss
+    probability is (1-j^2)^4 <= 1.7%."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = {
         (r["doc_a"], r["doc_b"])
