@@ -1,0 +1,254 @@
+"""In-process interpreter for the workflow-DSL subset the reference uses.
+
+The reference orchestrates its two functions with a Cloud Workflows DAG
+(reference workflows/etl_cars.yaml) scheduled by cron (workflows/
+schedule.sh). This module interprets the same YAML dialect — exactly the
+constructs the reference exercises (SURVEY.md §2.5 O1-O7):
+
+  O1 sequential steps            main: steps: [...]
+  O2 assign + ${} expressions    - init: assign: [{var: value}]
+  O3 switch / condition / next   switch: [{condition: ..., next: end}]
+  O4 subworkflow call w/ params  call: name, args: {body: ...}, result: var
+  O5 try/except + error discrim  try: ..., except: {as: e, steps: [...]}
+  O6 function invocation         call: http.post → in-process engine call
+  O7 return value plumbing       return: ${expr}
+
+Design: the DAG runs on the *driver* — steps produce/consume DataFrame
+results via the engine API; Spark never sees the DSL. The reference's HTTP
+hop (O6) becomes an in-process call through a function registry, keeping
+the reference's ``{"description": ...}``/status-code error protocol since
+the DAG branches on those strings (etl_cars.yaml:38,51-54).
+
+Expression language: ``${...}`` supports variable refs, string concat,
+comparison operators, and attribute access (``e.body.description``) —
+evaluated with a builtins-free eval over the workflow scope. Workflow
+documents are trusted engine configuration, same trust level the reference
+gives its YAML.
+"""
+
+from __future__ import annotations
+
+import re
+from types import SimpleNamespace
+from typing import Any, Callable
+
+import yaml
+
+from etl_workflows_spark.exceptions import EngineError
+
+_EXPR_RE = re.compile(r"^\$\{(.*)\}$", re.DOTALL)
+
+
+class WorkflowError(Exception):
+    """Raised when a workflow raises or an unhandled call error escapes."""
+
+    def __init__(self, value: Any):
+        self.value = value
+        super().__init__(str(value))
+
+
+class _End(Exception):
+    """Internal: `next: end` unwind."""
+
+    def __init__(self, value: Any = None):
+        self.value = value
+
+
+class _Return(Exception):
+    """Internal: `return:` unwind."""
+
+    def __init__(self, value: Any):
+        self.value = value
+
+
+class _CallFailure(Exception):
+    """Internal: a registry call failed; carries the protocol-shaped error
+    object (``.body.description`` / ``.code``) the DSL discriminates on."""
+
+    def __init__(self, err_obj: SimpleNamespace):
+        self.err = err_obj
+
+
+class WorkflowRunner:
+    """Interprets a workflow document against a function registry.
+
+    ``registry`` maps callable names (e.g. ``"load_csv"``) to Python
+    functions taking the call body (dict) and returning a description
+    string. ``http.post`` calls resolve their target function from the
+    last path segment of ``url`` — the in-process stand-in for the
+    reference's HTTP hop.
+    """
+
+    def __init__(self, doc: str | dict, registry: dict[str, Callable[[dict], str]]):
+        self.doc = yaml.safe_load(doc) if isinstance(doc, str) else doc
+        self.registry = registry
+
+    # -- expressions --------------------------------------------------------
+
+    def _eval(self, value: Any, scope: dict[str, Any]) -> Any:
+        if isinstance(value, str):
+            m = _EXPR_RE.match(value.strip())
+            if m:
+                return eval(m.group(1), {"__builtins__": {}}, dict(scope))  # noqa: S307
+            return value
+        if isinstance(value, dict):
+            return {k: self._eval(v, scope) for k, v in value.items()}
+        if isinstance(value, list):
+            return [self._eval(v, scope) for v in value]
+        return value
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self, entrypoint: str = "main", params: dict[str, Any] | None = None) -> Any:
+        wf = self.doc[entrypoint]
+        scope: dict[str, Any] = dict(params or {})
+        declared = wf.get("params", [])
+        for p in declared:
+            scope.setdefault(p, None)
+        try:
+            self._run_steps(wf["steps"], scope)
+        except (_Return, _End) as r:
+            return r.value
+        except _CallFailure as f:  # unhandled call error escapes as WorkflowError
+            raise WorkflowError(f.err) from None
+        return None
+
+    def _run_steps(self, steps: list[dict], scope: dict[str, Any]) -> None:
+        names = [next(iter(s)) for s in steps]
+        i = 0
+        while i < len(steps):
+            body = steps[i][names[i]]
+            jump = self._run_step(body, scope)
+            if jump is None:
+                i += 1
+            elif jump == "end":
+                raise _End()
+            else:
+                i = names.index(jump)
+
+    def _run_step(self, body: dict, scope: dict[str, Any]) -> str | None:
+        """Execute one step; returns a jump target name, 'end', or None."""
+        if "try" in body:
+            return self._run_try(body, scope)
+        if "assign" in body:
+            for assignment in body["assign"]:
+                for var, value in assignment.items():
+                    scope[var] = self._eval(value, scope)
+        if "call" in body:
+            self._run_call(body, scope)
+        if "switch" in body:
+            for branch in body["switch"]:
+                if self._eval(branch["condition"], scope):
+                    if "return" in branch:
+                        raise _Return(self._eval(branch["return"], scope))
+                    return branch.get("next")
+        if "raise" in body:
+            raised = self._eval(body["raise"], scope)
+            if isinstance(raised, _CallFailure):
+                raise WorkflowError(raised.err)
+            raise WorkflowError(raised)
+        if "return" in body:
+            raise _Return(self._eval(body["return"], scope))
+        if "steps" in body:
+            self._run_steps(body["steps"], scope)
+        return body.get("next")
+
+    def _run_try(self, body: dict, scope: dict[str, Any]) -> str | None:
+        try:
+            jump = self._run_step(body["try"], scope)
+        except (_Return, _End):
+            raise
+        except (_CallFailure, WorkflowError) as exc:
+            handler = body["except"]
+            err = exc.err if isinstance(exc, _CallFailure) else exc.value
+            scope[handler.get("as", "e")] = err
+            self._run_steps(handler["steps"], scope)
+            return None
+        return jump
+
+    def _run_call(self, body: dict, scope: dict[str, Any]) -> None:
+        target = body["call"]
+        args = self._eval(body.get("args", {}), scope)
+        if target in self.doc:  # subworkflow
+            sub = WorkflowRunner(self.doc, self.registry)
+            result = sub.run(entrypoint=target, params=args)
+        elif target == "http.post":
+            result = self._http_post(args)
+        elif target in self.registry:
+            result = self._invoke(target, args.get("body", args))
+        else:
+            raise WorkflowError(f"unknown call target: {target}")
+        if "result" in body:
+            scope[body["result"]] = result
+
+    def _http_post(self, args: dict) -> SimpleNamespace:
+        """In-process stand-in for the reference's HTTP+OIDC function call:
+        resolve the function from the URL's last path segment, return a
+        response-shaped object (``.body.description``)."""
+        fn_name = str(args.get("url", "")).rstrip("/").rsplit("/", 1)[-1]
+        if fn_name not in self.registry:
+            raise WorkflowError(f"no registered function for url {args.get('url')}")
+        return self._invoke(fn_name, args.get("body", {}))
+
+    def _invoke(self, fn_name: str, call_body: dict) -> SimpleNamespace:
+        """Call a registry function with the reference's error protocol:
+        success → {\"description\": \"Success\"}/200; EngineError → its
+        description/code (reference load_csv/main.py:204-212)."""
+        try:
+            description = self.registry[fn_name](call_body) or "Success"
+        except EngineError as e:
+            raise _CallFailure(
+                SimpleNamespace(
+                    body=SimpleNamespace(description=e.description), code=e.code
+                )
+            )
+        except Exception as e:  # unknown error → 500 (main.py:208-210)
+            raise _CallFailure(
+                SimpleNamespace(
+                    body=SimpleNamespace(description="Unknown error"), code=500
+                )
+            ) from e
+        return SimpleNamespace(
+            body=SimpleNamespace(description=description), code=200
+        )
+
+
+def build_engine_registry(
+    spark,
+    assets_dir: str,
+    schema_dir: str | None = None,
+    query_dir: str | None = None,
+) -> dict[str, Callable[[dict], str]]:
+    """Registry wiring the DSL's two call targets to the engine pipelines,
+    with the reference's camelCase body keys (SURVEY.md §2.5 gotcha)."""
+    import os
+
+    from etl_workflows_spark.plans.load_csv import load_csv
+    from etl_workflows_spark.plans.load_query import load_query
+
+    schema_dir = schema_dir or assets_dir
+    query_dir = query_dir or assets_dir
+
+    def _load_csv(body: dict) -> str:
+        load_csv(
+            spark,
+            bucket=body["bucket"],
+            prefix=body["prefix"],
+            schema=os.path.join(schema_dir, body["schema"]),
+            destination_table=body["destinationTable"],
+            archive_files_after=body.get("archiveFiles", True),
+            skip_headers=body.get("skipHeaders", True),
+        )
+        return "Success"
+
+    def _load_query(body: dict) -> str:
+        load_query(
+            spark,
+            query=os.path.join(query_dir, body["query"]),
+            destination_table=body["destinationTable"],
+            use_legacy_sql=body.get("useLegacySql", False),
+            append=body.get("append", False),
+        )
+        return "Success"
+
+    return {"load_csv": _load_csv, "load_query": _load_query}

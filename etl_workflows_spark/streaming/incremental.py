@@ -1,0 +1,131 @@
+"""Incremental / streaming ingestion — the idempotent replacement for the
+reference's newest-file-then-archive loop.
+
+The reference's batch contract (SURVEY.md §2.6) is hand-rolled
+micro-batching: pick the newest file by prefix, load, archive — and it has
+an at-least-once hazard (a crash between BigQuery load and archival
+re-appends on rerun, duplicating ``big_US_cars``). Structured Streaming's
+file source is the Spark-native fix: the checkpoint tracks processed files
+(exactly-once per file), ``Trigger.AvailableNow`` gives one-shot batch
+runs (the cron-friendly shape), and ``cleanSource=archive`` reproduces the
+reference's ARCHIVED/ convention without the crash window.
+
+The coercion path is byte-identical to batch ingestion: the same line
+reader + tokenizer + Catalyst coercion expressions run inside the stream
+(``mapInPandas`` and higher-order expressions are streaming-compatible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_workflows_spark.operators.coerce import coerce_columns
+from etl_workflows_spark.schema.registry import load_schema_file
+from etl_workflows_spark.sources.csv_source import ENCODING, _LINE_SEP
+
+
+def incremental_csv_load(
+    spark: SparkSession,
+    source_dir: str,
+    schema_path: str,
+    checkpoint_dir: str,
+    destination_table: str,
+    archive_dir: str | None = None,
+    skip_header: bool = True,
+) -> None:
+    """One AvailableNow run: ingest every not-yet-processed CSV under
+    ``source_dir`` into ``destination_table`` (append), exactly once per
+    file, then archive processed files.
+
+    Unlike the batch pipeline's lexicographic top-1 (reference
+    main.py:69-77), the stream processes *every* new file — same daily-cron
+    usage, but no file is ever skipped because two arrived between runs,
+    and no file is ever double-loaded because the run crashed mid-way.
+    """
+    schema_doc = load_schema_file(schema_path)
+    n_fields = len(schema_doc["fields"])
+
+    line_schema = T.StructType([T.StructField("line", T.StringType(), True)])
+    reader = (
+        spark.readStream.schema(line_schema)
+        .option("sep", _LINE_SEP)
+        .option("quote", "")
+        .option("escape", _LINE_SEP)
+        .option("encoding", ENCODING)
+        .option("header", str(skip_header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("maxFilesPerTrigger", "1000")
+    )
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    lines = reader.csv(source_dir)
+
+    # Same exact-dialect tokenizer as batch ingestion, on the streaming DF.
+    import csv as _csv
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [T.StructField(f"c{i}", T.StringType(), True) for i in range(n_fields)]
+    )
+    cols = [f"c{i}" for i in range(n_fields)]
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row
+                for row in _csv.reader(
+                    (s for s in pdf["line"] if s is not None),
+                    delimiter=";",
+                    quoting=_csv.QUOTE_NONE,
+                    escapechar="\\",
+                )
+                if len(row) == n_fields
+            ]
+            yield pd.DataFrame(rows, columns=cols, dtype=object)
+
+    raw = lines.mapInPandas(tokenize, schema=out_schema)
+    cleaned = coerce_columns(raw, schema_doc)
+
+    query = (
+        cleaned.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .toTable(destination_table)
+    )
+    query.awaitTermination()
+
+
+def streaming_hourly_rollup(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_hourly`` query: event-time
+    tumbling window with a watermark for late data.
+
+    Apply to a ``readStream`` DataFrame with (ts TIMESTAMP, event_type,
+    value, user_id); output mode append emits a window once the watermark
+    passes its end — state is bounded by watermark horizon × groups.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )

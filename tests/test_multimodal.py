@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: binary source, Arrow-batched feature
+extraction (stubbed kernel), frame/chunk planning."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from etl_workflows_spark.operators import multimodal
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        Row(
+            media_id=1,
+            kind="image",
+            content=b"\x89PNG-fake-bytes-1",
+            meta=Row(mime="image/png", width=None, height=None, duration_ms=None, sample_rate=None),
+        ),
+        Row(
+            media_id=2,
+            kind="video",
+            content=b"fake-mp4",
+            meta=Row(mime="video/mp4", width=None, height=None, duration_ms=3500, sample_rate=None),
+        ),
+        Row(
+            media_id=3,
+            kind="audio",
+            content=b"fake-wav",
+            meta=Row(mime="audio/wav", width=None, height=None, duration_ms=12001, sample_rate=16000),
+        ),
+        Row(media_id=4, kind="image", content=None, meta=None),
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_binary_file_source(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"hello")
+    (tmp_path / "b.bin").write_bytes(b"world!")
+    df = multimodal.read_binary_dir(spark, str(tmp_path), "*.bin")
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert got == {"a.bin": b"hello", "b.bin": b"world!"}
+
+
+def test_image_features_deterministic(spark, media_df):
+    feats = {r["media_id"]: r for r in multimodal.extract_image_features(media_df).collect()}
+    f1 = feats[1]
+    assert f1["sha256"] == hashlib.sha256(b"\x89PNG-fake-bytes-1").hexdigest()
+    assert f1["n_bytes"] == 17
+    assert 64 <= f1["width"] < 256 and 64 <= f1["height"] < 256
+    assert 0.0 <= f1["mean_luma"] <= 1.0
+    # null content passes through as nulls, row preserved
+    assert feats[4]["sha256"] is None and feats[4]["n_bytes"] is None
+    # deterministic across runs
+    again = {r["media_id"]: r for r in multimodal.extract_image_features(media_df).collect()}
+    assert again[1]["width"] == f1["width"]
+
+
+def test_strict_mode_raises(spark, media_df):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_image_features(media_df, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark, media_df):
+    frames = multimodal.frame_sample_plan(media_df, every_ms=1000).collect()
+    # 3500 ms at 1 fps -> frames at 0,1000,2000 (3 full seconds)
+    assert [(r["media_id"], r["frame_ms"]) for r in frames] == [
+        (2, 0),
+        (2, 1000),
+        (2, 2000),
+    ]
+
+
+def test_audio_chunks(spark, media_df):
+    chunks = multimodal.audio_chunks(media_df, chunk_ms=5000).collect()
+    spans = [(r["chunk_idx"], r["start_ms"], r["end_ms"]) for r in chunks]
+    # 12001 ms -> chunks [0,5000) [5000,10000) [10000,12001]
+    assert spans == [(0, 0, 5000), (1, 5000, 10000), (2, 10000, 12001)]

@@ -1,0 +1,169 @@
+"""Workflow-DSL interpreter: the reference DAG's shape end-to-end
+(SURVEY.md §2.5) — sequential steps, assign/exprs, subworkflow calls,
+conditional early-exit, error discrimination, return plumbing."""
+
+import pytest
+
+from etl_workflows_spark.orchestrate.workflow import (
+    WorkflowError,
+    WorkflowRunner,
+    build_engine_registry,
+)
+
+# Same dialect the reference's etl_cars.yaml uses, wired to our engine:
+# ingest newest cars CSV, early-exit if none, then append the golden query.
+PIPELINE_YAML = """
+main:
+  steps:
+    - init:
+        assign:
+          - dataset: wf
+    - loadExportCsv:
+        call: loadCsvStep
+        args:
+          body:
+            bucket: "{bucket}"
+            prefix: cars_
+            schema: cars_schema.yaml
+            destinationTable: ${{dataset + ".cars"}}
+        result: loadExportResult
+    - conditionalSwitch:
+        switch:
+          - condition: ${{loadExportResult != "Success"}}
+            next: end
+        next: updateExport
+    - updateExport:
+        call: loadQueryStep
+        args:
+          body:
+            query: big_US_cars.sql
+            destinationTable: ${{dataset + ".big_US_cars"}}
+            append: True
+        result: queryResult
+    - done:
+        return: ${{queryResult}}
+
+loadCsvStep:
+  params: [body]
+  steps:
+    - init:
+        assign:
+          - notFoundMessage: "CSV file not found"
+    - runJob:
+        try:
+          call: http.post
+          args:
+            url: https://functions.example/load_csv
+            body: ${{body}}
+          result: r
+        except:
+          as: e
+          steps:
+            - known:
+                switch:
+                  - condition: ${{e.body.description == notFoundMessage}}
+                    return: "Not found"
+            - unknown:
+                raise: ${{e}}
+    - out:
+        return: ${{r.body.description}}
+
+loadQueryStep:
+  params: [body]
+  steps:
+    - runJob:
+        call: http.post
+        args:
+          url: https://functions.example/load_query
+          body: ${{body}}
+        result: r
+    - out:
+        return: ${{r.body.description}}
+"""
+
+
+@pytest.fixture()
+def wf_env(spark, fixtures_dir, tmp_path):
+    import csv as csv_mod
+    import shutil
+
+    bucket = tmp_path / "bucket"
+    bucket.mkdir()
+    shutil.copy(fixtures_dir / "bucket" / "ARCHIVED" / "cars_202109.csv"
+                if (fixtures_dir / "bucket" / "ARCHIVED" / "cars_202109.csv").exists()
+                else fixtures_dir / "bucket" / "cars_202109.csv",
+                bucket / "cars_202109.csv")
+    yaml_doc = PIPELINE_YAML.format(bucket=str(bucket))
+    registry = build_engine_registry(spark, assets_dir=str(fixtures_dir / "assets"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS wf")
+    spark.sql("DROP TABLE IF EXISTS wf.cars")
+    spark.sql("DROP TABLE IF EXISTS wf.big_US_cars")
+    spark.sql("USE wf")
+    yield yaml_doc, registry, bucket
+    spark.sql("USE default")
+
+
+def test_full_dag(spark, wf_env):
+    yaml_doc, registry, bucket = wf_env
+    result = WorkflowRunner(yaml_doc, registry).run()
+    assert result == "Success"
+    assert spark.table("wf.cars").count() == 406
+    assert spark.table("wf.big_US_cars").count() == 17
+    # the CSV was archived by load_csv (archiveFiles default True)
+    assert (bucket / "ARCHIVED" / "cars_202109.csv").exists()
+
+
+def test_early_exit_when_no_csv(spark, wf_env):
+    yaml_doc, registry, bucket = wf_env
+    runner = WorkflowRunner(yaml_doc, registry)
+    runner.run()
+    n = spark.table("wf.big_US_cars").count()
+    # second run: bucket now empty -> CsvNotFound -> "Not found" -> early end
+    result = runner.run()
+    assert result is None  # `next: end` exits without a return value
+    assert spark.table("wf.big_US_cars").count() == n  # no double-append
+
+
+def test_unknown_error_reraised(spark, tmp_path):
+    # registry whose csv step fails with an unknown error
+    def boom(body):
+        raise RuntimeError("disk on fire")
+
+    doc = """
+main:
+  steps:
+    - s:
+        try:
+          call: http.post
+          args:
+            url: x/load_csv
+            body: {}
+          result: r
+        except:
+          as: e
+          steps:
+            - known:
+                switch:
+                  - condition: ${e.body.description == "CSV file not found"}
+                    return: "Not found"
+            - reraise:
+                raise: ${e}
+"""
+    with pytest.raises(WorkflowError) as ei:
+        WorkflowRunner(doc, {"load_csv": boom}).run()
+    assert ei.value.value.body.description == "Unknown error"
+
+
+def test_expression_eval():
+    doc = """
+main:
+  steps:
+    - a:
+        assign:
+          - x: 2
+          - y: ${x + 3}
+          - s: ${"a" + "-" + "b"}
+    - b:
+        return: ${[y, s, x != 2]}
+"""
+    assert WorkflowRunner(doc, {}).run() == [5, "a-b", False]
