@@ -77,7 +77,7 @@ def coercion_expr(c: Column, bq_type: str) -> Column:
     if t == "DATE":
         return safe_timestamp(c).cast("date")
     if t in ("BOOLEAN", "BOOL"):
-        return F.try_cast(F.trim(c), "boolean")
+        return F.trim(c).try_cast("boolean")
     # STRING and everything else: verbatim passthrough (T5).
     return c
 

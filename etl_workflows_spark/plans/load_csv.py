@@ -43,12 +43,16 @@ def load_csv(
     destination_table: str,
     archive_files_after: bool = True,
     skip_headers: bool = True,
+    stage_fixed_copy: bool = False,
 ) -> str:
     """Run the ingestion pipeline; returns the table name written.
 
     ``bucket`` is a directory URI on any Hadoop-compatible FS (the
     reference's GCS bucket); ``schema`` is a path to the YAML/JSON schema
     document (the reference's schemas bucket is just another directory).
+    ``stage_fixed_copy`` opts into the reference's ``FIXED_<name>`` audit
+    artifact (W1) — off by default since in-engine coercion makes the
+    staging hop redundant for correctness.
     """
     csv_path = find_most_recent_csv(spark, bucket, prefix)
     csv_name = os.path.basename(csv_path)
@@ -58,6 +62,11 @@ def load_csv(
 
     raw = read_raw_csv(spark, csv_path, len(schema_doc["fields"]), skip_header=skip_headers)
     cleaned = coerce_columns(raw, schema_doc)
+
+    if stage_fixed_copy:
+        from etl_workflows_spark.sinks.staging import write_fixed_copy
+
+        write_fixed_copy(cleaned, bucket, csv_name)
 
     table = write_table(cleaned, destination_table, append=False)
 
