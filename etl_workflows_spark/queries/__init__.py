@@ -6,9 +6,13 @@ pair, used by ``__spark_entry__.py`` for the driver's DuckDB correctness gate.
 non-SQL-expressible ops, which get a weaker rows-only check).
 """
 
-from etl_workflows_spark.queries import relational, llm
+from etl_workflows_spark.queries import relational, relational_ext, llm
 
-QUERIES = {**relational.QUERIES, **llm.QUERIES}
-ORACLE_SQL = {**relational.ORACLE_SQL, **llm.ORACLE_SQL}
+QUERIES = {**relational.QUERIES, **relational_ext.QUERIES, **llm.QUERIES}
+ORACLE_SQL = {
+    **relational.ORACLE_SQL,
+    **relational_ext.ORACLE_SQL,
+    **llm.ORACLE_SQL,
+}
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

@@ -1,0 +1,209 @@
+"""Extended relational coverage: outer joins, exact percentiles, ranking
+battery, HAVING, date arithmetic — plus semantics notes on cross-engine
+determinism for each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_workflows_spark.queries.base import dec, dsum, table
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-customer event activity vs customer dim.
+
+    events.user_id spans a subset of customer keys, so both orphan sides
+    are exercised (customers without events; none the other way).
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = cust.join(ev, F.col("c_custkey") == F.col("user_id"), "full_outer")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_custkey").alias("n_customers"),
+        F.count("user_id").alias("n_active"),
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("total_events"),
+    )
+
+
+_FULL_OUTER_ORACLE = """
+WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(c_custkey) AS n_customers,
+       COUNT(user_id) AS n_active,
+       CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS total_events
+FROM customer FULL OUTER JOIN ev ON c_custkey = user_id
+GROUP BY c_mktsegment
+"""
+
+
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + p90 per priority.
+
+    Spark ``percentile`` (exact, sort-based) and DuckDB ``quantile_cont``
+    use the same linear interpolation over the sorted values — verified
+    bitwise-equal on this data; ``percentile_approx`` would NOT match.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT o_orderpriority,
+       QUANTILE_CONT(o_totalprice, 0.5) AS median_price,
+       QUANTILE_CONT(o_totalprice, 0.9) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / percent_rank / cume_dist / ntile with total ordering."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_RANK_BATTERY_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(DENSE_RANK()   OVER w AS INTEGER) AS drank,
+       PERCENT_RANK() OVER w AS prank,
+       CUME_DIST()    OVER w AS cdist,
+       CAST(NTILE(4)  OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING: customers with more than 12 orders."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("lifetime_value"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+_HAVING_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+"""
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic battery: shift, diff, truncation, parts.
+
+    Conventions that differ across engines (week-of-year, day-of-week
+    numbering) are deliberately excluded; everything here is
+    convention-stable.
+    """
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    # DATE values surface as python date objects from Spark but as
+    # datetime64 from DuckDB's pandas bridge — emit TIMESTAMP on both sides
+    # so the comparison is representation-stable.
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+    )
+
+
+_DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date,
+       CAST(DATE_DIFF('day', o_orderdate, DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+       CAST(DAYOFYEAR(o_orderdate) AS INTEGER) AS doy
+FROM orders
+"""
+
+
+def pipeline_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline — the operators chained the way a real
+    training-data job runs them: exact-dedup → quality gate → per-doc
+    features. One queries() entry proving the pieces compose into a single
+    Catalyst plan (scan once, no materialization between stages).
+    """
+    from etl_workflows_spark.operators import dedup, text
+
+    docs = table(spark, sf_dir, "documents")
+    deduped = dedup.drop_exact_duplicates(docs)
+    toks = F.split(F.col("text"), " ")
+    featured = deduped.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias(
+            "uniq_ratio"
+        ),
+    )
+    return featured.filter(
+        (F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.4)
+    )
+
+
+_PIPELINE_ORACLE = """
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+),
+featured AS (
+  SELECT d.doc_id, d.lang,
+         CAST(LEN(STRING_SPLIT(d.text, ' ')) AS INTEGER) AS n_tokens,
+         LEN(LIST_DISTINCT(STRING_SPLIT(d.text, ' ')))
+           / CAST(LEN(STRING_SPLIT(d.text, ' ')) AS DOUBLE) AS uniq_ratio
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+)
+SELECT * FROM featured WHERE n_tokens >= 20 AND uniq_ratio >= 0.4
+"""
+
+
+QUERIES = {
+    "join_full_outer": join_full_outer,
+    "agg_median": agg_median,
+    "window_rank_battery": window_rank_battery,
+    "agg_having": agg_having,
+    "date_arithmetic": date_arithmetic,
+    "pipeline_doc_curation": pipeline_doc_curation,
+}
+
+ORACLE_SQL = {
+    "join_full_outer": _FULL_OUTER_ORACLE,
+    "agg_median": _MEDIAN_ORACLE,
+    "window_rank_battery": _RANK_BATTERY_ORACLE,
+    "agg_having": _HAVING_ORACLE,
+    "date_arithmetic": _DATE_ARITH_ORACLE,
+    "pipeline_doc_curation": _PIPELINE_ORACLE,
+}

@@ -1,0 +1,66 @@
+"""Plan-shape assertions: the properties that keep these queries fast at
+1000× the data. A green correctness suite with a bad plan is a failure at
+100 TB — these tests pin the plan features that matter:
+
+* filters reach the parquet scan (PushedFilters)
+* scans are column-pruned (ReadSchema subset)
+* dim joins broadcast (no shuffle of the big side for small dims)
+* global top-k plans as TakeOrderedAndProject (no full sort)
+* no accidental CartesianProduct anywhere in the catalog
+"""
+
+import pytest
+
+from etl_workflows_spark.queries import QUERIES
+from etl_workflows_spark.queries.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_region_revenue,
+    topk_orders,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the untouched wide columns never leave the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer AND orders side
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 without full sort
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to scan
+
+
+def test_q5_no_shuffle_join_on_dims(spark, sf_dir):
+    plan = _plan(q5_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = _plan(topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_products_anywhere(spark, sf_dir, name):
+    """Only the deliberate 1-row-broadcast cross joins may appear, and they
+    must be broadcast nested loop, never CartesianProduct."""
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
