@@ -51,6 +51,29 @@ def global_zscore(df: DataFrame, col: str) -> DataFrame:
     ).drop("mu", "sigma")
 
 
+def ngram_udtf():
+    """Example Python UDTF (Spark 3.5+): one input row → many output rows.
+
+    Registered per-session: ``spark.udtf.register("ngrams", ngram_udtf())``
+    then ``SELECT n.* FROM documents, LATERAL ngrams(text, 2) n``. Built-in
+    explode+transform covers this exact case faster (see operators/
+    dedup.shingles) — the UDTF exists to expose the table-function surface
+    the reference's SQL dialect offers.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class NGrams:
+        def eval(self, text: str, n: int = 2):
+            if not text:
+                return
+            toks = text.split(" ")
+            for i in range(max(0, len(toks) - n + 1)):
+                yield " ".join(toks[i : i + n]), i
+
+    return NGrams
+
+
 def grouped_demean(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Example ``applyInPandas`` grouped-map shape: subtract the group mean.
 

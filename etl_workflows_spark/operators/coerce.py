@@ -33,31 +33,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Python int(): optional surrounding whitespace, optional sign, digits.
-_INT_RE = r"^\s*[+-]?[0-9]+\s*$"
-# Python float(): whitespace, sign, then decimal/scientific ("1", "1.", ".5",
+# Whitespace Python's int()/float() strip at the edges, restricted to what
+# ISO-8859-1 wire data can actually carry: ASCII whitespace + NBSP (\xa0).
+# Known unreachable divergence: Python also accepts Unicode decimal digits
+# (int('١٢') == 12) and exotic Unicode spaces — none of which
+# exist in ISO-8859-1, the pipeline's declared encoding (S6).
+_WS_CHARS = " \t\r\n\x0b\x0c\xa0"
+# After edge-stripping: optional sign, digits.
+_INT_RE = r"^[+-]?[0-9]+$"
+# After edge-stripping: sign, then decimal/scientific ("1", "1.", ".5",
 # "1e3", "1.2E-4") — inf/nan handled separately.
-_FLOAT_RE = r"^\s*[+-]?(([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?)\s*$"
-_INF_RE = r"(?i)^\s*[+-]?(inf|infinity)\s*$"
-_NEG_INF_RE = r"(?i)^\s*-(inf|infinity)\s*$"
-_NAN_RE = r"(?i)^\s*[+-]?nan\s*$"
+_FLOAT_RE = r"^[+-]?(([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?)$"
+_INF_RE = r"(?i)^[+-]?(inf|infinity)$"
+_NEG_INF_RE = r"(?i)^-(inf|infinity)$"
+_NAN_RE = r"(?i)^[+-]?nan$"
 
 # Declared order matters: first matching format wins (main.py:123-129).
 TIMESTAMP_FORMATS = ["yyyy-M-d H:m:s", "yyyy-M-d", "d/M/yyyy", "yyyyMMdd"]
 
 
+def _stripped(c: Column) -> Column:
+    """Edge-strip exactly the whitespace Python's parsers strip."""
+    return F.btrim(c, F.lit(_WS_CHARS))
+
+
 def safe_int(c: Column) -> Column:
     """NULL unless the cell is an integer literal by Python ``int`` rules."""
-    return F.when(c.rlike(_INT_RE), F.trim(c).cast("long"))
+    s = _stripped(c)
+    return F.when(s.rlike(_INT_RE), s.cast("long"))
 
 
 def safe_float(c: Column) -> Column:
     """NULL unless the cell is a float literal by Python ``float`` rules."""
+    s = _stripped(c)
     return (
-        F.when(c.rlike(_NEG_INF_RE), F.lit(float("-inf")))
-        .when(c.rlike(_INF_RE), F.lit(float("inf")))
-        .when(c.rlike(_NAN_RE), F.lit(float("nan")))
-        .when(c.rlike(_FLOAT_RE), F.trim(c).cast("double"))
+        F.when(s.rlike(_NEG_INF_RE), F.lit(float("-inf")))
+        .when(s.rlike(_INF_RE), F.lit(float("inf")))
+        .when(s.rlike(_NAN_RE), F.lit(float("nan")))
+        .when(s.rlike(_FLOAT_RE), s.cast("double"))
     )
 
 

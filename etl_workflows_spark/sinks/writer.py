@@ -59,12 +59,19 @@ def write_table(
     destination_table: str,
     append: bool = False,
     partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
 ) -> str:
     """Write ``df`` to a managed table with the requested disposition.
 
     Returns the fully-qualified table name written. Errors during the write
     map to the reference's taxonomy: namespace/table creation failures →
     CreationFailed, anything else → LoadJobError (main.py:173-179).
+
+    Scale knobs: ``partition_by`` prunes scans on the partition column
+    (give big fact tables a date partition); ``bucket_by=(n, cols)``
+    pre-shuffles data into n buckets on cols so downstream equi-joins and
+    aggregations on those keys skip their shuffle entirely (both sides
+    bucketed the same way ⇒ sort-merge join with zero Exchange).
     """
     table = normalize_table_name(destination_table)
     spark = df.sparkSession
@@ -77,6 +84,9 @@ def write_table(
     writer = df.write.mode("append" if append else "overwrite").format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
     try:
         writer.saveAsTable(table)
     except Exception as e:

@@ -1,0 +1,89 @@
+"""Scale utilities: salted joins, two-phase agg, bucketed tables, UDTF."""
+
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.skew import (
+    key_skew_profile,
+    salted_join,
+    two_phase_agg,
+)
+from etl_workflows_spark.sinks.writer import write_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, cust, "o_custkey", salt=8).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_two_phase_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        r["l_orderkey"]: r["s"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"))
+        .limit(50)
+        .collect()
+    }
+    two = {
+        r["l_orderkey"]: r["sum_l_quantity"]
+        for r in two_phase_agg(
+            li.withColumn("l_quantity", F.col("l_quantity").cast("decimal(18,2)")),
+            "l_orderkey",
+            "l_quantity",
+            salt=4,
+        ).collect()
+    }
+    for k, v in plain.items():
+        assert two[k] == v
+
+
+def test_skew_profile(spark, sf_dir):
+    from etl_workflows_spark.queries.base import table
+
+    ev = table(spark, sf_dir, "events")  # nanos-ts normalization
+    prof = key_skew_profile(ev, "event_type", top=3).collect()
+    assert len(prof) == 3
+    assert prof[0]["n_rows"] >= prof[1]["n_rows"] >= prof[2]["n_rows"]
+    assert 0 < prof[0]["share"] < 1
+
+
+def test_bucketed_table_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key ⇒ the join plan contains no
+    Exchange (the co-location bought at write time pays at read time)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    write_table(orders, "bkt.orders_b", bucket_by=(8, ["o_custkey"]))
+    write_table(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "bkt.cust_b",
+        bucket_by=(8, ["o_custkey"]),
+    )
+    # force the shuffle-join path (broadcast would hide the bucket effect —
+    # at real scale neither side broadcasts)
+    joined = (
+        spark.table("bkt.orders_b")
+        .hint("merge")
+        .join(spark.table("bkt.cust_b"), "o_custkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # bucketing removed shuffles
+    assert "SortMergeJoin" in plan
+    assert joined.count() == orders.count()
+
+
+def test_ngram_udtf(spark):
+    from etl_workflows_spark.functions.udfs import ngram_udtf
+
+    spark.udtf.register("test_ngrams", ngram_udtf())
+    rows = spark.sql(
+        "SELECT * FROM test_ngrams('a b c', 2)"
+    ).collect()
+    assert [(r["ngram"], r["pos"]) for r in rows] == [("a b", 0), ("b c", 1)]
