@@ -37,11 +37,14 @@ HEADLINE = [
     "events_hourly",
     "sessionize",
     "asof_last_click",
+    "cohort_retention",
+    "funnel_conversion",
     "doc_stats",
     "token_frequencies",
     "dedup_exact",
     "near_dup_minhash_lsh",
     "ann_cosine_topk",
+    "pipeline_doc_curation",
 ]
 
 

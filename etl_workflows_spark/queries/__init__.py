@@ -6,12 +6,18 @@ pair, used by ``__spark_entry__.py`` for the driver's DuckDB correctness gate.
 non-SQL-expressible ops, which get a weaker rows-only check).
 """
 
-from etl_workflows_spark.queries import relational, relational_ext, llm
+from etl_workflows_spark.queries import analytics, llm, relational, relational_ext
 
-QUERIES = {**relational.QUERIES, **relational_ext.QUERIES, **llm.QUERIES}
+QUERIES = {
+    **relational.QUERIES,
+    **relational_ext.QUERIES,
+    **analytics.QUERIES,
+    **llm.QUERIES,
+}
 ORACLE_SQL = {
     **relational.ORACLE_SQL,
     **relational_ext.ORACLE_SQL,
+    **analytics.ORACLE_SQL,
     **llm.ORACLE_SQL,
 }
 

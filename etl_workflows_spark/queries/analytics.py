@@ -1,0 +1,153 @@
+"""Event-analytics operators: cohort retention and funnel conversion.
+
+The canonical product-analytics queries a warehouse engine must express —
+both are pure window/aggregation compositions (no custom state), so they
+ride Catalyst and scale like any agg: one shuffle on user_id, one on the
+cohort/funnel key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_workflows_spark.queries.base import table
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention: users bucketed by first-seen day; for each
+    (cohort_day, days_since) cell, how many distinct cohort members were
+    active.
+
+    Shape: min-over-window for the cohort key (one shuffle on user_id),
+    then a distinct-count grid (one shuffle on the cell key).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    with_cohort = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.min(F.date_trunc("day", F.col("ts"))).over(w).alias("cohort_day"),
+    )
+    return (
+        with_cohort.withColumn(
+            "days_since",
+            F.datediff(F.col("day"), F.col("cohort_day")),
+        )
+        .groupBy("cohort_day", "days_since")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_COHORT_ORACLE = """
+WITH e AS (
+  SELECT user_id, DATE_TRUNC('day', ts) AS day,
+         MIN(DATE_TRUNC('day', ts)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+)
+SELECT cohort_day,
+       CAST(DATE_DIFF('day', cohort_day, day) AS INTEGER) AS days_since,
+       COUNT(DISTINCT user_id) AS active_users
+FROM e GROUP BY cohort_day, days_since
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: per user, did each stage
+    happen *after* the previous stage's first occurrence; then corpus-level
+    conversion counts.
+
+    Expressed as conditional min-timestamps per user (single groupBy —
+    no joins, no explosion), then one global rollup. The strictly-ordered
+    semantics (stage N counts only if it occurs at-or-after the first
+    stage N-1) is the standard product-funnel definition.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    staged = per_user.select(
+        "user_id", s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s1").cast("long")).alias("viewed"),
+        F.sum(F.col("s2").cast("long")).alias("clicked_after_view"),
+        F.sum(F.col("s3").cast("long")).alias("purchased_after_click"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT user_id,
+         t_view IS NOT NULL AS s1,
+         (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view) AS s2,
+         (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view
+          AND t_purchase IS NOT NULL AND t_purchase >= t_click) AS s3
+  FROM per_user
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+FROM staged
+"""
+
+
+def string_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar battery: regex extraction, padding, translation,
+    position, repetition — the string surface beyond scalar_functions."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.lpad("p_type", 12, ".").alias("type_padded"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_tr"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.repeat(F.substring("p_brand", 1, 1), 3).alias("bbb"),
+        F.reverse("p_type").alias("type_rev"),
+        F.left("p_name", F.lit(5)).alias("name5"),
+    )
+
+
+_STRING_EXT_ORACLE = """
+SELECT p_partkey,
+       REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS brand_num,
+       LPAD(p_type, 12, '.') AS type_padded,
+       TRANSLATE(p_name, 'aeiou', 'AEIOU') AS name_tr,
+       CAST(STRPOS(p_name, 'a') AS INTEGER) AS first_a,
+       REPEAT(SUBSTRING(p_brand, 1, 1), 3) AS bbb,
+       REVERSE(p_type) AS type_rev,
+       LEFT(p_name, 5) AS name5
+FROM part
+"""
+
+
+QUERIES = {
+    "cohort_retention": cohort_retention,
+    "funnel_conversion": funnel_conversion,
+    "string_functions_ext": string_functions_ext,
+}
+
+ORACLE_SQL = {
+    "cohort_retention": _COHORT_ORACLE,
+    "funnel_conversion": _FUNNEL_ORACLE,
+    "string_functions_ext": _STRING_EXT_ORACLE,
+}
