@@ -53,3 +53,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    total_cores: int,
+    executor_mem_gb: int = 32,
+) -> dict[str, str]:
+    """Recommended conf deltas for a real multi-executor deployment.
+
+    The session defaults above are already cluster-safe; these are the
+    knobs that *scale with fleet size* and can't have a one-size default:
+
+    * shuffle partitions ≈ 2-3× total cores — small enough for low task
+      overhead, big enough that AQE can only coalesce (it never splits a
+      too-small partition count upward for non-skewed exchanges);
+    * input partition size ≤ ~1/8 of per-task memory so a full row-group
+      plus shuffle buffers never spill on a healthy task;
+    * AQE advisory size tracks the input partition size so post-shuffle
+      partitions stay uniform.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 3),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024 * 1024),
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(
+            16 * 1024 * 1024
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.memory.fraction": "0.6",
+        "spark.sql.parquet.filterPushdown": "true",
+    }

@@ -92,3 +92,26 @@ def write_table(
     except Exception as e:
         raise LoadJobError() from e
     return table
+
+
+def append_if_absent(
+    df: DataFrame, destination_table: str, keys: list[str]
+) -> str:
+    """Idempotent append: insert only rows whose ``keys`` are not already
+    present — the batch-mode MERGE-style fix for the reference's
+    at-least-once hazard (SURVEY.md §2.6: a crash between load and archive
+    re-appends the same file on rerun). A retried append with this sink is
+    a no-op instead of a duplicate.
+
+    Scale: the anti join shuffles on ``keys``; on a key-bucketed
+    destination (``bucket_by``) the existing side reads shuffle-free.
+    (With a transactional table format — Delta/Iceberg — this becomes a
+    real MERGE; parquet tables get the anti-join form.)
+    """
+    table = normalize_table_name(destination_table)
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        return write_table(df, destination_table, append=False)
+    existing = spark.table(table).select(*keys)
+    fresh = df.join(existing, keys, "left_anti")
+    return write_table(fresh, destination_table, append=True)

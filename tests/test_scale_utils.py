@@ -87,3 +87,20 @@ def test_ngram_udtf(spark):
         "SELECT * FROM test_ngrams('a b c', 2)"
     ).collect()
     assert [(r["ngram"], r["pos"]) for r in rows] == [("a b", 0), ("b c", 1)]
+
+
+def test_append_if_absent_idempotent(spark, sf_dir):
+    from etl_workflows_spark.sinks.writer import append_if_absent
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    spark.sql("CREATE DATABASE IF NOT EXISTS idem")
+    spark.sql("DROP TABLE IF EXISTS idem.orders")
+    append_if_absent(orders, "idem.orders", ["o_orderkey"])
+    n1 = spark.table("idem.orders").count()
+    # retry with the same batch: no duplicates
+    append_if_absent(orders, "idem.orders", ["o_orderkey"])
+    assert spark.table("idem.orders").count() == n1
+    # genuinely new rows still append
+    more = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(150)
+    append_if_absent(more, "idem.orders", ["o_orderkey"])
+    assert spark.table("idem.orders").count() == 150
