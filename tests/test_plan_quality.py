@@ -64,3 +64,24 @@ def test_no_cartesian_products_anywhere(spark, sf_dir, name):
     must be broadcast nested loop, never CartesianProduct."""
     plan = _plan(QUERIES[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, name
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir):
+    """Date-partitioned fact table + year filter ⇒ partition pruning (the
+    scan's PartitionFilters carries the predicate; only matching partition
+    directories are read)."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.sinks.writer import write_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS pp")
+    write_table(li, "pp.lineitem_p", partition_by=["ship_year"])
+    q = spark.table("pp.lineitem_p").filter(F.col("ship_year") == 1997)
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    assert "ship_year" in plan.split("PartitionFilters", 1)[1][:200]
+    n_direct = li.filter(F.col("ship_year") == 1997).count()
+    assert q.count() == n_direct

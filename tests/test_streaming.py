@@ -80,3 +80,34 @@ def test_streaming_hourly_rollup_plan(spark, sf_dir):
     stream = spark.readStream.schema(ev.schema).parquet(src)
     q = streaming_hourly_rollup(stream)
     assert q.isStreaming
+
+
+def test_streaming_rollup_executes_and_matches_batch(spark, sf_dir, tmp_path):
+    """Actually run the watermarked streaming aggregation (not just build
+    the plan): AvailableNow over a parquet snapshot, complete-mode memory
+    sink, output equal to the batch twin."""
+    from etl_workflows_spark.queries.base import table
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("rollup_test").collect()
+    }
+    expected = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streaming_hourly_rollup(ev).collect()
+    }
+    assert got == expected
