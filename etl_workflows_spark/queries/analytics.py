@@ -140,14 +140,57 @@ FROM part
 """
 
 
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: sorted distinct collect, emitted as a
+    joined string (array *values* cross the pandas bridge differently per
+    engine — string them for representation-stable comparison)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_AGG_COLLECT_ORACLE = """
+SELECT o_orderpriority,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ',') AS statuses,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position over the token arrays (posexplode /
+    UNNEST+subscripts): the row-generating surface beyond plain explode."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
+
+
+_POSEXPLODE_ORACLE = """
+SELECT doc_id,
+       CAST(GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS INTEGER) AS pos,
+       UNNEST(STRING_SPLIT(text, ' ')) AS token
+FROM documents WHERE doc_id < 50
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "string_functions_ext": string_functions_ext,
+    "agg_collect": agg_collect,
+    "posexplode_tokens": posexplode_tokens,
 }
 
 ORACLE_SQL = {
     "cohort_retention": _COHORT_ORACLE,
     "funnel_conversion": _FUNNEL_ORACLE,
     "string_functions_ext": _STRING_EXT_ORACLE,
+    "agg_collect": _AGG_COLLECT_ORACLE,
+    "posexplode_tokens": _POSEXPLODE_ORACLE,
 }
