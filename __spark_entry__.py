@@ -22,10 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the 6-table snowflake join
-    with exact-decimal revenue aggregation (TPC-H Q5 shape)."""
-    from etl_workflows_spark.queries.relational import q5_region_revenue
+    with exact-decimal revenue aggregation (TPC-H Q5 shape, all regions)."""
+    from etl_workflows_spark.queries.relational import q5_all_regions
 
-    return q5_region_revenue(spark, "/root/testdata/sf0.001")
+    return q5_all_regions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

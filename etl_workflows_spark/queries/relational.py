@@ -730,10 +730,60 @@ SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
 """
 
 
+def q5_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q5 snowflake without the region filter: revenue per
+    (region, nation) — the flagship ``entry()`` query (same plan shape,
+    wider output)."""
+    nations = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q5_ALL_ORACLE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
+    "q5_all_regions": q5_all_regions,
     "join_left_fill": join_left_fill,
     "join_semi": join_semi,
     "join_anti": join_anti,
@@ -762,6 +812,7 @@ ORACLE_SQL = {
     "q1_pricing_summary": _Q1_ORACLE,
     "q3_shipping_priority": _Q3_ORACLE,
     "q5_region_revenue": _Q5_ORACLE,
+    "q5_all_regions": _Q5_ALL_ORACLE,
     "join_left_fill": _JOIN_LEFT_ORACLE,
     "join_semi": _JOIN_SEMI_ORACLE,
     "join_anti": _JOIN_ANTI_ORACLE,
