@@ -190,7 +190,95 @@ SELECT * FROM featured WHERE n_tokens >= 20 AND uniq_ratio >= 0.4
 """
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): count and exact sum of
+    orders within $1000 below each order's price, per status.
+
+    Value-range frames are tie-order-independent — deterministic without a
+    tie-break in the frame (the ORDER BY key fully defines the window).
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("sum_within_1k"),
+    )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       COUNT(*) OVER w AS n_within_1k,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_within_1k
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a fully-ordered frame."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value("o_totalprice").over(w).alias("first_spend"),
+        F.last_value("o_totalprice").over(w).alias("last_spend"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_spend"),
+    )
+
+
+_VALUE_FNS_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_spend,
+       LAST_VALUE(o_totalprice)  OVER w AS last_spend,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def conditional_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling battery: nullif / coalesce / greatest / least / nvl."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")
+        ).alias("seg_defaulted"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+        F.when(F.col("c_acctbal") < 0, "deficit").otherwise("ok").alias("standing"),
+    )
+
+
+_CONDITIONAL_ORACLE = """
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+       GREATEST(c_acctbal, 0.0) AS bal_floor0,
+       LEAST(c_acctbal, 5000.0) AS bal_cap5k,
+       CASE WHEN c_acctbal < 0 THEN 'deficit' ELSE 'ok' END AS standing
+FROM customer
+"""
+
+
 QUERIES = {
+    "window_range_frame": window_range_frame,
+    "window_value_functions": window_value_functions,
+    "conditional_expressions": conditional_expressions,
     "join_full_outer": join_full_outer,
     "agg_median": agg_median,
     "window_rank_battery": window_rank_battery,
@@ -200,6 +288,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "window_range_frame": _RANGE_FRAME_ORACLE,
+    "window_value_functions": _VALUE_FNS_ORACLE,
+    "conditional_expressions": _CONDITIONAL_ORACLE,
     "join_full_outer": _FULL_OUTER_ORACLE,
     "agg_median": _MEDIAN_ORACLE,
     "window_rank_battery": _RANK_BATTERY_ORACLE,
