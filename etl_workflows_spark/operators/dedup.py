@@ -301,6 +301,83 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", simhash16(text_col).alias("simhash"))
 
 
+def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id, cluster).
+
+    Iterative min-label propagation: every node adopts the smallest label
+    among itself and its neighbors until fixpoint. Each iteration is one
+    join + one aggregation (both shuffles on doc_id); lineage is truncated
+    per iteration with ``localCheckpoint`` so the plan doesn't grow
+    unboundedly. Converges in O(diameter) iterations — near-dup graphs are
+    overwhelmingly tiny cliques, so 2-3 in practice.
+
+    ``pairs`` needs columns (doc_a, doc_b); output assigns every vertex
+    that appears in any pair. (Singletons never enter the graph — they're
+    their own cluster by definition and don't need rows.)
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    # undirected: both directions
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("id"))
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster")
+
+
+def dedup_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dedup: LSH pairs → duplicate clusters → keep the
+    min-doc_id representative of each cluster, drop the rest.
+
+    This is the full 100 TB dedup recipe: O(n·bands) candidate
+    generation, exact verification, component clustering, one anti-join.
+    """
+    pairs = near_dup_pairs_lsh(docs, threshold, text_col=text_col, **lsh_kwargs)
+    clusters = cluster_duplicates(pairs)
+    w_losers = (
+        clusters.groupBy("cluster")
+        .agg(F.min("doc_id").alias("keeper"))
+        .join(clusters, "cluster")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    return docs.join(w_losers, "doc_id", "left_anti")
+
+
 def near_dup_pairs_simhash(
     docs: DataFrame, max_hamming: int = 2, text_col: str = "text"
 ) -> DataFrame:

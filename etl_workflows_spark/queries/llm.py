@@ -149,6 +149,16 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_near_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup recipe: LSH pairs → connected-component clusters →
+    one survivor per cluster (rows-only check: LSH candidate generation is
+    approximate; every exact sub-piece is oracle-checked separately)."""
+    from pyspark.sql import functions as F
+
+    kept = dedup.dedup_near_duplicates(table(spark, sf_dir, "documents"))
+    return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic md5-based MinHash signature itself, oracle-checked
     (pins the exact machinery the approximate LSH query rides on)."""
@@ -287,6 +297,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "near_dup_jaccard": near_dup_jaccard,
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
+    "dedup_near_end_to_end": dedup_near_end_to_end,
     "minhash_signatures": minhash_signatures,
     "simhash_fingerprints": simhash_fingerprints,
     "ann_cosine_topk": ann_cosine_topk,

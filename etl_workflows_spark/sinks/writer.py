@@ -81,7 +81,13 @@ def write_table(
             spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
         except Exception as e:  # pragma: no cover - filesystem/catalog faults
             raise CreationFailed() from e
-    writer = df.write.mode("append" if append else "overwrite").format("parquet")
+    writer = (
+        df.write.mode("append" if append else "overwrite")
+        .format("parquet")
+        # zstd: ~30-50% smaller than snappy at comparable read speed —
+        # at 100 TB the scan-time win from smaller files dominates.
+        .option("compression", "zstd")
+    )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if bucket_by:

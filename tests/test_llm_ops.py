@@ -86,3 +86,36 @@ def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
     out = df.select(dedup.shingles("text").alias("sh")).collect()
     assert out[0]["sh"] == []
+
+
+def test_cluster_duplicates_transitive(spark):
+    """A-B and B-C similar (A-C never compared) must still cluster
+    together; D-E separate cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.cluster_duplicates(pairs).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+
+
+def test_dedup_near_duplicates_end_to_end(spark, sf_dir):
+    """Full near-dedup on the corpus: exactly one survivor per near-dup
+    cluster, non-duplicated docs untouched."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    pairs = dedup.near_dup_pairs_lsh(docs, threshold=0.5)
+    clusters = dedup.cluster_duplicates(pairs)
+    n_clustered = clusters.count()
+    n_clusters = clusters.select("cluster").distinct().count()
+    kept = dedup.dedup_near_duplicates(docs, threshold=0.5)
+    assert kept.count() == n_docs - (n_clustered - n_clusters)
+    # survivors include every cluster's min doc_id
+    from pyspark.sql import functions as F
+
+    keepers = {r["m"] for r in clusters.groupBy("cluster").agg(F.min("doc_id").alias("m")).collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert keepers <= kept_ids

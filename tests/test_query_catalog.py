@@ -9,8 +9,8 @@ import pytest
 
 from etl_workflows_spark.queries import ORACLE_SQL, QUERIES
 
-# Approximate operators intentionally have no SQL oracle.
-ROWS_ONLY = {"near_dup_minhash_lsh", "ann_cosine_topk_lsh"}
+# Approximate / iterative operators intentionally have no SQL oracle.
+ROWS_ONLY = {"near_dup_minhash_lsh", "ann_cosine_topk_lsh", "dedup_near_end_to_end"}
 
 
 def test_oracle_coverage():
