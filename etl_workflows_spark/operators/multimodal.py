@@ -63,6 +63,63 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     )
 
 
+def read_images(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of images → decoded pixels, JVM-side (Spark's built-in
+    ``image`` datasource / Java ImageIO — PNG/JPEG/BMP/GIF, no Python
+    codec libs needed).
+
+    Schema: image.origin, height, width, nChannels, mode, data (row-major
+    BGR(A) bytes). This is the REAL image decode path; the stubbed Pandas
+    kernel below covers formats ImageIO lacks.
+    """
+    return spark.read.format("image").load(path)
+
+
+_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("origin", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+    ]
+)
+
+
+def image_pixel_stats(images: DataFrame) -> DataFrame:
+    """Per-channel pixel means over JVM-decoded images (Arrow-batched
+    numpy over the raw BGR bytes — no decode in Python, just math)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for origin, w, h, nch, data in zip(
+                pdf["origin"], pdf["width"], pdf["height"], pdf["nChannels"], pdf["data"]
+            ):
+                if data is None or nch < 3:
+                    out.append((origin, w, h, None, None, None))
+                    continue
+                arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, nch)
+                means = arr[:, :3].mean(axis=0)
+                out.append(
+                    (origin, w, h, float(means[0]), float(means[1]), float(means[2]))
+                )
+            yield pd.DataFrame(
+                out, columns=["origin", "width", "height", "mean_b", "mean_g", "mean_r"]
+            )
+
+    flat = images.select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.nChannels").alias("nChannels"),
+        F.col("image.data").alias("data"),
+    )
+    return flat.mapInPandas(kernel, schema=_PIXEL_STATS_SCHEMA)
+
+
 _IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -82,3 +82,40 @@ def test_audio_chunks(spark, media_df):
     spans = [(r["chunk_idx"], r["start_ms"], r["end_ms"]) for r in chunks]
     # 12001 ms -> chunks [0,5000) [5000,10000) [10000,12001]
     assert spans == [(0, 0, 5000), (1, 5000, 10000), (2, 10000, 12001)]
+
+
+def _make_png(path, w, h, rgb):
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    path.write_bytes(png)
+
+
+def test_real_image_decode_jvm(spark, tmp_path):
+    """Spark's built-in image source decodes hand-crafted PNGs JVM-side;
+    pixel stats computed from the REAL decoded bytes."""
+    _make_png(tmp_path / "red.png", 4, 3, (255, 0, 0))
+    _make_png(tmp_path / "blue.png", 2, 2, (0, 0, 255))
+    imgs = multimodal.read_images(spark, str(tmp_path))
+    stats = {
+        r["origin"].rsplit("/", 1)[-1]: r
+        for r in multimodal.image_pixel_stats(imgs).collect()
+    }
+    red = stats["red.png"]
+    assert (red["width"], red["height"]) == (4, 3)
+    # image source yields BGR byte order
+    assert (red["mean_b"], red["mean_g"], red["mean_r"]) == (0.0, 0.0, 255.0)
+    blue = stats["blue.png"]
+    assert (blue["mean_b"], blue["mean_g"], blue["mean_r"]) == (255.0, 0.0, 0.0)
