@@ -6,17 +6,25 @@ pair, used by ``__spark_entry__.py`` for the driver's DuckDB correctness gate.
 non-SQL-expressible ops, which get a weaker rows-only check).
 """
 
-from etl_workflows_spark.queries import analytics, llm, relational, relational_ext
+from etl_workflows_spark.queries import (
+    analytics,
+    llm,
+    relational,
+    relational_ext,
+    tpch_shapes,
+)
 
 QUERIES = {
     **relational.QUERIES,
     **relational_ext.QUERIES,
+    **tpch_shapes.QUERIES,
     **analytics.QUERIES,
     **llm.QUERIES,
 }
 ORACLE_SQL = {
     **relational.ORACLE_SQL,
     **relational_ext.ORACLE_SQL,
+    **tpch_shapes.ORACLE_SQL,
     **analytics.ORACLE_SQL,
     **llm.ORACLE_SQL,
 }
