@@ -179,7 +179,96 @@ FROM documents WHERE doc_id < 50
 """
 
 
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity (value-range frame over event
+    time): the batch twin of a sliding-window stream aggregation.
+
+    Spark's DataFrame rangeBetween is numeric-only, so the frame rides on
+    epoch microseconds — identical semantics to RANGE INTERVAL, engine-
+    portable, and tie-order-independent like any value-range frame.
+    """
+    ev = table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("value_last_hour"),
+    )
+
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style salient terms per document (ratio idf, no log — keeps
+    the score in exact rational arithmetic for cross-engine determinism;
+    ranking is monotone-equivalent to log idf for per-doc top-k).
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+),
+tfc AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY doc_id, token
+),
+dfc AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY token
+),
+scored AS (
+  SELECT tfc.doc_id, tfc.token,
+         tfc.tf * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / dfc.df AS score
+  FROM tfc JOIN dfc ON tfc.token = dfc.token
+)
+SELECT doc_id, token, score, rnk FROM (
+  SELECT doc_id, token, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rnk
+  FROM scored
+) t WHERE rnk <= 3
+"""
+
+
 QUERIES = {
+    "events_rolling_1h": events_rolling_1h,
+    "tfidf_top_terms": tfidf_top_terms,
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "string_functions_ext": string_functions_ext,
@@ -188,6 +277,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_rolling_1h": _ROLLING_ORACLE,
+    "tfidf_top_terms": _TFIDF_ORACLE,
     "cohort_retention": _COHORT_ORACLE,
     "funnel_conversion": _FUNNEL_ORACLE,
     "string_functions_ext": _STRING_EXT_ORACLE,
