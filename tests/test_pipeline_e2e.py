@@ -69,3 +69,16 @@ def test_templated_destination_e2e(spark, fixtures_dir):
     )
     assert table == "e2e.cars_202109"
     assert spark.table("e2e.cars_202109").count() == 406
+
+
+def test_append_schema_mismatch_maps_to_load_job_error(spark):
+    """A failing write surfaces as the reference's LoadJobError (500)."""
+    from etl_workflows_spark.exceptions import LoadJobError
+    from etl_workflows_spark.sinks.writer import write_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS errs")
+    a = spark.createDataFrame([(1, "x")], ["id", "s"])
+    write_table(a, "errs.t1", append=False)
+    mismatched = spark.createDataFrame([(1.5, 2, 3)], ["a", "b", "c"])
+    with pytest.raises(LoadJobError):
+        write_table(mismatched, "errs.t1", append=True)
