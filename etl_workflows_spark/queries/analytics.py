@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_workflows_spark.queries.base import table
+from etl_workflows_spark.queries.base import ntz_micros, table
 
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +191,7 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(ntz_micros(F.col("ts")))
         .rangeBetween(-hour_us, 0)
     )
     return ev.select(

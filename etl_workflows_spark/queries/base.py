@@ -38,16 +38,27 @@ TABLES = [
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table, normalizing physical-type quirks.
 
+    Timezone defense: the caller's session may not be UTC (the driver
+    builds its own session); every timestamp in the testdata is NTZ in
+    parquet, but functions like ``unix_micros`` interpret through the
+    session zone — pin it to UTC so results match the (zoneless) DuckDB
+    oracle regardless of host configuration.
+
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
     refuses to read as a timestamp; read it as a long (legacy conf) and
-    truncate to microseconds — exactly what DuckDB's reader does, so the
-    oracle sees identical values.
+    truncate to microseconds via pure NTZ arithmetic — exactly the value
+    DuckDB's reader produces, independent of any zone setting.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -56,6 +67,20 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register parquet tables as temp views for SQL-API queries."""
     for n in names or TABLES:
         table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def ntz_micros(c: str | Column) -> Column:
+    """Microseconds since epoch of an NTZ timestamp, timezone-free.
+
+    ``unix_micros`` only accepts LTZ (and reads it through the session
+    zone); this is the zone-independent equivalent for the testdata's NTZ
+    timestamps — matches DuckDB's EPOCH_US on its zoneless timestamps by
+    construction.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )
 
 
 def dec(c: str | Column) -> Column:

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_workflows_spark.queries.base import davg, dec, dsum, register_views, table
+from etl_workflows_spark.queries.base import davg, dec, dsum, ntz_micros, register_views, table
 
 
 # --- aggregation -----------------------------------------------------------
@@ -634,7 +634,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            ntz_micros(F.col("ts")) - ntz_micros(F.lag("ts").over(w))
             > F.lit(gap_us),
             1,
         )
@@ -649,7 +649,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_id = with_flag.withColumn("session_id", F.sum("new_session").over(w2))
     return with_id.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        (ntz_micros(F.max("ts")) - ntz_micros(F.min("ts"))).alias("span_us"),
         dsum("value").alias("session_value"),
     )
 
@@ -697,7 +697,7 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "last_click_ts",
-        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias(
+        (ntz_micros("ts") - ntz_micros("last_click_ts")).alias(
             "us_since_click"
         ),
     )
