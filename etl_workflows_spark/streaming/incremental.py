@@ -111,8 +111,17 @@ def streaming_hourly_rollup(
     value, user_id); output mode append emits a window once the watermark
     passes its end — state is bounded by watermark horizon × groups.
     """
+    # Watermarks require an LTZ event-time column; the corpus timestamps
+    # are NTZ, so cast through LTZ for the stateful machinery and back to
+    # NTZ on output (wall-time identity — the engine pins session TZ to
+    # UTC, see queries/base.table).
+    ntz_in = dict(events.dtypes).get("ts") == "timestamp_ntz"
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")) if ntz_in else events
+    hour = F.col("win.start")
+    if ntz_in:
+        hour = hour.cast("timestamp_ntz")
     return (
-        events.withWatermark("ts", watermark)
+        ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -122,7 +131,7 @@ def streaming_hourly_rollup(
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
-            F.col("win.start").alias("hour"),
+            hour.alias("hour"),
             "event_type",
             "n_events",
             "sum_value",
