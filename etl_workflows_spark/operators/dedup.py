@@ -378,6 +378,36 @@ def dedup_near_duplicates(
     return docs.join(w_losers, "doc_id", "left_anti")
 
 
+def dedup_embedding_cosine(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.95,
+    emb_id: str = "vec_id",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: semantic duplicates share a
+    high-cosine embedding pair even when their text diverges.
+
+    Pairs come from ``similarity.similar_pairs_bruteforce`` (swap in the
+    LSH variant's buckets at corpus scale); clustering and keep-one reuse
+    the same machinery as textual dedup — the pair graph is the interface.
+    """
+    from etl_workflows_spark.operators import similarity
+
+    pairs = similarity.similar_pairs_bruteforce(
+        embeddings, threshold=threshold, id_col=emb_id
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    clusters = cluster_duplicates(pairs)
+    losers = (
+        clusters.groupBy("cluster")
+        .agg(F.min("doc_id").alias("keeper"))
+        .join(clusters, "cluster")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    return docs.join(losers, doc_id, "left_anti")
+
+
 def near_dup_pairs_simhash(
     docs: DataFrame, max_hamming: int = 2, text_col: str = "text"
 ) -> DataFrame:

@@ -104,3 +104,51 @@ def test_append_if_absent_idempotent(spark, sf_dir):
     more = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(150)
     append_if_absent(more, "idem.orders", ["o_orderkey"])
     assert spark.table("idem.orders").count() == 150
+
+
+def test_incremental_rollup_maintenance(spark, sf_dir):
+    """Merging per-slice partial aggregates equals recomputing from
+    scratch (additive IVM)."""
+    from etl_workflows_spark.operators.rollup_maintenance import (
+        hourly_rollup_delta,
+        merge_rollup,
+    )
+    from etl_workflows_spark.queries.base import table
+
+    ev = table(spark, sf_dir, "events")
+    split_ts = ev.agg(F.expr("min(ts) + INTERVAL 10 DAYS")).first()[0]
+    first, second = ev.filter(F.col("ts") <= split_ts), ev.filter(F.col("ts") > split_ts)
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ivm")
+    spark.sql("DROP TABLE IF EXISTS ivm.rollup")
+    merge_rollup(spark, "ivm.rollup", hourly_rollup_delta(first))
+    merge_rollup(spark, "ivm.rollup", hourly_rollup_delta(second))
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("ivm.rollup").collect()
+    }
+    full = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hourly_rollup_delta(ev).collect()
+    }
+    assert got == full
+
+
+def test_dedup_embedding_cosine(spark):
+    """Semantic dedup: high-cosine embedding pairs collapse to one doc."""
+    from etl_workflows_spark.operators.dedup import dedup_embedding_cosine
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),      # distinct
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in dedup_embedding_cosine(emb, docs, 0.95).collect()}
+    assert kept == {1, 3}
