@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 # Known unreachable divergence: Python also accepts Unicode decimal digits
 # (int('١٢') == 12) and exotic Unicode spaces — none of which
 # exist in ISO-8859-1, the pipeline's declared encoding (S6).
+# Deliberate divergence: underscore-grouped literals ('1_000'). Python's
+# int() accepts them, but the reference passes the raw cell to BigQuery,
+# whose CSV loader rejects it — i.e. the reference's END-TO-END behavior
+# is a failed load job, not 1000. NULLing the cell (like every other
+# unparseable value) is the robust reading of that contract.
 _WS_CHARS = " \t\r\n\x0b\x0c\xa0"
 # After edge-stripping: optional sign, digits.
 _INT_RE = r"^[+-]?[0-9]+$"

@@ -80,17 +80,18 @@ def _shingled(docs: DataFrame, text_col: str, n: int, hashed: bool) -> DataFrame
             .filter(F.size("sh") > 0)
         )
     ht = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
-    with_ht = docs.select("doc_id", ht.alias("ht"))
+    # Filter < n-token docs BEFORE slicing: F.slice with a negative length
+    # throws at runtime (it does not return empty), and when()-guards don't
+    # help because both branches evaluate. Such docs have no shingles and
+    # are out of scope anyway.
+    with_ht = docs.select("doc_id", ht.alias("ht")).filter(F.size("ht") >= n)
     m = F.size("ht") - (n - 1)
     z = F.arrays_zip(*[F.slice(F.col("ht"), j + 1, m) for j in range(n)])
     with_z = with_ht.select("doc_id", z.alias("z"))
     sh = F.array_distinct(
         F.transform(F.col("z"), lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
     )
-    return with_z.select(
-        "doc_id",
-        F.when(F.size("z") > 0, sh).otherwise(F.array().cast("array<bigint>")).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    return with_z.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
 
 
 def minhash_signature(shingle_col: Column, k: int = 8) -> Column:
@@ -113,9 +114,20 @@ def minhash_signature(shingle_col: Column, k: int = 8) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays."""
+    """Exact Jaccard over two distinct-element arrays.
+
+    NOTE: evaluates the intersect twice (no CSE across a projection) — in
+    hot verification loops materialize the intersect size once and use
+    ``jaccard_from_sizes`` instead.
+    """
     inter = F.size(F.array_intersect(a, b)).cast("double")
     return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def jaccard_from_sizes(inter: Column, size_a: Column, size_b: Column) -> Column:
+    """Jaccard from a pre-materialized intersection size (pay the
+    array_intersect exactly once per pair)."""
+    return inter.cast("double") / (size_a + size_b - inter)
 
 
 # --- operators -------------------------------------------------------------
@@ -156,13 +168,21 @@ def near_dup_pairs_exact(
     t = _shingled(docs, text_col, n, hashed=False)
     a = t.alias("a")
     b = t.alias("b")
-    j = jaccard(F.col("a.sh"), F.col("b.sh"))
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            j.alias("jaccard"),
+            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("__i"),
+            F.size("a.sh").alias("__sa"),
+            F.size("b.sh").alias("__sb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard_from_sizes(F.col("__i"), F.col("__sa"), F.col("__sb")).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -253,7 +273,20 @@ def near_dup_pairs_lsh(
             t.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
             "doc_b",
         )
-        .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("__i"),
+            F.size("sh_a").alias("__sa"),
+            F.size("sh_b").alias("__sb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard_from_sizes(F.col("__i"), F.col("__sa"), F.col("__sb")).alias(
+                "jaccard"
+            ),
+        )
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -325,6 +358,7 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .withColumn("cluster", F.col("id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.id)
@@ -350,7 +384,16 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silent non-convergence would split one true component into
+        # several labels and leave duplicates in the corpus — fail loudly.
+        raise RuntimeError(
+            f"cluster_duplicates did not converge in {max_iterations} "
+            "iterations (a duplicate chain longer than max_iterations "
+            "exists); raise max_iterations"
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster")
 
 
@@ -403,19 +446,23 @@ def dedup_embedding_cosine(
         .agg(F.min("doc_id").alias("keeper"))
         .join(clusters, "cluster")
         .filter(F.col("doc_id") != F.col("keeper"))
-        .select("doc_id")
+        .select(F.col("doc_id").alias(doc_id))  # caller's doc-id column name
     )
     return docs.join(losers, doc_id, "left_anti")
 
 
 def near_dup_pairs_simhash(
-    docs: DataFrame, max_hamming: int = 2, text_col: str = "text"
+    docs: DataFrame, max_hamming: int = 1, text_col: str = "text"
 ) -> DataFrame:
-    """SimHash near-dup candidates: pairs within ``max_hamming`` bits.
+    """SimHash near-dup pairs within ``max_hamming`` bits (exact for the
+    default radius).
 
-    Implemented as an equi-join on the fingerprint's two halves (a pair
-    within Hamming distance 1 of a 16-bit code shares at least one 8-bit
-    half — pigeonhole banding), then exact popcount verification.
+    Candidate generation is an equi-join on the fingerprint's two 8-bit
+    halves; by pigeonhole, 2 bands guarantee recall only for Hamming
+    distance <= 1 (a distance-2 pair can flip one bit in each half and
+    match neither band). Hence the default radius is 1; for a larger
+    radius, pass a bigger ``max_hamming`` knowing recall is then
+    approximate, or extend the banding to max_hamming+1 bands.
     """
     fp = simhash_fingerprints(docs, text_col)
     halves = fp.select(

@@ -216,6 +216,10 @@ def frame_sample_plan(
     return (
         media.filter(F.col("kind") == "video")
         .filter(F.col("meta.duration_ms").isNotNull())
+        # guard: sequence(0, -1) yields a DESCENDING [0,-1], not empty —
+        # a sub-every_ms clip must contribute zero frames, not negative
+        # seek offsets
+        .filter(n_frames > 0)
         .select(
             F.col(id_col),
             F.explode(
@@ -240,6 +244,7 @@ def audio_chunks(
     return (
         media.filter(F.col("kind") == "audio")
         .filter(F.col("meta.duration_ms").isNotNull())
+        .filter(n_chunks > 0)  # zero-length audio: no chunks (sequence guard)
         .select(
             F.col(id_col),
             F.col("meta.duration_ms").alias("duration_ms"),

@@ -35,7 +35,16 @@ def salted_join(
     finds its match. One hot key now lands on ``salt`` reducers instead of
     one. Cost: right side shuffles ``salt``× its size — use only when a
     skewed shuffle join is otherwise unavoidable.
+
+    Only inner/left joins are sound under this construction: an outer
+    right side would surface each unmatched right row once per replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "right replication would duplicate unmatched right rows in "
+            "right/full outer joins"
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

@@ -12,12 +12,14 @@ from etl_workflows_spark.queries import (
     relational,
     relational_ext,
     tpch_shapes,
+    tpch_shapes2,
 )
 
 QUERIES = {
     **relational.QUERIES,
     **relational_ext.QUERIES,
     **tpch_shapes.QUERIES,
+    **tpch_shapes2.QUERIES,
     **analytics.QUERIES,
     **llm.QUERIES,
 }
@@ -25,6 +27,7 @@ ORACLE_SQL = {
     **relational.ORACLE_SQL,
     **relational_ext.ORACLE_SQL,
     **tpch_shapes.ORACLE_SQL,
+    **tpch_shapes2.ORACLE_SQL,
     **analytics.ORACLE_SQL,
     **llm.ORACLE_SQL,
 }

@@ -47,6 +47,53 @@ ENCODING = "ISO-8859-1"
 _LINE_SEP = "\x01"
 
 
+LINE_SCHEMA = T.StructType([T.StructField("line", T.StringType(), True)])
+
+
+def line_reader_options(skip_header: bool = True) -> dict[str, str]:
+    """The line-scan reader options, shared by batch and streaming reads —
+    one definition so the two paths can never drift."""
+    return {
+        "sep": _LINE_SEP,
+        "quote": "",
+        "escape": _LINE_SEP,  # neutralized: nothing on the wire matches
+        "encoding": ENCODING,
+        "header": str(skip_header).lower(),
+        "enforceSchema": "true",
+        "mode": "PERMISSIVE",
+    }
+
+
+def make_tokenizer(n_fields: int):
+    """Arrow-batched exact-dialect tokenizer + its output schema.
+
+    Returns ``(fn, schema)`` for ``mapInPandas`` — the single definition of
+    the reference CSV dialect (``delimiter=';'``, QUOTE_NONE,
+    ``escapechar='\\'``, reference main.py:93) and the arity filter
+    (main.py:101-103), used verbatim by batch AND streaming ingestion.
+    """
+    out_schema = T.StructType(
+        [T.StructField(f"c{i}", T.StringType(), True) for i in range(n_fields)]
+    )
+    cols = [f"c{i}" for i in range(n_fields)]
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row
+                for row in csv.reader(
+                    (s for s in pdf["line"] if s is not None),
+                    delimiter=";",
+                    quoting=csv.QUOTE_NONE,
+                    escapechar="\\",
+                )
+                if len(row) == n_fields
+            ]
+            yield pd.DataFrame(rows, columns=cols, dtype=object)
+
+    return tokenize, out_schema
+
+
 def read_lines(
     spark: SparkSession, path: str, skip_header: bool = True
 ) -> DataFrame:
@@ -55,18 +102,9 @@ def read_lines(
     Uses the CSV datasource (not ``text``) because only it supports
     ``encoding`` and per-file header skipping.
     """
-    schema = T.StructType([T.StructField("line", T.StringType(), True)])
-    return (
-        spark.read.schema(schema)
-        .option("sep", _LINE_SEP)
-        .option("quote", "")
-        .option("escape", _LINE_SEP)  # neutralized: nothing on the wire matches
-        .option("encoding", ENCODING)
-        .option("header", str(skip_header).lower())
-        .option("enforceSchema", "true")
-        .option("mode", "PERMISSIVE")
-        .csv(path)
-    )
+    return spark.read.schema(LINE_SCHEMA).options(
+        **line_reader_options(skip_header)
+    ).csv(path)
 
 
 def read_raw_csv(
@@ -78,26 +116,5 @@ def read_raw_csv(
     """Read ``path`` as ``n_fields`` raw string columns ``c0..c{n-1}``,
     dropping rows whose token count differs from ``n_fields``."""
     lines = read_lines(spark, path, skip_header=skip_header)
-    out_schema = T.StructType(
-        [T.StructField(f"c{i}", T.StringType(), True) for i in range(n_fields)]
-    )
-    cols = [f"c{i}" for i in range(n_fields)]
-
-    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # csv.reader over an iterable of strings = one record per line
-            # (QUOTE_NONE ⇒ no multi-line records), exact reference dialect
-            # (main.py:93).
-            rows = [
-                row
-                for row in csv.reader(
-                    (s for s in pdf["line"] if s is not None),
-                    delimiter=";",
-                    quoting=csv.QUOTE_NONE,
-                    escapechar="\\",
-                )
-                if len(row) == n_fields  # arity filter (main.py:101-103)
-            ]
-            yield pd.DataFrame(rows, columns=cols, dtype=object)
-
+    tokenize, out_schema = make_tokenizer(n_fields)
     return lines.mapInPandas(tokenize, schema=out_schema)

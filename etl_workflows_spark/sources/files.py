@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from etl_workflows_spark.exceptions import CsvInvalid, CsvNotFound
+from etl_workflows_spark.exceptions import CsvInvalid, CsvNotFound, LoadJobError
 
 ARCHIVED_SUBFOLDER = "ARCHIVED/"
 
@@ -78,6 +78,12 @@ def archive_processed(spark: SparkSession, base_dir: str, prefix: str) -> list[s
         for name in list_by_prefix(spark, base_dir, p):
             src = jvm.org.apache.hadoop.fs.Path(base, name)
             dst = jvm.org.apache.hadoop.fs.Path(archive_dir, name)
-            fs.rename(src, dst)
+            # re-delivered name: GCS rename overwrites, HDFS rename refuses
+            # when the destination exists — replicate the overwrite so a
+            # repeated filename can't wedge the incremental loop
+            if fs.exists(dst):
+                fs.delete(dst, False)
+            if not fs.rename(src, dst):
+                raise LoadJobError(f"failed to archive {name}")
             archived.append(name)
     return archived

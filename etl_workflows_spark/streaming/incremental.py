@@ -23,7 +23,11 @@ from pyspark.sql import types as T
 
 from etl_workflows_spark.operators.coerce import coerce_columns
 from etl_workflows_spark.schema.registry import load_schema_file
-from etl_workflows_spark.sources.csv_source import ENCODING, _LINE_SEP
+from etl_workflows_spark.sources.csv_source import (
+    LINE_SCHEMA,
+    line_reader_options,
+    make_tokenizer,
+)
 
 
 def incremental_csv_load(
@@ -47,48 +51,18 @@ def incremental_csv_load(
     schema_doc = load_schema_file(schema_path)
     n_fields = len(schema_doc["fields"])
 
-    line_schema = T.StructType([T.StructField("line", T.StringType(), True)])
-    reader = (
-        spark.readStream.schema(line_schema)
-        .option("sep", _LINE_SEP)
-        .option("quote", "")
-        .option("escape", _LINE_SEP)
-        .option("encoding", ENCODING)
-        .option("header", str(skip_header).lower())
-        .option("mode", "PERMISSIVE")
-        .option("maxFilesPerTrigger", "1000")
-    )
+    reader = spark.readStream.schema(LINE_SCHEMA).options(
+        **line_reader_options(skip_header)
+    ).option("maxFilesPerTrigger", "1000")
     if archive_dir:
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", archive_dir
         )
     lines = reader.csv(source_dir)
 
-    # Same exact-dialect tokenizer as batch ingestion, on the streaming DF.
-    import csv as _csv
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    out_schema = T.StructType(
-        [T.StructField(f"c{i}", T.StringType(), True) for i in range(n_fields)]
-    )
-    cols = [f"c{i}" for i in range(n_fields)]
-
-    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                row
-                for row in _csv.reader(
-                    (s for s in pdf["line"] if s is not None),
-                    delimiter=";",
-                    quoting=_csv.QUOTE_NONE,
-                    escapechar="\\",
-                )
-                if len(row) == n_fields
-            ]
-            yield pd.DataFrame(rows, columns=cols, dtype=object)
-
+    # The SAME tokenizer object as batch ingestion — shared definition in
+    # sources/csv_source.make_tokenizer, so the dialects cannot drift.
+    tokenize, out_schema = make_tokenizer(n_fields)
     raw = lines.mapInPandas(tokenize, schema=out_schema)
     cleaned = coerce_columns(raw, schema_doc)
 

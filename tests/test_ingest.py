@@ -131,3 +131,17 @@ def test_destination_templating():
     assert (
         template_destination("ds.t_{0:4}_{5:11}", "cars_202109.csv") == "ds.t_cars_202109"
     )
+
+
+def test_archive_overwrites_redelivered_name(spark, tmp_path):
+    """A re-delivered filename must archive (overwrite) rather than wedge
+    the incremental loop."""
+    b = tmp_path / "bucket"
+    b.mkdir()
+    (b / "cars_1.csv").write_text("old")
+    archive_processed(spark, str(b), "cars_")
+    (b / "cars_1.csv").write_text("new")
+    archived = archive_processed(spark, str(b), "cars_")
+    assert archived == ["cars_1.csv"]
+    assert not (b / "cars_1.csv").exists()
+    assert (b / "ARCHIVED" / "cars_1.csv").read_text() == "new"

@@ -119,3 +119,27 @@ def test_dedup_near_duplicates_end_to_end(spark, sf_dir):
     keepers = {r["m"] for r in clusters.groupBy("cluster").agg(F.min("doc_id").alias("m")).collect()}
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert keepers <= kept_ids
+
+
+def test_lsh_survives_short_docs(spark):
+    """Docs with < n tokens must be skipped, not crash the slice expr."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"), (2, "hi"), (3, ""),
+         (4, "the quick brown fox jumps high")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.near_dup_pairs_lsh(docs, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 4)}
+
+
+def test_cluster_duplicates_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["doc_a", "doc_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cluster_duplicates(chain, max_iterations=2)
+    # enough iterations: one cluster
+    got = {r["cluster"] for r in dedup.cluster_duplicates(chain, max_iterations=10).collect()}
+    assert got == {1}

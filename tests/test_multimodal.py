@@ -119,3 +119,17 @@ def test_real_image_decode_jvm(spark, tmp_path):
     assert (red["mean_b"], red["mean_g"], red["mean_r"]) == (0.0, 0.0, 255.0)
     blue = stats["blue.png"]
     assert (blue["mean_b"], blue["mean_g"], blue["mean_r"]) == (255.0, 0.0, 0.0)
+
+
+def test_short_media_yields_no_negative_offsets(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(media_id=1, kind="video", content=b"x",
+            meta=Row(mime="video/mp4", width=None, height=None, duration_ms=500, sample_rate=None)),
+        Row(media_id=2, kind="audio", content=b"y",
+            meta=Row(mime="audio/wav", width=None, height=None, duration_ms=0, sample_rate=8000)),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    assert multimodal.frame_sample_plan(df, every_ms=1000).count() == 0
+    assert multimodal.audio_chunks(df, chunk_ms=5000).count() == 0
