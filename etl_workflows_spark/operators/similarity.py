@@ -175,6 +175,132 @@ def ann_topk_lsh(
     return ann_topk_indexed(index, query_vec_id, k, id_col, vec_col)
 
 
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (adds ``list_id``).
+
+    Centroids ship as a broadcast literal (n_lists × dim doubles — KBs);
+    the assignment is a single JVM-side map over the corpus, no shuffle.
+    Argmax is ``array_position`` of the array's own max — bit-exact since
+    the max is drawn from the same array.
+    """
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
+    return embeddings.withColumn(
+        "list_id",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+    )
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """K-means centroids for IVF, trained distributed.
+
+    Seeding is deterministic pseudo-random — the first ``n_lists`` vectors
+    in ``xxhash64(id)`` order (reproducible anywhere, no RNG state). Each
+    Lloyd iteration is two distributed passes: broadcast-assign
+    (``ivf_assign``), then per-component means via ``posexplode`` +
+    groupBy(list, pos) — only n_lists × dim aggregated rows ever reach the
+    driver. Empty lists keep their previous centroid.
+    """
+    seeds = (
+        embeddings.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_lists)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in seeds]
+    dim = len(cents[0])
+    for _ in range(iterations):
+        means = (
+            ivf_assign(embeddings, cents, vec_col)
+            .select("list_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_list: dict[int, list[float]] = {}
+        for r in means:
+            by_list.setdefault(r["list_id"], [0.0] * dim)[r["pos"]] = r["m"]
+        cents = [by_list.get(i, cents[i]) for i in range(n_lists)]
+    return cents
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index: ``(corpus + list_id, centroids)``.
+
+    Persist the DataFrame ``partitionBy('list_id')`` (and the centroids as
+    a tiny sidecar table): query-time probes then become partition-pruned
+    scans of nprobe/n_lists of the data — the IVF scale contract. At 100 TB
+    pick n_lists ~ sqrt(n_vectors) so each list stays executor-sized.
+    """
+    cents = ivf_train_centroids(embeddings, n_lists, iterations, id_col, vec_col)
+    return ivf_assign(embeddings, cents, vec_col), cents
+
+
+def ann_topk_ivf(
+    index: DataFrame,
+    centroids: list[list[float]],
+    query_vec_id: int,
+    k: int = 20,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over an IVF index, scanning only the ``nprobe``
+    closest lists to the query.
+
+    List selection is driver-side math over n_lists × dim floats (the one
+    query vector against the centroid sidecar — microseconds); the
+    distributed work is an equality-pruned scan of the probed lists.
+    ``nprobe = n_lists`` degrades gracefully to exact brute force.
+    """
+    import math
+
+    qrow = index.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query vector {query_vec_id} not found")
+    qv = [float(x) for x in qrow[0]]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c))
+        if qn == 0 or cn == 0:
+            return -1.0
+        return sum(a * b for a, b in zip(qv, c)) / (qn * cn)
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))[
+        :nprobe
+    ]
+    q = F.array(*[F.lit(x) for x in qv])
+    return (
+        index.filter(F.col("list_id").isin(probe))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_label_stats(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

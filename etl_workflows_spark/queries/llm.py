@@ -272,6 +272,15 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file, nprobe=4 of 16 lists — approximate,
+    rows-only check; recall + exactness-at-full-probe measured in tests
+    against the brute-force twin)."""
+    emb = table(spark, sf_dir, "embeddings")
+    index, cents = similarity.build_ivf_index(emb, n_lists=16, iterations=1)
+    return similarity.ann_topk_ivf(index, cents, query_vec_id=0, k=20, nprobe=4)
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_label_stats(table(spark, sf_dir, "embeddings"))
 
@@ -302,6 +311,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+    "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
     "similar_pairs": similar_pairs,
     "embedding_label_stats": embedding_label_stats,
 }

@@ -1,0 +1,191 @@
+"""Custom stateful streaming operators.
+
+The reference has no streaming surface (SURVEY.md §2.6) — its
+newest-file-then-archive loop is hand-rolled micro-batching. This module
+supplies the stateful-operator tier a production pipeline needs on top of
+``incremental.py``'s ingestion:
+
+- ``streaming_sessionize_native``: gap-based sessions with Spark's
+  built-in ``session_window`` — the idiomatic, fully JVM-side path. Use
+  this whenever plain gap semantics are enough: state is managed by the
+  engine, merge-sorted, and spillable.
+- ``streaming_sessionize``: the same semantics via
+  ``applyInPandasWithState``, PLUS a ``max_events`` session cap —
+  a policy ``session_window`` cannot express (the built-in merges any
+  events within the gap; it has no per-session row budget). This is the
+  template for arbitrary custom state machines: explicit state schema,
+  event-time timeouts, and an audited ``closed_by`` provenance column.
+
+Scale notes (100 TB): state is per-user and O(1) per open session — the
+pandas path keeps only (start, last, n) per key, never the events
+themselves, so state size is #active-users × 24 bytes regardless of event
+volume. Both paths shuffle once on the session key; watermark bounds state
+lifetime. Timestamps cross the Python boundary as epoch-millis longs
+(cheap, tz-unambiguous), not as pandas Timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_OUT_COLS = ["session_start", "session_end", "n_events", "closed_by"]
+
+
+def _output_schema(key_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            key_field,
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("closed_by", T.StringType()),
+        ]
+    )
+
+
+def _session_fn(gap_ms: int, max_events: int | None, key_name: str):
+    """Build the per-group state machine. State = (start_ms, last_ms, n)
+    of the single open session; closed sessions are emitted immediately."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def row(start: int, last: int, n: int, why: str) -> dict[str, Any]:
+            return {
+                key_name: key[0],
+                "session_start": pd.Timestamp(start, unit="ms"),
+                "session_end": pd.Timestamp(last, unit="ms"),
+                "n_events": n,
+                "closed_by": why,
+            }
+
+        cols = [key_name, *_OUT_COLS]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last, n, "timeout")], columns=cols)
+            return
+
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(int(t) for t in pdf["__ts_ms"])
+        times.sort()
+
+        start, last, n = state.get if state.exists else (None, 0, 0)
+        closed: list[dict[str, Any]] = []
+        for t in times:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_ms:
+                closed.append(row(start, last, n, "gap"))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+            if max_events is not None and n >= max_events:
+                closed.append(row(start, last, n, "cap"))
+                start = None
+        if start is None:
+            state.remove()
+        else:
+            state.update((start, last, n))
+            # fires once the event-time watermark passes last + gap
+            state.setTimeoutTimestamp(last + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return fn
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_events: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator
+    (``applyInPandasWithState``, event-time timeout).
+
+    Emits one row per *closed* session: ``(user, session_start,
+    session_end, n_events, closed_by)`` where ``closed_by`` is ``gap`` (a
+    later event opened a new session), ``timeout`` (watermark passed
+    last_event + gap), or ``cap`` (``max_events`` reached — the policy the
+    built-in ``session_window`` cannot express; see
+    ``streaming_sessionize_native`` for the plain-gap idiomatic form).
+
+    Batch-twin parity: on the same input, closed ``gap`` sessions match
+    the batch ``sessionize`` query (queries/relational.py) exactly; the
+    final still-open session per user is withheld until it times out.
+    """
+    gap_ms = _parse_duration_ms(gap)
+    # Watermark machinery requires an LTZ event-time column (NTZ corpus
+    # timestamps cast through; session TZ is pinned UTC ⇒ wall-time id).
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    ev = ev.withWatermark(ts_col, watermark).withColumn(
+        "__ts_ms", (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
+    )
+    key_field = T.StructField(
+        user_col, events.schema[user_col].dataType, nullable=True
+    )
+    return ev.groupBy(user_col).applyInPandasWithState(
+        _session_fn(gap_ms, max_events, user_col),
+        outputStructType=_output_schema(key_field),
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_sessionize_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessions with the built-in ``session_window`` — fully
+    JVM-side, engine-managed mergeable state. Prefer this form unless the
+    session policy needs custom state (see ``streaming_sessionize``)."""
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def _parse_duration_ms(s: str) -> int:
+    """'30 minutes' / '90 seconds' / '2 hours' → milliseconds."""
+    qty, unit = s.split()
+    mult = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(qty) * mult

@@ -143,3 +143,45 @@ def test_cluster_duplicates_raises_on_nonconvergence(spark):
     # enough iterations: one cluster
     got = {r["cluster"] for r in dedup.cluster_duplicates(chain, max_iterations=10).collect()}
     assert got == {1}
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe = n_lists degrades to exact: identical top-k to brute force."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index, cents = similarity.build_ivf_index(emb, n_lists=8, iterations=1)
+    exact = similarity.ann_topk_bruteforce(emb, query_vec_id=0, k=10).collect()
+    ivf = similarity.ann_topk_ivf(
+        index, cents, query_vec_id=0, k=10, nprobe=8
+    ).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 12)) for r in ivf] == [
+        (r["vec_id"], round(r["cos_sim"], 12)) for r in exact
+    ]
+
+
+def test_ivf_pruned_probe_scans_fraction_with_recall(spark, sf_dir):
+    """nprobe < n_lists scans a strict subset of the corpus and still finds
+    a sizable share of the true neighbors (the IVF economics)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    index, cents = similarity.build_ivf_index(emb, n_lists=16, iterations=2)
+    # lists materialized: every vector in exactly one list
+    assert index.count() == n
+    sizes = index.groupBy("list_id").count().collect()
+    assert sum(r["count"] for r in sizes) == n
+    assert len(sizes) >= 8  # training didn't collapse the space
+
+    probed = index.filter(
+        F.col("list_id").isin([r["list_id"] for r in sizes][:4])
+    )
+    exact_ids = {
+        r["vec_id"]
+        for r in similarity.ann_topk_bruteforce(emb, query_vec_id=0, k=20).collect()
+    }
+    ivf_ids = {
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf(
+            index, cents, query_vec_id=0, k=20, nprobe=4
+        ).collect()
+    }
+    recall = len(exact_ids & ivf_ids) / 20
+    assert recall >= 0.2, recall

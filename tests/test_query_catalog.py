@@ -10,7 +10,12 @@ import pytest
 from etl_workflows_spark.queries import ORACLE_SQL, QUERIES
 
 # Approximate / iterative operators intentionally have no SQL oracle.
-ROWS_ONLY = {"near_dup_minhash_lsh", "ann_cosine_topk_lsh", "dedup_near_end_to_end"}
+ROWS_ONLY = {
+    "near_dup_minhash_lsh",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_ivf",
+    "dedup_near_end_to_end",
+}
 
 
 def test_oracle_coverage():

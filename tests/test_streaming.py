@@ -111,3 +111,118 @@ def test_streaming_rollup_executes_and_matches_batch(spark, sf_dir, tmp_path):
         for r in streaming_hourly_rollup(ev).collect()
     }
     assert got == expected
+
+
+def _drive_sessionize(spark, tmp_path, op, name):
+    """Run a stateful sessionize op over three sequential micro-batches."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / f"{name}_src")
+    ckpt = str(tmp_path / f"{name}_ckpt")
+
+    def write_batch(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: A has 2 events 10:00/10:05; B one at 10:00
+    write_batch(1, [(1, t(10, 0)), (1, t(10, 5)), (2, t(10, 0))])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: A again at 12:00 — exceeds the 30 min gap, closes A's
+        # first session in-function; advances watermark to 12:00
+        write_batch(2, [(1, t(12, 0))])
+        q.processAllAvailable()
+        # batch 3: C at 13:00 — watermark (12:00) now past B's timeout
+        # (10:00 + gap), B's session closes by timeout
+        write_batch(3, [(3, t(13, 0))])
+        q.processAllAvailable()
+        return spark.table(name).collect()
+    finally:
+        q.stop()
+
+
+def test_streaming_sessionize_custom_state(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap-close and timeout-close both
+    emit, still-open sessions are withheld."""
+    import datetime as dt
+
+    from etl_workflows_spark.streaming.stateful import streaming_sessionize
+
+    rows = _drive_sessionize(
+        spark,
+        tmp_path,
+        lambda s: streaming_sessionize(s, gap="30 minutes", watermark="0 seconds"),
+        "sess_custom",
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["closed_by"])
+        for r in rows
+    }
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    assert (1, t(10, 0), t(10, 5), 2, "gap") in got
+    assert (2, t(10, 0), t(10, 0), 1, "timeout") in got
+    # C's 13:00 session is still open (watermark never passes 13:30)
+    users_emitted = {k[0] for k in got}
+    assert 3 not in users_emitted
+    # A's first session emitted exactly once (no duplicate on timeout)
+    assert len([k for k in got if k[0] == 1 and k[1] == t(10, 0)]) == 1
+
+
+def test_streaming_sessionize_max_events_cap(spark, tmp_path):
+    """The max_events policy (inexpressible with session_window) closes a
+    session the moment it reaches the cap."""
+    from etl_workflows_spark.streaming.stateful import streaming_sessionize
+
+    rows = _drive_sessionize(
+        spark,
+        tmp_path,
+        lambda s: streaming_sessionize(
+            s, gap="30 minutes", watermark="0 seconds", max_events=2
+        ),
+        "sess_cap",
+    )
+    capped = [r for r in rows if r["closed_by"] == "cap"]
+    assert len(capped) == 1 and capped[0]["user_id"] == 1 and capped[0]["n_events"] == 2
+
+
+def test_streaming_sessionize_native_twin(spark, tmp_path):
+    """Built-in session_window twin emits the same closed sessions (no
+    closed_by provenance; emission requires watermark passage)."""
+    import datetime as dt
+
+    from etl_workflows_spark.streaming.stateful import streaming_sessionize_native
+
+    rows = _drive_sessionize(
+        spark,
+        tmp_path,
+        lambda s: streaming_sessionize_native(s, gap="30 minutes", watermark="0 seconds"),
+        "sess_native",
+    )
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in rows
+    }
+    # session_window end = last_event + gap (not last event itself)
+    assert (1, t(10, 0), 2) in got
+    assert (2, t(10, 0), 1) in got
