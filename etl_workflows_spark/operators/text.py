@@ -36,6 +36,33 @@ def stopword_count(c: Column) -> Column:
     return F.size(F.filter(tokens(c), lambda x: x.isin(*STOPWORDS)))
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs both Java regex and
+# RE2 support identically (no lookahead, leftmost-first alternation):
+# contraction suffixes, space-prefixed letter/digit runs, punctuation
+# runs, residual whitespace. Counts from this track BPE token counts
+# closely enough for length-based curation budgets.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+| +"
+
+
+def bpe_tokens(c: Column) -> Column:
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(c: Column) -> Column:
+    return F.size(bpe_tokens(c))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts under both tokenizers: whitespace (the
+    corpus convention) and the BPE-ish pre-tokenizer (the training-budget
+    convention). Pure codegen expressions — two regex passes per doc."""
+    return docs.select(
+        "doc_id",
+        token_count(F.col(text_col)).alias("n_ws_tokens"),
+        bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
+    )
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document size/diversity statistics."""
     t = F.col(text_col)

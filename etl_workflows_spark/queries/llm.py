@@ -32,6 +32,23 @@ SELECT doc_id,
 FROM documents
 """
 
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-pretokenizer token counts per document (the
+    two length conventions a training-data budget is quoted in)."""
+    return text.token_counts(table(spark, sf_dir, "documents"))
+
+
+# Same pattern string, RE2 (DuckDB) and Java (Spark) read it identically —
+# no lookahead, leftmost-first alternation. SQL doubles the quote.
+_TOKEN_COUNTS_ORACLE = r"""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(LEN(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+| +'
+       )) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
 _STOPWORD_LIST = "['a', 'the', 'of', 'to', 'and']"
 
 
@@ -299,6 +316,7 @@ GROUP BY label
 
 QUERIES = {
     "doc_stats": doc_stats,
+    "token_counts": token_counts,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_frequencies": token_frequencies,
@@ -318,6 +336,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "doc_stats": _DOC_STATS_ORACLE,
+    "token_counts": _TOKEN_COUNTS_ORACLE,
     "text_quality": _QUALITY_ORACLE,
     "lang_id": _LANG_ID_ORACLE,
     "token_frequencies": _TOKEN_FREQ_ORACLE,

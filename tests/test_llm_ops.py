@@ -185,3 +185,17 @@ def test_ivf_pruned_probe_scans_fraction_with_recall(spark, sf_dir):
     }
     recall = len(exact_ids & ivf_ids) / 20
     assert recall >= 0.2, recall
+
+
+def test_bpe_pretokenizer_segments(spark):
+    """GPT-2-style segmentation: contractions split, space-prefixed words,
+    digit runs and punctuation runs are separate tokens."""
+    from etl_workflows_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "Hello world's 42 fine-tuning!")], ["doc_id", "text"]
+    )
+    row = df.select(t.bpe_tokens(F.col("text")).alias("tk")).first()
+    assert row["tk"] == ["Hello", " world", "'s", " 42", " fine", "-", "tuning", "!"]
+    counts = t.token_counts(df).first()
+    assert counts["n_bpe_tokens"] == 8 and counts["n_ws_tokens"] == 4
