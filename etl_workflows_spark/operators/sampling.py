@@ -1,0 +1,92 @@
+"""Deterministic sampling for training-data mixtures.
+
+RNG sampling (``df.sample``/``sampleBy``) is irreproducible across runs,
+partitionings, and engines — useless for a corpus contract ("the v3 mix
+is THESE documents"). These operators sample by content hash instead: a
+row is in the sample iff the first 8 hex chars of ``md5(salt || key)``
+fall below the fraction's threshold. Properties that matter at 100 TB:
+
+- **Reproducible anywhere**: any engine with md5 picks the identical
+  rows (the DuckDB oracles verify this bit-for-bit).
+- **Stable under growth**: adding documents never flips membership of
+  existing ones (hash depends only on the row's own key) — re-running a
+  mix after a corpus append only adds rows.
+- **Embarrassingly parallel**: a codegen'd filter on the scan, no
+  shuffle, no RNG state to coordinate across 1000 executors.
+- **Independent draws**: distinct ``salt`` values give independent
+  samples (train/val splits don't correlate with mixture sampling).
+
+Net-new vs the reference (SURVEY.md §2.7 north-star scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float) -> str:
+    """First-8-hex-chars threshold for a fraction: md5 hex compares
+    lexicographically as a uniform 32-bit value (fixed width, 0-9 < a-f)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def _hash8(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash of ``key_col``."""
+    return df.filter(_hash8(F.col(key_col), salt) < F.lit(_hex_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weights operator
+    (e.g. {'web': 0.1, 'books': 1.0}). Strata absent from ``fractions``
+    get ``default_fraction``."""
+    thr = F.lit(_hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(_hash8(F.col(key_col), salt) < thr)
+
+
+def assign_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Stable train/val/test assignment: cumulative hash-threshold bands.
+
+    ``splits`` maps name → share and must sum to 1. Bands are laid out in
+    sorted split-name order, so the assignment is a pure function of
+    (key, salt, splits) — growing the corpus never reassigns a row.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split shares must sum to 1, got {total}")
+    h = _hash8(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    names = sorted(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

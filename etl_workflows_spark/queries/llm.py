@@ -11,8 +11,9 @@ shared machinery (shingling, signatures, vector math).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from etl_workflows_spark.operators import dedup, similarity, text
+from etl_workflows_spark.operators import dedup, sampling, similarity, text
 from etl_workflows_spark.queries.base import table
 
 # --- text analysis ---------------------------------------------------------
@@ -289,6 +290,46 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-source hash-threshold fractions
+    (reproducible across engines — the oracle picks the same rows)."""
+    docs = table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, {"src0": 0.5, "src1": 0.25}, strata_col="source", default_fraction=0.1
+    ).select("doc_id", "source")
+
+
+_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source
+        WHEN 'src1' THEN '{format(int(0.25 * 16**8), "08x")}'
+        WHEN 'src0' THEN '{format(int(0.5 * 16**8), "08x")}'
+        ELSE '{format(int(0.1 * 16**8), "08x")}'
+      END
+"""
+
+
+def train_val_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/10 train/val assignment by content hash; returns per-split
+    counts (growing the corpus never reassigns an existing doc)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        sampling.assign_split(docs, {"train": 0.9, "val": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SPLIT_COUNTS_ORACLE = f"""
+SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+            '{format(int(0.9 * 16**8), "08x")}'
+       THEN 'train' ELSE 'val' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file, nprobe=4 of 16 lists — approximate,
     rows-only check; recall + exactness-at-full-probe measured in tests
@@ -330,6 +371,8 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+    "stratified_sample_docs": stratified_sample_docs,
+    "train_val_split_counts": train_val_split_counts,
     "similar_pairs": similar_pairs,
     "embedding_label_stats": embedding_label_stats,
 }
@@ -337,6 +380,8 @@ QUERIES = {
 ORACLE_SQL = {
     "doc_stats": _DOC_STATS_ORACLE,
     "token_counts": _TOKEN_COUNTS_ORACLE,
+    "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
+    "train_val_split_counts": _SPLIT_COUNTS_ORACLE,
     "text_quality": _QUALITY_ORACLE,
     "lang_id": _LANG_ID_ORACLE,
     "token_frequencies": _TOKEN_FREQ_ORACLE,
