@@ -170,7 +170,9 @@ def near_dup_pairs_exact(
     Only for modest row counts or within LSH buckets — the oracle-checked
     reference implementation the LSH path is measured against.
     ``materialize`` persists the shingled relation so the self-join scans
-    it once instead of re-shingling per side.
+    it once instead of re-shingling per side; the cache backs the returned
+    lazy DataFrame, so releasing it is the caller's responsibility (pass
+    ``materialize=False`` in long-lived sessions that can't manage it).
     """
     t = _shingled(docs, text_col, n, hashed=False)
     if materialize:
@@ -205,6 +207,7 @@ def near_dup_pairs_lsh(
     bands: int = 4,
     text_col: str = "text",
     materialize: bool = True,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: candidates from banded signature buckets,
     verified with exact Jaccard over hashed shingle sets.
@@ -229,11 +232,22 @@ def near_dup_pairs_lsh(
       spillable, lineage kept for fault recovery, unlike a checkpoint):
       the plan scans it three times (signatures + both verify sides), and
       re-shingling per scan measured ~3× the pair-join cost at sf0.1.
+      **Cache lifecycle**: the persisted relation backs the *returned*
+      (lazy) DataFrame, so this function cannot release it; callers that
+      run many LSH passes in one long-lived session should pass a
+      pre-persisted ``shingled`` relation and unpersist it once the result
+      is consumed (``dedup_near_duplicates`` does exactly that).
+
+    ``shingled`` lets the caller supply (and own) the shingled relation
+    — (doc_id, sh: array<bigint>) as produced by hashed ``_shingled``.
     """
     rows_per_band = k // bands
-    t = _shingled(docs, text_col, n, hashed=True)
-    if materialize:
-        t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    if shingled is not None:
+        t = shingled
+    else:
+        t = _shingled(docs, text_col, n, hashed=True)
+        if materialize:
+            t = t.persist(StorageLevel.MEMORY_AND_DISK)
     sig = t.select(
         "doc_id",
         F.array(
@@ -368,7 +382,10 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # undirected: both directions
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Persisting sym matters doubly: every iteration joins against it, and
+    # without the cache each join would re-run the whole upstream pair
+    # pipeline (LSH candidate generation + verification) from scratch.
     labels = (
         sym.select(F.col("doc_a").alias("id"))
         .distinct()
@@ -402,6 +419,8 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if changed == 0:
             converged = True
             break
+    # labels is localCheckpoint'd (no lineage into sym) — safe to release.
+    sym.unpersist()
     if not converged:
         # Silent non-convergence would split one true component into
         # several labels and leave duplicates in the corpus — fail loudly.
@@ -424,9 +443,21 @@ def dedup_near_duplicates(
 
     This is the full 100 TB dedup recipe: O(n·bands) candidate
     generation, exact verification, component clustering, one anti-join.
+
+    Owns the shingle cache end-to-end: the persisted shingled relation is
+    released as soon as clustering has consumed the pair graph (clusters
+    are localCheckpoint'd, so nothing downstream re-reads it) — repeated
+    invocations in a long-lived session don't accumulate cached blocks.
     """
-    pairs = near_dup_pairs_lsh(docs, threshold, text_col=text_col, **lsh_kwargs)
+    n = lsh_kwargs.pop("n", 3)
+    t = _shingled(docs, text_col, n, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = near_dup_pairs_lsh(
+        docs, threshold, n=n, text_col=text_col, shingled=t, **lsh_kwargs
+    )
     clusters = cluster_duplicates(pairs)
+    t.unpersist()
     w_losers = (
         clusters.groupBy("cluster")
         .agg(F.min("doc_id").alias("keeper"))

@@ -37,11 +37,25 @@ def _hash8(key: Column, salt: str) -> Column:
     return F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8)
 
 
+def _keep(h: Column, fraction: float) -> Column:
+    """Membership predicate for one fraction. 1.0 short-circuits to
+    always-true (a strict ``<`` against 'ffffffff' would drop a row whose
+    hash prefix is exactly ffffffff, p≈2^-32 — 1.0 must mean keep-ALL);
+    0.0 likewise short-circuits to always-false."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
+    return h < F.lit(_hex_threshold(fraction))
+
+
 def deterministic_sample(
     df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = "sample"
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by content hash of ``key_col``."""
-    return df.filter(_hash8(F.col(key_col), salt) < F.lit(_hex_threshold(fraction)))
+    return df.filter(_keep(_hash8(F.col(key_col), salt), fraction))
 
 
 def stratified_sample(
@@ -54,13 +68,13 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling — the mixture-weights operator
     (e.g. {'web': 0.1, 'books': 1.0}). Strata absent from ``fractions``
-    get ``default_fraction``."""
-    thr = F.lit(_hex_threshold(default_fraction))
+    get ``default_fraction``. A fraction of 1.0 keeps every row of its
+    stratum exactly; 0.0 keeps none."""
+    h = _hash8(F.col(key_col), salt)
+    pred = _keep(h, default_fraction)
     for stratum, frac in sorted(fractions.items()):
-        thr = F.when(
-            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
-        ).otherwise(thr)
-    return df.filter(_hash8(F.col(key_col), salt) < thr)
+        pred = F.when(F.col(strata_col) == stratum, _keep(h, frac)).otherwise(pred)
+    return df.filter(pred)
 
 
 def assign_split(
@@ -85,7 +99,7 @@ def assign_split(
     names = sorted(splits)
     for name in names[:-1]:
         cum += splits[name]
-        cond = h < F.lit(_hex_threshold(cum))
+        cond = _keep(h, cum)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)

@@ -19,15 +19,19 @@ hop (O6) becomes an in-process call through a function registry, keeping
 the reference's ``{"description": ...}``/status-code error protocol since
 the DAG branches on those strings (etl_cars.yaml:38,51-54).
 
-Expression language: ``${...}`` supports variable refs, string concat,
-comparison operators, and attribute access (``e.body.description``) —
-evaluated with a builtins-free eval over the workflow scope. Workflow
-documents are trusted engine configuration, same trust level the reference
-gives its YAML.
+Expression language: ``${...}`` supports variable refs, constants,
+arithmetic/string concat, comparisons, boolean ops, subscripts, and
+attribute access (``e.body.description``) — evaluated by a small
+AST-whitelist interpreter over the workflow scope. Nothing outside that
+whitelist can execute: no calls, no comprehensions, no dunder attribute
+access — so even a hostile workflow document cannot escape into arbitrary
+Python (a blanked-``__builtins__`` eval can, via
+``().__class__.__mro__...`` attribute chains).
 """
 
 from __future__ import annotations
 
+import ast
 import re
 from types import SimpleNamespace
 from typing import Any, Callable
@@ -37,6 +41,103 @@ import yaml
 from etl_workflows_spark.exceptions import EngineError
 
 _EXPR_RE = re.compile(r"^\$\{(.*)\}$", re.DOTALL)
+
+# -- ${} expression interpreter (AST whitelist, no eval) ---------------------
+
+_BIN_OPS = {
+    ast.Add: lambda a, b: a + b,
+    ast.Sub: lambda a, b: a - b,
+    ast.Mult: lambda a, b: a * b,
+    ast.Div: lambda a, b: a / b,
+    ast.FloorDiv: lambda a, b: a // b,
+    ast.Mod: lambda a, b: a % b,
+}
+_CMP_OPS = {
+    ast.Eq: lambda a, b: a == b,
+    ast.NotEq: lambda a, b: a != b,
+    ast.Lt: lambda a, b: a < b,
+    ast.LtE: lambda a, b: a <= b,
+    ast.Gt: lambda a, b: a > b,
+    ast.GtE: lambda a, b: a >= b,
+    ast.In: lambda a, b: a in b,
+    ast.NotIn: lambda a, b: a not in b,
+}
+
+
+def _eval_expression(text: str, scope: dict[str, Any]) -> Any:
+    """Evaluate a ``${}`` expression with a whitelist AST walker.
+
+    Supports exactly what the DSL subset needs (SURVEY.md §2.5 O2/O3/O5):
+    names, constants, ``+``/arithmetic, comparisons, and/or/not,
+    subscripts, and non-dunder attribute access. Calls, comprehensions,
+    lambdas, starred/dunder anything are structurally rejected — untrusted
+    workflow documents cannot reach arbitrary Python.
+    """
+    try:
+        tree = ast.parse(text.strip(), mode="eval")
+    except SyntaxError as exc:
+        raise WorkflowError(f"invalid expression: {text!r}") from exc
+    return _eval_node(tree.body, scope)
+
+
+def _eval_node(node: ast.AST, scope: dict[str, Any]) -> Any:
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, ast.Name):
+        if node.id in scope:
+            return scope[node.id]
+        if node.id in ("true", "false", "null"):  # DSL literals
+            return {"true": True, "false": False, "null": None}[node.id]
+        raise WorkflowError(f"undefined variable: {node.id}")
+    if isinstance(node, ast.Attribute):
+        if node.attr.startswith("_"):
+            raise WorkflowError(f"attribute access not allowed: {node.attr}")
+        return getattr(_eval_node(node.value, scope), node.attr)
+    if isinstance(node, ast.Subscript):
+        return _eval_node(node.value, scope)[_eval_node(node.slice, scope)]
+    if isinstance(node, ast.BinOp) and type(node.op) in _BIN_OPS:
+        return _BIN_OPS[type(node.op)](
+            _eval_node(node.left, scope), _eval_node(node.right, scope)
+        )
+    if isinstance(node, ast.UnaryOp):
+        if isinstance(node.op, ast.Not):
+            return not _eval_node(node.operand, scope)
+        if isinstance(node.op, ast.USub):
+            return -_eval_node(node.operand, scope)
+    if isinstance(node, ast.Compare):
+        left = _eval_node(node.left, scope)
+        for op, comparator in zip(node.ops, node.comparators):
+            if type(op) not in _CMP_OPS:
+                raise WorkflowError(f"unsupported comparison: {type(op).__name__}")
+            right = _eval_node(comparator, scope)
+            if not _CMP_OPS[type(op)](left, right):
+                return False
+            left = right
+        return True
+    if isinstance(node, ast.BoolOp):
+        if isinstance(node.op, ast.And):
+            result = True
+            for v in node.values:
+                result = _eval_node(v, scope)
+                if not result:
+                    return result
+            return result
+        result = False
+        for v in node.values:
+            result = _eval_node(v, scope)
+            if result:
+                return result
+        return result
+    if isinstance(node, ast.List):
+        return [_eval_node(v, scope) for v in node.elts]
+    if isinstance(node, ast.Tuple):
+        return tuple(_eval_node(v, scope) for v in node.elts)
+    if isinstance(node, ast.Dict):
+        return {
+            _eval_node(k, scope): _eval_node(v, scope)
+            for k, v in zip(node.keys, node.values)
+        }
+    raise WorkflowError(f"unsupported expression construct: {type(node).__name__}")
 
 
 class WorkflowError(Exception):
@@ -89,7 +190,7 @@ class WorkflowRunner:
         if isinstance(value, str):
             m = _EXPR_RE.match(value.strip())
             if m:
-                return eval(m.group(1), {"__builtins__": {}}, dict(scope))  # noqa: S307
+                return _eval_expression(m.group(1), scope)
             return value
         if isinstance(value, dict):
             return {k: self._eval(v, scope) for k, v in value.items()}

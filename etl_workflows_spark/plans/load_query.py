@@ -17,7 +17,7 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
-from etl_workflows_spark.exceptions import QueryInvalid
+from etl_workflows_spark.exceptions import CreationFailed, QueryInvalid
 from etl_workflows_spark.sinks.writer import write_table
 from etl_workflows_spark.sources.query_source import read_query_file
 
@@ -37,7 +37,16 @@ def load_query(
         raise QueryInvalid("Legacy SQL dialect is not supported")
     sql_text = read_query_file(query)
     result = spark.sql(sql_text)
-    return write_table(result, destination_table, append=append)
+    # The reference maps ANY failed query job to CreationFailed / "Error
+    # during table creation" (load_query/main.py:58-65) — a different
+    # taxonomy than load_csv's LoadJobError. The description strings are a
+    # public contract the workflow DAG can branch on, so re-map here.
+    try:
+        return write_table(result, destination_table, append=append)
+    except CreationFailed:
+        raise
+    except Exception as e:
+        raise CreationFailed() from e
 
 
 def execute_job_from_config(spark: SparkSession, config: dict[str, Any]) -> str:

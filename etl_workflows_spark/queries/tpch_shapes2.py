@@ -130,7 +130,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "CHINA", vol).otherwise(F.lit(0)))
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0)))
                 .cast("double")
                 / F.sum(vol).cast("double")
             ).alias("mkt_share")
@@ -140,7 +140,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
-       CAST(SUM(CASE WHEN ns.n_name = 'CHINA'
+       CAST(SUM(CASE WHEN ns.n_name = 'NATION_7'
                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
                 ELSE 0 END) AS DOUBLE)
        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
@@ -441,6 +441,124 @@ GROUP BY s_name
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: important stock identification — per-group value sums
+    kept only when they exceed a *global-scalar-subquery* fraction of the
+    total (HAVING against an uncorrelated scalar subquery; partsupp's
+    supplycost*availqty becomes lineitem extendedprice as the value proxy,
+    scoped to one supplier nation)."""
+    register_views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(
+        """
+        WITH filtered AS (
+          SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'
+        )
+        SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS stock_value
+        FROM filtered
+        GROUP BY l_partkey
+        HAVING SUM(v) > (SELECT 0.001 * SUM(v) FROM filtered)
+        """
+    )
+
+
+_Q11_ORACLE = """
+WITH filtered AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS stock_value
+FROM filtered
+GROUP BY l_partkey
+HAVING SUM(v) > (SELECT 0.001 * SUM(v) FROM filtered)
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: top-revenue supplier via a reused CTE ("view") — the
+    revenue relation appears twice (join side + MAX scalar subquery);
+    exact-decimal revenue makes the equality comparison deterministic."""
+    register_views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+          FROM lineitem
+          WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE rev = (SELECT MAX(rev) FROM revenue)
+        """
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE rev = (SELECT MAX(rev) FROM revenue)
+"""
+
+
+def q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN subqueries (supplier ∈ heavy-shippers of
+    name-filtered parts, nation ∈ list) with a grouped HAVING threshold —
+    the availqty > half-of-shipped correlated test becomes a per
+    (supplier, part) shipped-quantity floor."""
+    register_views(spark, sf_dir, "supplier", "lineitem", "part", "nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt')
+            AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 40
+        )
+        AND s_nationkey IN (
+          SELECT n_nationkey FROM nation
+          WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        )
+        """
+    )
+
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt')
+    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 40
+)
+AND s_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+)
+"""
+
+
 QUERIES = {
     "q2_min_cost_per_type": q2_min_cost_per_type,
     "q4_priority_exists": q4_priority_exists,
@@ -448,7 +566,10 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q9_profit_proxy": q9_profit_proxy,
     "q10_returned_top20": q10_returned_top20,
+    "q11_important_stock": q11_important_stock,
     "q12_priority_by_lateness": q12_priority_by_lateness,
+    "q15_top_supplier": q15_top_supplier,
+    "q20_part_shippers": q20_part_shippers,
     "q14_promo_share": q14_promo_share,
     "q16_supplier_count": q16_supplier_count,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -463,7 +584,10 @@ ORACLE_SQL = {
     "q8_market_share": _Q8_ORACLE,
     "q9_profit_proxy": _Q9_ORACLE,
     "q10_returned_top20": _Q10_ORACLE,
+    "q11_important_stock": _Q11_ORACLE,
     "q12_priority_by_lateness": _Q12_ORACLE,
+    "q15_top_supplier": _Q15_ORACLE,
+    "q20_part_shippers": _Q20_ORACLE,
     "q14_promo_share": _Q14_ORACLE,
     "q16_supplier_count": _Q16_ORACLE,
     "q17_small_quantity_revenue": _Q17_ORACLE,

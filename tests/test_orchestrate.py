@@ -167,3 +167,42 @@ main:
         return: ${[y, s, x != 2]}
 """
     assert WorkflowRunner(doc, {}).run() == [5, "a-b", False]
+
+
+def test_expression_sandbox_rejects_escapes():
+    """The ${} evaluator is an AST whitelist, not eval: attribute-chain
+    sandbox escapes, calls, and comprehensions are structurally rejected."""
+    hostile = [
+        '${().__class__.__mro__[1].__subclasses__()}',
+        '${open("/etc/passwd")}',
+        '${[x for x in (1, 2)]}',
+        '${__import__("os")}',
+        '${x.__dict__}',
+    ]
+    for expr in hostile:
+        doc = f"""
+main:
+  steps:
+    - a:
+        assign:
+          - x: 1
+    - b:
+        return: {expr}
+"""
+        with pytest.raises(WorkflowError):
+            WorkflowRunner(doc, {}).run()
+
+
+def test_expression_eval_bool_and_subscript():
+    doc = """
+main:
+  steps:
+    - a:
+        assign:
+          - xs: ${[10, 20, 30]}
+          - t: ${xs[1] == 20 and not (xs[0] > 15)}
+          - u: ${xs[2] - xs[0]}
+    - b:
+        return: ${[t, u]}
+"""
+    assert WorkflowRunner(doc, {}).run() == [True, 20]

@@ -82,3 +82,20 @@ def test_append_schema_mismatch_maps_to_load_job_error(spark):
     mismatched = spark.createDataFrame([(1.5, 2, 3)], ["a", "b", "c"])
     with pytest.raises(LoadJobError):
         write_table(mismatched, "errs.t1", append=True)
+
+
+def test_query_write_failure_maps_to_creation_failed(spark, tmp_path):
+    """load_query maps a failed materialization to CreationFailed — the
+    reference's per-function taxonomy (load_query/main.py:58-65) differs
+    from load_csv's LoadJobError, and the DAG can branch on the strings."""
+    from etl_workflows_spark.exceptions import CreationFailed
+    from etl_workflows_spark.plans.load_query import load_query
+    from etl_workflows_spark.sinks.writer import write_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS errs")
+    a = spark.createDataFrame([(1, "x")], ["id", "s"])
+    write_table(a, "errs.q_dest", append=False)
+    qf = tmp_path / "bad_append.sql"
+    qf.write_text("SELECT 1.5 AS a, 2 AS b, 3 AS c")
+    with pytest.raises(CreationFailed):
+        load_query(spark, str(qf), "errs.q_dest", append=True)

@@ -75,3 +75,18 @@ def test_split_shares_must_sum_to_one(spark):
         sampling.assign_split(_docs(spark), {"train": 0.5})
     with pytest.raises(ValueError, match="fraction"):
         sampling.deterministic_sample(_docs(spark), 1.5)
+
+
+def test_fraction_one_keeps_all_and_zero_keeps_none(spark):
+    """fraction=1.0 is exactly keep-everything (no strict-< edge where a
+    hash prefix of ffffffff is dropped); 0.0 is exactly keep-nothing."""
+    docs = _docs(spark)
+    n = docs.count()
+    assert sampling.deterministic_sample(docs, 1.0).count() == n
+    assert sampling.deterministic_sample(docs, 0.0).count() == 0
+    mixed = sampling.stratified_sample(
+        docs, {"0": 1.0}, strata_col="source", default_fraction=0.0
+    )
+    per_src = dict(mixed.groupBy("source").count().collect())
+    all_src = dict(docs.groupBy("source").count().collect())
+    assert per_src == {"0": all_src["0"]}
