@@ -1,0 +1,74 @@
+"""Deterministic sequence packing for training-batch construction.
+
+A training pipeline concatenates documents into fixed-token-budget
+sequences ("packing"). This operator assigns every document a
+(pack_id, pack_offset) deterministically: documents are ordered by a
+content hash (reproducible anywhere, stable under reruns — same rationale
+as operators/sampling.py), token counts are cumulatively summed per
+partition, and a document belongs to the pack where its first token
+lands. Documents may straddle a pack boundary — exactly how real packed
+pretraining batches behave with concatenation + chunking.
+
+Scale: the running sum is a window per ``partition_col`` (e.g. source/
+shard) — each partition's window is independent, so 1000 executors pack
+1000 shards concurrently with one shuffle on the partition key. For a
+single gigantic stratum, pre-split it into hash bands (deterministic_band
+below) so no single window serializes the corpus.
+
+Net-new vs the reference (SURVEY.md §2.7 north-star scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.text import token_count
+
+
+def _order_hash(key: Column, salt: str) -> Column:
+    return F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+
+
+def deterministic_band(key: Column, n_bands: int, salt: str = "band") -> Column:
+    """Stable band 0..n_bands-1 from a content hash — pre-split a huge
+    stratum so packing windows stay bounded."""
+    return (
+        F.conv(F.substring(_order_hash(key, salt), 1, 4), 16, 10).cast("long")
+        % n_bands
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    partition_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign (pack_id, pack_offset) per document under a token budget.
+
+    Order within a partition is by md5 hash of the key — a deterministic
+    shuffle, so the same corpus always packs identically (and adding a
+    document only perturbs packs after its hash position, not globally).
+    ``pack_id`` = floor(first-token index / budget); ``pack_offset`` =
+    first-token index within its pack.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(_order_hash(F.col(key_col), salt), key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    start = cum - n_tok  # index of the doc's first token in the stream
+    return docs.select(
+        key_col,
+        partition_col,
+        n_tok.alias("n_tokens"),
+        F.floor(start / budget).alias("pack_id"),
+        (start % budget).alias("pack_offset"),
+    )

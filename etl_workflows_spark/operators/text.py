@@ -135,3 +135,46 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(F.lower(F.trim(t))).alias("fp"),
     )
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", max_n: int = 3
+) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality signals: for each n in
+    2..max_n, the fraction of the document's n-grams taken by its single
+    most frequent n-gram. Highly repetitive (boilerplate/spam) documents
+    score near 1; diverse text scores near 1/|distinct n-grams|.
+
+    Scale: one explode per n (rows × ~tokens/doc), but partial aggregation
+    collapses (doc, gram) counts map-side before the shuffle, so the wire
+    carries at most the per-doc distinct-gram cardinality. Joins between
+    the per-n results are on doc_id — co-partitioned after the first agg.
+    All JVM-side expressions; no Python UDFs.
+    """
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    out = None
+    for n in range(2, max_n + 1):
+        m = F.size("__t") - (n - 1)
+        # n-gram windows from n shifted slices zipped positionally (the
+        # non-lambda construction — cf. dedup._shingled's measured win)
+        z = F.arrays_zip(*[F.slice(F.col("__t"), j + 1, m) for j in range(n)])
+        grams = toks.filter(F.size("__t") >= n).select(
+            "doc_id",
+            F.explode(z).alias("__z"),
+        ).select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.col("__z").getField(str(j)) for j in range(n)]
+            ).alias("gram"),
+        )
+        sig = (
+            grams.groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                (F.max("c") / F.sum("c").cast("double")).alias(
+                    f"top_{n}gram_ratio"
+                )
+            )
+        )
+        out = sig if out is None else out.join(sig, "doc_id")
+    return out

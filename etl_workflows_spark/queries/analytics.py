@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_workflows_spark.queries.base import ntz_micros, table
+from etl_workflows_spark.queries.base import dsum, ntz_micros, table
 
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +266,148 @@ SELECT doc_id, token, score, rnk FROM (
 """
 
 
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour/day/week aggregates
+    in ONE scan and ONE shuffle — each event row explodes into its three
+    (grain, bucket) memberships before the aggregation, instead of three
+    passes over the fact (at 100 TB, scan count dominates; 3× explode rows
+    collapse map-side in partial aggregation).
+
+    Both engines truncate weeks to ISO Monday.
+    """
+    ev = table(spark, sf_dir, "events")
+    gb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("grain"),
+                    F.date_trunc(g, F.col("ts")).alias("bucket"),
+                )
+                for g in ("hour", "day", "week")
+            ]
+        )
+    ).alias("gb")
+    return (
+        ev.select(gb, "value")
+        .select("gb.grain", "gb.bucket", "value")
+        .groupBy("grain", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+_MULTIGRAIN_ORACLE = """
+WITH exploded AS (
+  SELECT 'hour' AS grain, DATE_TRUNC('hour', ts) AS bucket, value FROM events
+  UNION ALL
+  SELECT 'day', DATE_TRUNC('day', ts), value FROM events
+  UNION ALL
+  SELECT 'week', DATE_TRUNC('week', ts), value FROM events
+)
+SELECT grain, bucket, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM exploded GROUP BY grain, bucket
+"""
+
+
+def session_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: each purchase event matched to the enclosing
+    activity episode — episodes are 6-hour-gap islands built from
+    non-purchase events only, so the purchase is a *point in an interval*,
+    not a member of the sessionized stream.
+
+    Scale: the join key is (user_id equi) + (ts BETWEEN start AND end)
+    non-equi — Spark plans the equi part as a hash/sort-merge join and
+    applies the range predicate as a post-join filter, so the shuffle is
+    on user_id only. Episodes per user are few; no quadratic blowup.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 6 * 3600 * 1_000_000
+    browse = ev.filter(F.col("event_type") != "purchase")
+    flagged = browse.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            ntz_micros(F.col("ts")) - ntz_micros(F.lag("ts").over(w)) > gap_us, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = (
+        flagged.withColumn("session_id", F.sum("new_session").over(w2))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        purchases.join(
+            sessions,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("s_start"))
+            & (F.col("p_ts") <= F.col("s_end")),
+        )
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+_SESSION_JOIN_ORACLE = """
+WITH browse AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type <> 'purchase'
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > CAST(6 AS BIGINT) * 3600 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM browse
+),
+sessions AS (
+  SELECT user_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+         ts
+  FROM flagged
+),
+bounds AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT p.event_id, b.user_id, b.session_id
+FROM events p JOIN bounds b
+  ON p.user_id = b.user_id AND p.ts >= b.s_start AND p.ts <= b.s_end
+WHERE p.event_type = 'purchase'
+"""
+
+
+def approx_event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations per event type: HyperLogLog++ distinct users
+    (2% target rsd) and approximate value percentiles (Greenwald-Khanna).
+
+    At 100 TB these replace exact distinct/percentile when the shuffle of
+    full key sets is the bottleneck: sketches are fixed-size, mergeable
+    partials — the shuffle carries KBs per group regardless of row count.
+    Approximate by construction → rows-only check; the error-bound test
+    (tests/test_sketches.py) pins accuracy against the exact twins.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90_value"),
+    )
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -274,6 +416,9 @@ QUERIES = {
     "string_functions_ext": string_functions_ext,
     "agg_collect": agg_collect,
     "posexplode_tokens": posexplode_tokens,
+    "events_multigrain_rollup": events_multigrain_rollup,
+    "session_purchase_join": session_purchase_join,
+    "approx_event_sketches": approx_event_sketches,
 }
 
 ORACLE_SQL = {
@@ -284,4 +429,6 @@ ORACLE_SQL = {
     "string_functions_ext": _STRING_EXT_ORACLE,
     "agg_collect": _AGG_COLLECT_ORACLE,
     "posexplode_tokens": _POSEXPLODE_ORACLE,
+    "events_multigrain_rollup": _MULTIGRAIN_ORACLE,
+    "session_purchase_join": _SESSION_JOIN_ORACLE,
 }

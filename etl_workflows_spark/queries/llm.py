@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_workflows_spark.operators import dedup, sampling, similarity, text
+from etl_workflows_spark.operators import dedup, packing, sampling, similarity, text
 from etl_workflows_spark.queries.base import table
 
 # --- text analysis ---------------------------------------------------------
@@ -355,6 +355,64 @@ GROUP BY label
 )
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals: top-2gram/top-3gram dominance ratios
+    (Gopher-style boilerplate/spam detectors)."""
+    return text.repetition_signals(table(spark, sf_dir, "documents"))
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+g2 AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks WHERE LEN(t) >= 2
+),
+g3 AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM toks WHERE LEN(t) >= 3
+),
+r2 AS (
+  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_2gram_ratio
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+r3 AS (
+  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_3gram_ratio
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT doc_id, top_2gram_ratio, top_3gram_ratio FROM r2 JOIN r3 USING (doc_id)
+"""
+
+
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: (pack_id, pack_offset) per document
+    under a 512-token budget, hash-ordered within each source."""
+    return packing.pack_sequences(table(spark, sf_dir, "documents"), budget=512)
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(FLOOR(start / 512.0) AS BIGINT) AS pack_id,
+       CAST(start % 512 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -375,6 +433,8 @@ QUERIES = {
     "train_val_split_counts": train_val_split_counts,
     "similar_pairs": similar_pairs,
     "embedding_label_stats": embedding_label_stats,
+    "repetition_signals": repetition_signals,
+    "pack_sequences": pack_sequences_query,
 }
 
 ORACLE_SQL = {
@@ -393,5 +453,7 @@ ORACLE_SQL = {
     "ann_cosine_topk": _ANN_TOPK_ORACLE,
     "similar_pairs": _SIMILAR_PAIRS_ORACLE,
     "embedding_label_stats": _EMB_STATS_ORACLE,
+    "repetition_signals": _REPETITION_ORACLE,
+    "pack_sequences": _PACK_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -1,0 +1,64 @@
+"""Unit tests for sequence packing and repetition signals."""
+
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators import packing, text
+
+
+def _docs(spark):
+    rows = [
+        (1, "a b a b a b a b", "s1"),          # fully repetitive
+        (2, "a b c d e f g h", "s1"),          # fully diverse
+        (3, "x y x z x y x z x y", "s2"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_repetition_signals_extremes(spark):
+    out = {r["doc_id"]: r for r in text.repetition_signals(_docs(spark)).collect()}
+    # doc 1: bigrams = [ab, ba, ab, ba, ab, ba, ab] -> top ratio 4/7
+    assert abs(out[1]["top_2gram_ratio"] - 4 / 7) < 1e-12
+    # doc 2: all 7 bigrams distinct -> 1/7
+    assert abs(out[2]["top_2gram_ratio"] - 1 / 7) < 1e-12
+    assert out[1]["top_3gram_ratio"] > out[2]["top_3gram_ratio"]
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 7 + 1).cast("int"))).alias("text"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    out = packing.pack_sequences(docs, budget=10)
+    rows = out.collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert 0 <= r["pack_offset"] < 10
+        assert r["pack_id"] >= 0
+    # deterministic: rerun gives the identical assignment
+    again = packing.pack_sequences(docs, budget=10)
+    assert out.exceptAll(again).count() == 0
+    # per (source, pack): first-token offsets never exceed the budget and
+    # every pack except the last in its source stream is "full" in the
+    # sense that the next doc started a new pack only past the budget
+    assert out.filter(F.col("pack_offset") >= 10).count() == 0
+
+
+def test_pack_sequences_stable_under_growth(spark):
+    """Packing order is by content hash: truncating the corpus to a hash
+    prefix keeps relative order of survivors (same cumsum prefix)."""
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t t t").alias("text"),
+        F.lit("s").alias("source"),
+    )
+    full = packing.pack_sequences(docs, budget=7).collect()
+    order_full = [r["doc_id"] for r in sorted(full, key=lambda r: (r["pack_id"], r["pack_offset"]))]
+    # growing the corpus (here: the full set vs its first-half hash order)
+    # never reorders existing docs relative to each other
+    half_ids = set(order_full[:25])
+    half = packing.pack_sequences(
+        docs.filter(F.col("doc_id").isin(list(half_ids))), budget=7
+    ).collect()
+    order_half = [r["doc_id"] for r in sorted(half, key=lambda r: (r["pack_id"], r["pack_offset"]))]
+    assert order_half == order_full[:25]

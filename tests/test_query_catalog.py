@@ -15,6 +15,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "dedup_near_end_to_end",
+    "approx_event_sketches",
 }
 
 
