@@ -80,9 +80,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # Dimension-first reduction: the broadcast customer join lands BEFORE
+    # the orderkey shuffle, so the shuffled orders side is pre-shrunk by
+    # mktsegment selectivity (~5×) instead of filtering after the big join.
+    orders_red = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders_red, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
@@ -113,8 +116,13 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table snowflake join, local-supplier condition.
 
     Scale: region/nation/supplier/customer all broadcast (dims); the one
-    real shuffle is orders⋈lineitem on orderkey. The c_nationkey =
-    s_nationkey predicate is a join condition, not a post-filter.
+    real shuffle is orders⋈lineitem on orderkey — and BOTH its inputs are
+    pre-reduced by broadcast dimension joins before the exchange:
+    lineitem by ASIA suppliers (~5×), orders by ASIA customers (~5×,
+    valid because c_nationkey = s_nationkey forces the customer into the
+    same region). Dimension-first reduction is the difference between
+    shuffling 100 TB and shuffling 20 TB. The c_nationkey = s_nationkey
+    predicate rides the orderkey join, not a post-filter.
     """
     asia_nations = (
         table(spark, sf_dir, "nation")
@@ -126,22 +134,37 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_nationkey", "n_name")
     )
-    cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    # Pre-shuffle reductions (both map-side broadcast joins):
+    # lineitem → only ASIA suppliers' lines (carries n_name for the agg);
+    # orders → only ASIA customers' orders (carries c_nationkey for the
+    # local-supplier condition).
+    asia_supp = supp.join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    li_red = li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    cust_asia = (
+        table(spark, sf_dir, "customer")
         .join(
-            F.broadcast(supp),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+            F.broadcast(asia_nations.select(F.col("n_nationkey").alias("cn_key"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    orders_red = orders.join(
+        F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_nationkey")
+    return (
+        li_red.join(
+            orders_red,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
