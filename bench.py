@@ -45,6 +45,11 @@ HEADLINE = [
     "near_dup_minhash_lsh",
     "ann_cosine_topk",
     "pipeline_doc_curation",
+    # round-2 scale paths
+    "events_multigrain_rollup",
+    "repetition_signals",
+    "pack_sequences",
+    "profile_documents",
 ]
 
 

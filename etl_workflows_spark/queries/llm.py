@@ -413,6 +413,34 @@ FROM c
 """
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table: one-pass per-column nulls /
+    distincts / min / max (the corpus-drop sanity gate)."""
+    from etl_workflows_spark.operators.profile import profile_table
+
+    return profile_table(table(spark, sf_dir, "documents"))
+
+
+_PROFILE_ORACLE = """
+SELECT 'doc_id' AS "column", COUNT(*) AS n_rows, COUNT(*) - COUNT(doc_id) AS n_nulls,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+       MIN(text), MAX(text) FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+       MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -435,6 +463,7 @@ QUERIES = {
     "embedding_label_stats": embedding_label_stats,
     "repetition_signals": repetition_signals,
     "pack_sequences": pack_sequences_query,
+    "profile_documents": profile_documents,
 }
 
 ORACLE_SQL = {
@@ -455,5 +484,6 @@ ORACLE_SQL = {
     "embedding_label_stats": _EMB_STATS_ORACLE,
     "repetition_signals": _REPETITION_ORACLE,
     "pack_sequences": _PACK_ORACLE,
+    "profile_documents": _PROFILE_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -112,3 +112,25 @@ def streaming_hourly_rollup(
             "approx_users",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup on an unbounded stream: drop any row whose
+    key was already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes it — bounded state, unlike a batch dropDuplicates
+    which would need the full history. This is the streaming twin of
+    ``operators.dedup.drop_exact_duplicates`` for at-least-once upstream
+    transports (the reference's rerun-after-crash duplicate hazard,
+    SURVEY.md §2.6, solved at the stream layer).
+    """
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

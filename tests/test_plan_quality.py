@@ -85,3 +85,35 @@ def test_partitioned_write_prunes_scan(spark, sf_dir):
     assert "ship_year" in plan.split("PartitionFilters", 1)[1][:200]
     n_direct = li.filter(F.col("ship_year") == 1997).count()
     assert q.count() == n_direct
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Two tables bucketed+sorted on the join key sort-merge-join with NO
+    Exchange on either side — the co-located-join contract write_table's
+    bucket_by exists for (at 100 TB this removes the dominant shuffle of
+    repeated fact-fact joins)."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.sinks.writer import write_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    a = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_table(a, "bkt.a", bucket_by=(8, ["k"]))
+    write_table(b, "bkt.b", bucket_by=(8, ["k"]))
+    # Force the non-broadcast path: at real scale neither fact side fits
+    # in a broadcast; the point is the SMJ runs without Exchange.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt.a").join(spark.table("bkt.b"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

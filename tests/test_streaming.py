@@ -226,3 +226,57 @@ def test_streaming_sessionize_native_twin(spark, tmp_path):
     # session_window end = last_event + gap (not last event itself)
     assert (1, t(10, 0), 2) in got
     assert (2, t(10, 0), 1) in got
+
+
+def test_streaming_dedup_drops_within_watermark(spark, tmp_path):
+    """Duplicated event_ids across micro-batches are emitted once."""
+    from etl_workflows_spark.streaming.incremental import streaming_dedup
+
+    src = tmp_path / "dups_src"
+    chk = str(tmp_path / "dups_chk")
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (2, "2024-01-01 10:00:00", 20.0),
+        (2, "2024-01-01 10:05:00", 20.0),
+        (3, "2024-01-01 10:05:00", 30.0),
+        (1, "2024-01-01 10:05:00", 10.0),
+    ]
+    spark.createDataFrame(rows, ["event_id", "ts_s", "value"]).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, value double"
+    ).parquet(str(src))
+    deduped = streaming_dedup(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT event_id FROM dedup_sink ORDER BY event_id").collect()
+    assert [r["event_id"] for r in out] == [1, 2, 3]
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.sinks.compact import compact_table, table_bytes
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cmp")
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.rand(7).alias("v")
+    )
+    # fragment: 64 tiny files
+    df.repartition(64).write.mode("overwrite").saveAsTable("cmp.frag")
+    loc_before = spark.table("cmp.frag")
+    n_before = loc_before.rdd.getNumPartitions()
+    before_rows = sorted(r["id"] for r in loc_before.collect())
+    assert table_bytes(spark, "cmp.frag") > 0
+    n_files = compact_table(spark, "cmp.frag", target_file_mb=128, sort_by=["k"])
+    assert n_files == 1
+    after = spark.table("cmp.frag")
+    assert sorted(r["id"] for r in after.collect()) == before_rows
+    assert after.rdd.getNumPartitions() <= n_before
