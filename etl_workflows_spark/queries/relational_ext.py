@@ -275,6 +275,42 @@ FROM customer
 """
 
 
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over token arrays: size/slice/sort/contains/
+    position/distinct/reverse — the §2.4 'array scalar functions' category.
+    Restricted to operations with exact DuckDB list equivalents (same
+    1-based indexing convention on both sides via explicit slicing)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.concat_ws("|", F.slice(toks, 1, 3)).alias("first3"),
+        F.concat_ws("|", F.slice(F.reverse(toks), 1, 2)).alias("last2_rev"),
+        F.concat_ws("|", F.sort_array(F.slice(toks, 1, 4))).alias("first4_sorted"),
+        F.array_contains(toks, "data").cast("int").alias("has_data"),
+        F.array_position(toks, "table").cast("int").alias("first_table_pos"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.array_intersect(toks, F.array(F.lit("a"), F.lit("the"), F.lit("of"))))
+        .alias("n_stop_kinds"),
+    )
+
+
+_ARRAY_FUNCTIONS_ORACLE = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(LEN(toks) AS INTEGER) AS n,
+       ARRAY_TO_STRING(LIST_SLICE(toks, 1, 3), '|') AS first3,
+       ARRAY_TO_STRING(LIST_SLICE(LIST_REVERSE(toks), 1, 2), '|') AS last2_rev,
+       ARRAY_TO_STRING(LIST_SORT(LIST_SLICE(toks, 1, 4)), '|') AS first4_sorted,
+       CAST(LIST_CONTAINS(toks, 'data') AS INTEGER) AS has_data,
+       CAST(COALESCE(LIST_POSITION(toks, 'table'), 0) AS INTEGER) AS first_table_pos,
+       CAST(LEN(LIST_DISTINCT(toks)) AS INTEGER) AS n_uniq,
+       CAST(LEN(LIST_INTERSECT(toks, ['a', 'the', 'of'])) AS INTEGER) AS n_stop_kinds
+FROM t
+"""
+
+
 QUERIES = {
     "window_range_frame": window_range_frame,
     "window_value_functions": window_value_functions,
@@ -285,6 +321,7 @@ QUERIES = {
     "agg_having": agg_having,
     "date_arithmetic": date_arithmetic,
     "pipeline_doc_curation": pipeline_doc_curation,
+    "array_functions": array_functions,
 }
 
 ORACLE_SQL = {
@@ -297,4 +334,5 @@ ORACLE_SQL = {
     "agg_having": _HAVING_ORACLE,
     "date_arithmetic": _DATE_ARITH_ORACLE,
     "pipeline_doc_curation": _PIPELINE_ORACLE,
+    "array_functions": _ARRAY_FUNCTIONS_ORACLE,
 }

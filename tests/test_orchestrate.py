@@ -206,3 +206,52 @@ main:
         return: ${[t, u]}
 """
     assert WorkflowRunner(doc, {}).run() == [True, 20]
+
+
+def test_reference_etl_cars_yaml_verbatim(spark, fixtures_dir, tmp_path):
+    """Interpret the reference's LITERAL workflow document
+    (/root/reference/workflows/etl_cars.yaml), with only the placeholder
+    substitution a deployer performs (<project>/<dataset>/<export-bucket>;
+    README.md tells users to replace these before deploying). Everything
+    else — the ${} expressions, the OIDC-annotated http.post calls, the
+    error discrimination on 'CSV file not found', the early-exit switch,
+    and the cats_schema.yaml typo (etl_cars.yaml:14) — runs verbatim.
+
+    Run 1: loads cars (406 rows), appends the golden query (17 rows).
+    Run 2: source archived -> CsvNotFound -> 'Not found' -> early exit,
+    table counts unchanged (the reference's daily-cron no-new-file path).
+    """
+    import shutil
+
+    doc = open("/root/reference/workflows/etl_cars.yaml").read()
+    bucket = tmp_path / "refbucket"
+    bucket.mkdir()
+    shutil.copy(fixtures_dir / "bucket" / "cars_202109.csv", bucket / "cars_202109.csv")
+    assets = tmp_path / "refassets"
+    assets.mkdir()
+    # the deployer ships the schema under the name the workflow asks for
+    # (the reference's file is cars_schema.yaml; the DAG says cats_)
+    shutil.copy(fixtures_dir / "assets" / "cars_schema.yaml", assets / "cats_schema.yaml")
+    shutil.copy(fixtures_dir / "assets" / "big_US_cars.sql", assets / "big_US_cars.sql")
+    doc = (
+        doc.replace("<project>", "proj")
+        .replace("<dataset>", "refwf")
+        .replace("<export-bucket>", str(bucket))
+        .replace("<zone>", "eu")
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS refwf")
+    spark.sql("DROP TABLE IF EXISTS refwf.cars")
+    spark.sql("DROP TABLE IF EXISTS refwf.big_US_cars")
+    # the engine-session equivalent of BigQuery's default dataset: the
+    # shipped SQL says bare `FROM cars` (reference assets/big_US_cars.sql)
+    spark.sql("USE refwf")
+    registry = build_engine_registry(spark, assets_dir=str(assets))
+
+    WorkflowRunner(doc, registry).run()
+    assert spark.table("refwf.cars").count() == 406
+    assert spark.table("refwf.big_US_cars").count() == 17
+
+    # run 2: file archived; the DAG's no-new-file path exits before the query
+    WorkflowRunner(doc, registry).run()
+    assert spark.table("refwf.big_US_cars").count() == 17
+    spark.sql("USE default")
