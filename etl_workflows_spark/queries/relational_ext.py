@@ -311,6 +311,71 @@ FROM t
 """
 
 
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join: per-nation top-2 customers by balance — a correlated
+    subquery with ORDER BY + LIMIT in the FROM clause (Catalyst
+    decorrelates it; DecorrelateInnerQuery). Ties broken by c_custkey."""
+    from etl_workflows_spark.queries.base import register_views
+
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n_name, c_name, c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        )
+        """
+    )
+
+
+_LATERAL_ORACLE = """
+SELECT n_name, c_name, c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+"""
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): per-nation customer/supplier balance columns
+    melted into (n_name, side, bal) — the inverse of agg_pivot."""
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    cb = (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum("c_acctbal").alias("cust_bal"))
+    )
+    sb = (
+        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum("s_acctbal").alias("supp_bal"))
+    )
+    wide = cb.join(sb, "n_name", "full_outer")
+    return wide.unpivot(["n_name"], ["cust_bal", "supp_bal"], "side", "bal")
+
+
+_UNPIVOT_ORACLE = """
+WITH cb AS (
+  SELECT n_name, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+),
+sb AS (
+  SELECT n_name, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name
+),
+wide AS (SELECT COALESCE(cb.n_name, sb.n_name) AS n_name, cust_bal, supp_bal
+         FROM cb FULL OUTER JOIN sb ON cb.n_name = sb.n_name)
+SELECT n_name, side, bal
+FROM wide UNPIVOT (bal FOR side IN (cust_bal, supp_bal))
+"""
+
+
 QUERIES = {
     "window_range_frame": window_range_frame,
     "window_value_functions": window_value_functions,
@@ -322,6 +387,8 @@ QUERIES = {
     "date_arithmetic": date_arithmetic,
     "pipeline_doc_curation": pipeline_doc_curation,
     "array_functions": array_functions,
+    "join_lateral_topn": join_lateral_topn,
+    "agg_unpivot": agg_unpivot,
 }
 
 ORACLE_SQL = {
@@ -335,4 +402,6 @@ ORACLE_SQL = {
     "date_arithmetic": _DATE_ARITH_ORACLE,
     "pipeline_doc_curation": _PIPELINE_ORACLE,
     "array_functions": _ARRAY_FUNCTIONS_ORACLE,
+    "join_lateral_topn": _LATERAL_ORACLE,
+    "agg_unpivot": _UNPIVOT_ORACLE,
 }

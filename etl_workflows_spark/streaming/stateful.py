@@ -22,6 +22,13 @@ themselves, so state size is #active-users × 24 bytes regardless of event
 volume. Both paths shuffle once on the session key; watermark bounds state
 lifetime. Timestamps cross the Python boundary as epoch-millis longs
 (cheap, tz-unambiguous), not as pandas Timestamps.
+
+Forward path: Spark 4's ``transformWithStateInPandas`` (StatefulProcessor
+with named ValueState/ListState/MapState, timers, TTL) supersedes
+``applyInPandasWithState`` for new custom operators; it needs a working
+``protobuf`` install for its driver-side runner, which this build
+environment lacks (ImportError at runner init — verified), so the
+operators here stay on the stable API.
 """
 
 from __future__ import annotations
