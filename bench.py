@@ -61,16 +61,19 @@ def main() -> None:
     # Warm up the JVM / codegen / parquet footer cache with a trivial job.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # One untimed warmup pass then one timed pass per query: reports
-    # steady-state execution (codegen compiled, footers cached), which is
-    # what a resident engine's throughput looks like.
+    # One untimed warmup pass, then the MEDIAN of three timed passes per
+    # query: steady-state execution (codegen compiled, footers cached)
+    # with single-run GC/scheduler noise filtered out.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     out = {
         "metric": "headline_queries_total",

@@ -390,6 +390,41 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def events_hopping_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window: 1-hour windows every 15
+    minutes — each event lands in 4 overlapping windows. Completes the
+    event-time window family (tumbling: events_hourly; trailing range:
+    events_rolling_1h; sessions: sessionize).
+
+    Scale: ``F.window`` with a slide expands each row to its window
+    memberships before the shuffle (4× rows), and map-side partial
+    aggregation collapses them — same pattern as the multigrain rollup.
+    The oracle reproduces the epoch-aligned membership arithmetic
+    explicitly.
+    """
+    ev = table(spark, sf_dir, "events")
+    hop = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    return hop.select(
+        F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+_HOPPING_ORACLE = """
+SELECT MAKE_TIMESTAMP(EPOCH_US(ts) - EPOCH_US(ts) % 900000000
+                      - k * 900000000) AS w_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) t(k)
+GROUP BY 1, 2
+"""
+
+
 def approx_event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations per event type: HyperLogLog++ distinct users
     (2% target rsd) and approximate value percentiles (Greenwald-Khanna).
@@ -419,6 +454,7 @@ QUERIES = {
     "events_multigrain_rollup": events_multigrain_rollup,
     "session_purchase_join": session_purchase_join,
     "approx_event_sketches": approx_event_sketches,
+    "events_hopping_1h_15m": events_hopping_1h_15m,
 }
 
 ORACLE_SQL = {
@@ -431,4 +467,5 @@ ORACLE_SQL = {
     "posexplode_tokens": _POSEXPLODE_ORACLE,
     "events_multigrain_rollup": _MULTIGRAIN_ORACLE,
     "session_purchase_join": _SESSION_JOIN_ORACLE,
+    "events_hopping_1h_15m": _HOPPING_ORACLE,
 }

@@ -376,6 +376,65 @@ FROM wide UNPIVOT (bal FOR side IN (cust_bal, supp_bal))
 """
 
 
+def agg_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance/correlation per group via EXACT decimal sums.
+
+    Spark's covar_pop/corr accumulate doubles in partition order — not
+    reproducible across engines (or even across runs with different
+    partitioning). The 2-decimal money columns make Σx, Σy, Σxy exact in
+    DECIMAL; the final covariance/correlation is then a deterministic
+    double expression of exact integers. Same single-pass shape as the
+    built-in (one shuffle, map-side partials)."""
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).alias("sx"),
+        F.sum(dec("l_extendedprice")).alias("sy"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).alias("sxy"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).alias("sxx"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = (sxy - sx * sy / n) / n
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        cov.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+_COVARIANCE_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_rows,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS covar_qty_price,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price
+FROM g
+"""
+
+
 QUERIES = {
     "window_range_frame": window_range_frame,
     "window_value_functions": window_value_functions,
@@ -389,6 +448,7 @@ QUERIES = {
     "array_functions": array_functions,
     "join_lateral_topn": join_lateral_topn,
     "agg_unpivot": agg_unpivot,
+    "agg_covariance": agg_covariance,
 }
 
 ORACLE_SQL = {
@@ -404,4 +464,5 @@ ORACLE_SQL = {
     "array_functions": _ARRAY_FUNCTIONS_ORACLE,
     "join_lateral_topn": _LATERAL_ORACLE,
     "agg_unpivot": _UNPIVOT_ORACLE,
+    "agg_covariance": _COVARIANCE_ORACLE,
 }
