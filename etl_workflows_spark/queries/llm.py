@@ -441,6 +441,47 @@ SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
 """
 
 
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization audit: per-vector scale, code checksum, and max
+    reconstruction error — codes reproduce bit-for-bit in the oracle
+    (per-row IEEE double arithmetic; round-half-away ties match)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    scale = F.col("scale")
+    codes = F.col("codes")
+    joined = q.join(emb, "vec_id")
+    err = F.zip_with(
+        F.col("embedding"),
+        codes,
+        lambda x, c: F.abs(x.cast("double") - c.cast("double") * scale / 127),
+    )
+    return joined.select(
+        "vec_id",
+        scale,
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.array_max(err).alias("max_abs_err"),
+    )
+
+
+_QUANTIZATION_ORACLE = """
+WITH q AS (
+  SELECT vec_id, embedding AS v,
+         LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       CAST(LIST_SUM(LIST_TRANSFORM(v, x ->
+            CAST(ROUND(CAST(x AS DOUBLE) / scale * 127) AS BIGINT))) AS BIGINT)
+         AS code_sum,
+       LIST_MAX(LIST_TRANSFORM(v, x ->
+            ABS(CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale * 127) * scale / 127)))
+         AS max_abs_err
+FROM q
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -464,6 +505,7 @@ QUERIES = {
     "repetition_signals": repetition_signals,
     "pack_sequences": pack_sequences_query,
     "profile_documents": profile_documents,
+    "embedding_quantization": embedding_quantization,
 }
 
 ORACLE_SQL = {
@@ -485,5 +527,6 @@ ORACLE_SQL = {
     "repetition_signals": _REPETITION_ORACLE,
     "pack_sequences": _PACK_ORACLE,
     "profile_documents": _PROFILE_ORACLE,
+    "embedding_quantization": _QUANTIZATION_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

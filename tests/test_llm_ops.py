@@ -199,3 +199,29 @@ def test_bpe_pretokenizer_segments(spark):
     assert row["tk"] == ["Hello", " world", "'s", " 42", " fine", "-", "tuning", "!"]
     counts = t.token_counts(df).first()
     assert counts["n_bpe_tokens"] == 8 and counts["n_ws_tokens"] == 4
+
+
+def test_quantized_ann_recall(spark, sf_dir):
+    """Top-20 cosine neighbors on int8-dequantized vectors recover >=90%
+    of the full-precision neighbors (the storage-scale trade is measured,
+    not assumed)."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators import similarity
+    from etl_workflows_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    full = {
+        r["vec_id"]
+        for r in similarity.ann_topk_bruteforce(emb, query_vec_id=0, k=20).collect()
+    }
+    q = similarity.quantize_embeddings(emb)
+    deq = q.select(
+        "vec_id",
+        similarity.dequantize(F.col("codes"), F.col("scale")).alias("embedding"),
+    )
+    approx = {
+        r["vec_id"]
+        for r in similarity.ann_topk_bruteforce(deq, query_vec_id=0, k=20).collect()
+    }
+    assert len(full & approx) >= 18
