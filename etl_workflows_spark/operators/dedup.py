@@ -539,3 +539,63 @@ def near_dup_pairs_simhash(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# --- incremental dedup against a historical index --------------------------
+
+
+def build_fingerprint_index(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> str:
+    """Materialize the corpus's exact-dup fingerprint index: one md5 per
+    distinct text, stored as a table BUCKETED on the fingerprint.
+
+    The index is the scale enabler for incremental dedup: it holds one
+    short row per distinct document (not the documents), and bucketing on
+    ``fp`` means the daily anti-join reads it shuffle-free.
+    """
+    from etl_workflows_spark.sinks.writer import write_table
+
+    fps = docs.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    return write_table(fps, table_name, bucket_by=(n_buckets, ["fp"]))
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index_table: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop arriving documents whose text already exists in the corpus —
+    WITHOUT rescanning the corpus. One anti-join of the (small) new batch
+    against the bucketed fingerprint index, plus within-batch exact dedup.
+
+    This is the daily-crawl flow: history stays as a fingerprint table
+    (one 32-char row per distinct doc ever seen); each new shard pays
+    O(|shard| + matching index buckets), never O(|corpus|). Callers append
+    the surviving fingerprints back to the index afterwards
+    (``append_fingerprints``) to keep it current — the two steps are
+    separate so a failed downstream write can be retried without having
+    poisoned the index.
+    """
+    spark = new_docs.sparkSession
+    index = spark.table(index_table)
+    fresh = new_docs.withColumn("__fp", F.md5(F.col(text_col)))
+    survivors = fresh.join(
+        index, fresh["__fp"] == index["fp"], "left_anti"
+    )
+    return drop_exact_duplicates(survivors, text_col).drop("__fp")
+
+
+def append_fingerprints(
+    accepted_docs: DataFrame, index_table: str, text_col: str = "text"
+) -> None:
+    """Register accepted documents' fingerprints in the index (append;
+    the bucketed layout is preserved by the table's bucket spec)."""
+    accepted_docs.select(
+        F.md5(F.col(text_col)).alias("fp")
+    ).distinct().write.mode("append").format("parquet").option(
+        "compression", "zstd"
+    ).insertInto(index_table)

@@ -225,3 +225,46 @@ def test_quantized_ann_recall(spark, sf_dir):
         for r in similarity.ann_topk_bruteforce(deq, query_vec_id=0, k=20).collect()
     }
     assert len(full & approx) >= 18
+
+
+def test_incremental_dedup_against_index(spark):
+    """Daily-crawl flow: batch 2 dedups against batch 1's fingerprint
+    index without rescanning batch 1; the index anti-join is bucketed
+    (shuffle-free on the index side)."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators.dedup import (
+        append_fingerprints,
+        build_fingerprint_index,
+        dedup_incremental,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS didx")
+    spark.sql("DROP TABLE IF EXISTS didx.fps")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    build_fingerprint_index(b1, "didx.fps", n_buckets=4)
+    assert spark.table("didx.fps").count() == 2  # distinct texts only
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "delta epsilon"),        # dup of corpus -> dropped
+            (11, "zeta eta theta"),       # new
+            (12, "zeta eta theta"),       # within-batch dup -> dropped
+            (13, "iota kappa"),           # new
+        ],
+        ["doc_id", "text"],
+    )
+    kept = dedup_incremental(b2, "didx.fps")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+
+    append_fingerprints(kept, "didx.fps")
+    assert spark.table("didx.fps").count() == 4
+
+    # batch 3: everything seen before -> nothing survives
+    b3 = spark.createDataFrame(
+        [(20, "zeta eta theta"), (21, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    assert dedup_incremental(b3, "didx.fps").count() == 0
