@@ -121,3 +121,16 @@ def append_if_absent(
     existing = spark.table(table).select(*keys)
     fresh = df.join(existing, keys, "left_anti")
     return write_table(fresh, destination_table, append=True)
+
+
+def collect_stats(spark, table: str, columns: list[str] | None = None) -> None:
+    """ANALYZE the table so Catalyst's cost-based optimizer has real
+    row counts and NDVs (join reordering, broadcast decisions beyond the
+    static size threshold). Run after large loads/compactions; cheap
+    relative to the queries it improves at 100 TB."""
+    t = normalize_table_name(table)
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")

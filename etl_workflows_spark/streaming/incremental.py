@@ -134,3 +134,41 @@ def streaming_dedup(
     return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_to_table_idempotent(
+    stream_df: DataFrame,
+    destination_table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once-to-TABLE streaming sink: each micro-batch lands via
+    ``append_if_absent`` (anti-join MERGE shape) inside ``foreachBatch``.
+
+    Two independent layers make a retry a no-op instead of a duplicate:
+    the checkpoint dedupes *sources* (a crashed batch re-reads the same
+    files), and the keyed anti-join dedupes *rows* (a re-delivered or
+    overlapping batch can't re-insert keys already in the table). This is
+    the end-to-end fix for the reference's at-least-once hazard when the
+    sink is a queryable table rather than archived files (SURVEY §2.6).
+
+    One AvailableNow run; returns when all available input is committed.
+    """
+    from etl_workflows_spark.sinks.writer import append_if_absent, normalize_table_name
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        append_if_absent(batch_df, destination_table, keys)
+
+    (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+        .awaitTermination()
+    )
+    # foreachBatch appends run in the micro-batch's cloned session; the
+    # caller's session holds a cached file index for the table from any
+    # earlier read — refresh so the appends are visible immediately.
+    stream_df.sparkSession.catalog.refreshTable(
+        normalize_table_name(destination_table)
+    )

@@ -280,3 +280,50 @@ def test_compact_table_reduces_files(spark, tmp_path):
     after = spark.table("cmp.frag")
     assert sorted(r["id"] for r in after.collect()) == before_rows
     assert after.rdd.getNumPartitions() <= n_before
+
+
+def test_stream_to_table_idempotent(spark, tmp_path):
+    """Micro-batches land via keyed anti-join: a second run over new files
+    carrying already-seen keys appends only the genuinely new rows."""
+    from etl_workflows_spark.streaming.incremental import stream_to_table_idempotent
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    chk = str(tmp_path / "stream_chk")
+    spark.sql("CREATE DATABASE IF NOT EXISTS sidem")
+    spark.sql("DROP TABLE IF EXISTS sidem.events_t")
+
+    def run():
+        stream = spark.readStream.schema("k bigint, v string").parquet(str(src))
+        stream_to_table_idempotent(stream, "sidem.events_t", ["k"], chk)
+
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+    assert spark.table("sidem.events_t").count() == 2
+
+    # new file: one overlapping key (2), one new (3)
+    spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+    out = {r["k"]: r["v"] for r in spark.table("sidem.events_t").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == "b"  # original kept; overlapping re-delivery ignored
+
+
+def test_collect_stats_populates_catalog(spark):
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.sinks.writer import collect_stats, write_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS stats")
+    df = spark.range(5000).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    write_table(df, "stats.t1")
+    collect_stats(spark, "stats.t1", ["id", "g"])
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED stats.t1").collect()
+    }
+    assert "Statistics" in desc  # table-level stats recorded
