@@ -333,3 +333,59 @@ def decode_wav_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.filter(F.col("kind") == "audio").mapInPandas(
         kernel, schema=WAV_STATS_SCHEMA
     )
+
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("origin", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("nChannels", T.IntegerType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor) over JVM-decoded pixels:
+    numpy index-selection on the BGR(A) byte grid — no Python codec, no
+    stub. Output rows carry the resized raw bytes in the same layout, so
+    downstream kernels (pixel stats, feature extractors, model-input
+    packing) compose unchanged.
+
+    Nearest-neighbor is the deterministic choice (pure integer index
+    math, bit-exact everywhere); swap the kernel line for an interpolating
+    resampler when a codec lib is available — the plan shape stays put.
+    Scale: mapInPandas over Arrow batches; each executor resizes its
+    partition's images, peak memory is one batch of decoded grids.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for origin, w, h, nch, data in zip(
+                pdf["origin"], pdf["width"], pdf["height"], pdf["nChannels"], pdf["data"]
+            ):
+                if data is None or w is None or h is None or w <= 0 or h <= 0:
+                    out.append((origin, None, None, None, None))
+                    continue
+                arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, nch)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized = arr[rows][:, cols]
+                out.append(
+                    (origin, out_w, out_h, int(nch), resized.tobytes())
+                )
+            yield pd.DataFrame(
+                out, columns=["origin", "width", "height", "nChannels", "data"]
+            )
+
+    flat = images.select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.nChannels").alias("nChannels"),
+        F.col("image.data").alias("data"),
+    )
+    return flat.mapInPandas(kernel, schema=_RESIZED_SCHEMA)

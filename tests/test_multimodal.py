@@ -177,3 +177,43 @@ def test_real_wav_decode(spark, tmp_path):
     assert (b["sample_rate"], b["n_frames"]) == (16000, 4000)
     assert abs(b["duration_ms"] - 250.0) < 1e-9
     assert c["sample_rate"] is None and c["rms"] is None  # quarantined
+
+
+def _make_png_grid(path, pixels):
+    """PNG from an explicit [[(r,g,b), ...], ...] pixel grid."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    h, w = len(pixels), len(pixels[0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(px) for px in row) for row in pixels
+    )
+    path.write_bytes(
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_image_resize(spark, tmp_path):
+    """Nearest-neighbor resize on JVM-decoded pixels: a left-red/right-blue
+    4x2 PNG downsampled to 2x1 keeps one red and one blue pixel (exact
+    index math, bit-exact BGR bytes)."""
+    red, blue = (255, 0, 0), (0, 0, 255)
+    _make_png_grid(
+        tmp_path / "rb.png",
+        [[red, red, blue, blue], [red, red, blue, blue]],
+    )
+    imgs = multimodal.read_images(spark, str(tmp_path))
+    out = multimodal.resize_images(imgs, out_w=2, out_h=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"], r["nChannels"]) == (2, 1, 3)
+    # BGR layout: red pixel -> 00 00 FF, blue pixel -> FF 00 00
+    assert bytes(r["data"]) == b"\x00\x00\xff\xff\x00\x00"
