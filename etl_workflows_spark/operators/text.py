@@ -178,3 +178,41 @@ def repetition_signals(
         )
         out = sig if out is None else out.join(sig, "doc_id")
     return out
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, cf.
+    Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm):
+    hash every character k-gram, slide a window of ``window`` hashes, keep
+    each window's minimum; the distinct kept hashes are the document's
+    fingerprint set. Guarantees any shared substring of length
+    >= k + window - 1 contributes at least one common fingerprint —
+    position-robust plagiarism/overlap detection where shingle sets are
+    too coarse.
+
+    Hashes are 8-hex-char md5 prefixes compared lexicographically —
+    uniform, engine-portable (the oracle reproduces the exact fingerprint
+    sets; swap xxhash64 for the cheaper engine-local variant in hot
+    paths, as with LSH shingles).
+    Output: one (doc_id, fp) row per distinct selected fingerprint.
+    """
+    t = F.col(text_col)
+    n_grams = F.length(t) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8),
+    )
+    n_windows = F.size(F.col("__h")) - (window - 1)
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("__h"), j, window)),
+        )
+    )
+    return (
+        docs.filter(F.length(t) >= k + window - 1)
+        .select("doc_id", grams.alias("__h"))
+        .select("doc_id", F.explode(mins).alias("fp"))
+    )

@@ -482,6 +482,31 @@ FROM q
 """
 
 
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash window-min) fingerprint sets per document
+    — MOSS-style overlap detection; exact fingerprint parity with the
+    oracle's replication of the same md5-prefix arithmetic."""
+    return text.winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
+_WINNOW_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, LENGTH(text) - 8 + 2),
+                        i -> SUBSTR(MD5(SUBSTR(text, CAST(i AS INTEGER), 8)), 1, 8)) AS hs
+  FROM documents
+  WHERE LENGTH(text) >= 11
+),
+w AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(hs) - 4 + 2),
+                       j -> LIST_MIN(LIST_SLICE(hs, j, j + 3)))) AS fps
+  FROM h
+)
+SELECT doc_id, UNNEST(fps) AS fp FROM w
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -506,6 +531,7 @@ QUERIES = {
     "pack_sequences": pack_sequences_query,
     "profile_documents": profile_documents,
     "embedding_quantization": embedding_quantization,
+    "winnow_fingerprints": winnow_fingerprints_docs,
 }
 
 ORACLE_SQL = {
@@ -528,5 +554,6 @@ ORACLE_SQL = {
     "pack_sequences": _PACK_ORACLE,
     "profile_documents": _PROFILE_ORACLE,
     "embedding_quantization": _QUANTIZATION_ORACLE,
+    "winnow_fingerprints": _WINNOW_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -22,10 +22,12 @@ from pyspark.sql import SparkSession
 
 def table_bytes(spark: SparkSession, table: str) -> int:
     """Physical size of a managed table from the catalog's file listing."""
+    # [-1]: the metadata section follows the column list, so a data column
+    # literally named "Location" can't shadow the table-location row
     loc = (
         spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
         .filter("col_name = 'Location'")
-        .collect()[0]["data_type"]
+        .collect()[-1]["data_type"]
     )
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

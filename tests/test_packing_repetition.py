@@ -62,3 +62,26 @@ def test_pack_sequences_stable_under_growth(spark):
     ).collect()
     order_half = [r["doc_id"] for r in sorted(half, key=lambda r: (r["pack_id"], r["pack_offset"]))]
     assert order_half == order_full[:25]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's defining property: documents sharing a substring of
+    length >= k + window - 1 (here 11) share at least one fingerprint;
+    unrelated text shares none (md5 collisions at these set sizes are
+    negligible)."""
+    shared = "the quick brown fox jumps over"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other beginning " + shared + " tail"),
+            (3, "completely unrelated words without overlap"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = text.winnow_fingerprints(docs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must yield common fingerprints"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
