@@ -32,3 +32,21 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         # allow a generous relative band (values are uniform-ish > 0)
         assert abs(ap["p50_value"] - ex["p50"]) <= 0.05 * abs(ex["p50"]) + 1e-9
         assert abs(ap["p90_value"] - ex["p90"]) <= 0.05 * abs(ex["p90"]) + 1e-9
+
+
+def test_profile_table_approx_mode(spark, sf_dir):
+    """The trillion-row path (approx_count_distinct) stays within HLL
+    error of the exact profile."""
+    from etl_workflows_spark.operators.profile import profile_table
+    from etl_workflows_spark.queries.base import table
+
+    docs = table(spark, sf_dir, "documents")
+    exact = {r["column"]: r for r in profile_table(docs).collect()}
+    approx = {
+        r["column"]: r for r in profile_table(docs, exact_distinct=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(a - e) <= max(3, 0.1 * e)
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
