@@ -586,7 +586,12 @@ def dedup_incremental(
     survivors = fresh.join(
         index, fresh["__fp"] == index["fp"], "left_anti"
     )
-    return drop_exact_duplicates(survivors, text_col).drop("__fp")
+    # Within-batch dedup reuses the already-computed __fp (md5 over full
+    # text is the dominant per-row cost — don't hash twice).
+    keepers = survivors.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    return survivors.join(
+        keepers.select("doc_id"), "doc_id", "left_semi"
+    ).drop("__fp")
 
 
 def append_fingerprints(
@@ -594,8 +599,8 @@ def append_fingerprints(
 ) -> None:
     """Register accepted documents' fingerprints in the index (append;
     the bucketed layout is preserved by the table's bucket spec)."""
+    # insertInto inherits format/compression/bucketing from the table's
+    # catalog spec — no writer options apply here.
     accepted_docs.select(
         F.md5(F.col(text_col)).alias("fp")
-    ).distinct().write.mode("append").format("parquet").option(
-        "compression", "zstd"
-    ).insertInto(index_table)
+    ).distinct().write.mode("append").insertInto(index_table)

@@ -367,16 +367,21 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for origin, w, h, nch, data in zip(
                 pdf["origin"], pdf["width"], pdf["height"], pdf["nChannels"], pdf["data"]
             ):
-                if data is None or w is None or h is None or w <= 0 or h <= 0:
+                # quarantine stance (same as decode_wav_stats): any
+                # malformed row — nulls, bad dims, truncated bytes —
+                # becomes a null-output row, never a stage failure
+                try:
+                    if data is None or not w or not h or not nch or w <= 0 or h <= 0:
+                        raise ValueError("missing dims/bytes")
+                    arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(
+                        h, w, nch
+                    )
+                    rows = (np.arange(out_h) * h) // out_h
+                    cols = (np.arange(out_w) * w) // out_w
+                    resized = arr[rows][:, cols]
+                    out.append((origin, out_w, out_h, int(nch), resized.tobytes()))
+                except Exception:
                     out.append((origin, None, None, None, None))
-                    continue
-                arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, nch)
-                rows = (np.arange(out_h) * h) // out_h
-                cols = (np.arange(out_w) * w) // out_w
-                resized = arr[rows][:, cols]
-                out.append(
-                    (origin, out_w, out_h, int(nch), resized.tobytes())
-                )
             yield pd.DataFrame(
                 out, columns=["origin", "width", "height", "nChannels", "data"]
             )

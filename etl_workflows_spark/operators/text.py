@@ -147,7 +147,12 @@ def repetition_signals(
     Scale: one explode per n (rows × ~tokens/doc), but partial aggregation
     collapses (doc, gram) counts map-side before the shuffle, so the wire
     carries at most the per-doc distinct-gram cardinality. Joins between
-    the per-n results are on doc_id — co-partitioned after the first agg.
+    the per-n results are LEFT joins from the n=2 result on doc_id
+    (co-partitioned after the first agg): a doc long enough for bigrams
+    but shorter than a higher n keeps its low-n signals with NULLs for
+    the unavailable ones — an inner join would drop exactly the short
+    spammy docs a repetition gate exists to catch. (Docs with <2 tokens
+    have no n-grams at all and legitimately have no row.)
     All JVM-side expressions; no Python UDFs.
     """
     toks = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
@@ -176,7 +181,7 @@ def repetition_signals(
                 )
             )
         )
-        out = sig if out is None else out.join(sig, "doc_id")
+        out = sig if out is None else out.join(sig, "doc_id", "left")
     return out
 
 

@@ -76,7 +76,7 @@ def _eval_expression(text: str, scope: dict[str, Any]) -> Any:
     try:
         tree = ast.parse(text.strip(), mode="eval")
     except SyntaxError as exc:
-        raise WorkflowError(f"invalid expression: {text!r}") from exc
+        raise ExpressionError(f"invalid expression: {text!r}") from exc
     return _eval_node(tree.body, scope)
 
 
@@ -88,10 +88,10 @@ def _eval_node(node: ast.AST, scope: dict[str, Any]) -> Any:
             return scope[node.id]
         if node.id in ("true", "false", "null"):  # DSL literals
             return {"true": True, "false": False, "null": None}[node.id]
-        raise WorkflowError(f"undefined variable: {node.id}")
+        raise ExpressionError(f"undefined variable: {node.id}")
     if isinstance(node, ast.Attribute):
         if node.attr.startswith("_"):
-            raise WorkflowError(f"attribute access not allowed: {node.attr}")
+            raise ExpressionError(f"attribute access not allowed: {node.attr}")
         return getattr(_eval_node(node.value, scope), node.attr)
     if isinstance(node, ast.Subscript):
         return _eval_node(node.value, scope)[_eval_node(node.slice, scope)]
@@ -108,7 +108,7 @@ def _eval_node(node: ast.AST, scope: dict[str, Any]) -> Any:
         left = _eval_node(node.left, scope)
         for op, comparator in zip(node.ops, node.comparators):
             if type(op) not in _CMP_OPS:
-                raise WorkflowError(f"unsupported comparison: {type(op).__name__}")
+                raise ExpressionError(f"unsupported comparison: {type(op).__name__}")
             right = _eval_node(comparator, scope)
             if not _CMP_OPS[type(op)](left, right):
                 return False
@@ -137,7 +137,7 @@ def _eval_node(node: ast.AST, scope: dict[str, Any]) -> Any:
             _eval_node(k, scope): _eval_node(v, scope)
             for k, v in zip(node.keys, node.values)
         }
-    raise WorkflowError(f"unsupported expression construct: {type(node).__name__}")
+    raise ExpressionError(f"unsupported expression construct: {type(node).__name__}")
 
 
 class WorkflowError(Exception):
@@ -146,6 +146,16 @@ class WorkflowError(Exception):
     def __init__(self, value: Any):
         self.value = value
         super().__init__(str(value))
+
+
+class ExpressionError(Exception):
+    """A ${} expression is malformed or references an undefined name.
+
+    Deliberately NOT a WorkflowError: a broken expression is a bug in the
+    workflow document, not a runtime call failure — it must propagate out
+    of try/except steps loudly instead of being routed into except
+    handlers as if it were a data error (the handlers' own expressions
+    would then mis-evaluate against a string-shaped scope value)."""
 
 
 class _End(Exception):

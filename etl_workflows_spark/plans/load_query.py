@@ -36,12 +36,15 @@ def load_query(
         logger.warning("useLegacySql=True requested; legacy SQL is not supported")
         raise QueryInvalid("Legacy SQL dialect is not supported")
     sql_text = read_query_file(query)
-    result = spark.sql(sql_text)
     # The reference maps ANY failed query job to CreationFailed / "Error
     # during table creation" (load_query/main.py:58-65) — a different
     # taxonomy than load_csv's LoadJobError. The description strings are a
     # public contract the workflow DAG can branch on, so re-map here.
+    # spark.sql is INSIDE the try: analysis failures (missing table/column)
+    # surface at job time in BigQuery, i.e. inside the reference's
+    # remapped path.
     try:
+        result = spark.sql(sql_text)
         return write_table(result, destination_table, append=append)
     except CreationFailed:
         raise

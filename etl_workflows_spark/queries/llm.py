@@ -383,7 +383,7 @@ r3 AS (
   FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram)
   GROUP BY doc_id
 )
-SELECT doc_id, top_2gram_ratio, top_3gram_ratio FROM r2 JOIN r3 USING (doc_id)
+SELECT doc_id, top_2gram_ratio, top_3gram_ratio FROM r2 LEFT JOIN r3 USING (doc_id)
 """
 
 

@@ -36,27 +36,67 @@ def table_bytes(spark: SparkSession, table: str) -> int:
     return fs.getContentSummary(path).getLength()
 
 
+def table_layout(
+    spark: SparkSession, table: str
+) -> tuple[list[str], tuple[int, list[str]] | None]:
+    """(partition columns, bucket spec) of a managed table, from the
+    catalog — what a compaction rewrite must preserve."""
+    part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    # dict is last-wins: the metadata section follows the column list, so
+    # a data column named 'Num Buckets' cannot shadow the real spec
+    meta = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    bucket = None
+    if meta.get("Num Buckets"):
+        n = int(meta["Num Buckets"])
+        cols = [c.strip(" `") for c in meta["Bucket Columns"].strip("[]").split(",")]
+        bucket = (n, cols)
+    return part_cols, bucket
+
+
 def compact_table(
     spark: SparkSession,
     table: str,
     target_file_mb: int = 128,
     sort_by: list[str] | None = None,
 ) -> int:
-    """Rewrite ``table`` into ceil(size/target) files; returns file count.
+    """Rewrite ``table`` into ~ceil(size/target) files; returns the task
+    count used. Partitioning and bucketing survive the rewrite — losing
+    them would silently forfeit partition pruning and shuffle-free
+    bucketed joins on the first compaction.
 
     ``sort_by`` clusters rows so parquet row-group min/max prune scans on
-    those columns (the poor man's Z-order for a single sort axis).
+    those columns (the poor man's Z-order for a single sort axis);
+    ignored for bucketed tables (the bucket spec's own sortBy governs).
     """
+    from etl_workflows_spark.sinks.writer import write_table
+
     size = table_bytes(spark, table)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    part_cols, bucket = table_layout(spark, table)
     df = spark.table(table)
-    out = df.repartition(n_files)
-    if sort_by:
+    if part_cols:
+        # hash on the partition cols capped at n_files tasks: each task
+        # writes only the partition values it holds, bounding file count
+        out = df.repartition(n_files, *part_cols)
+    else:
+        out = df.repartition(n_files)
+    if sort_by and not bucket:
         out = out.sortWithinPartitions(*sort_by)
     staging = f"{table}__compact_staging"
-    out.write.mode("overwrite").format("parquet").option(
-        "compression", "zstd"
-    ).saveAsTable(staging)
+    write_table(
+        out,
+        staging,
+        partition_by=part_cols or None,
+        bucket_by=bucket,
+    )
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    if part_cols:
+        # renaming a managed partitioned table moves its root but leaves
+        # per-partition locations pointing at the staging path — re-derive
+        # them from the moved directory layout
+        spark.sql(f"MSCK REPAIR TABLE {table}")
     return n_files

@@ -157,7 +157,10 @@ def stream_to_table_idempotent(
     from etl_workflows_spark.sinks.writer import append_if_absent, normalize_table_name
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        append_if_absent(batch_df, destination_table, keys)
+        # dropDuplicates first: the table anti-join can't catch two rows
+        # with the same key arriving WITHIN one micro-batch (and the
+        # first-write path has no table to anti-join against at all)
+        append_if_absent(batch_df.dropDuplicates(keys), destination_table, keys)
 
     (
         stream_df.writeStream.trigger(availableNow=True)

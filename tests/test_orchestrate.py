@@ -171,7 +171,10 @@ main:
 
 def test_expression_sandbox_rejects_escapes():
     """The ${} evaluator is an AST whitelist, not eval: attribute-chain
-    sandbox escapes, calls, and comprehensions are structurally rejected."""
+    sandbox escapes, calls, and comprehensions are structurally rejected —
+    and an expression bug propagates as ExpressionError, NOT WorkflowError,
+    so try/except steps can't swallow it as a data error."""
+    from etl_workflows_spark.orchestrate.workflow import ExpressionError
     hostile = [
         '${().__class__.__mro__[1].__subclasses__()}',
         '${open("/etc/passwd")}',
@@ -189,8 +192,25 @@ main:
     - b:
         return: {expr}
 """
-        with pytest.raises(WorkflowError):
+        with pytest.raises(ExpressionError):
             WorkflowRunner(doc, {}).run()
+
+    # even inside a try step: the except handler must NOT see it
+    doc = """
+main:
+  steps:
+    - a:
+        try:
+          assign:
+            - x: ${undefined_name + 1}
+        except:
+          as: e
+          steps:
+            - swallow:
+                return: "handled"
+"""
+    with pytest.raises(ExpressionError):
+        WorkflowRunner(doc, {}).run()
 
 
 def test_expression_eval_bool_and_subscript():

@@ -282,6 +282,31 @@ def test_compact_table_reduces_files(spark, tmp_path):
     assert after.rdd.getNumPartitions() <= n_before
 
 
+def test_compact_table_preserves_layout(spark):
+    """Compaction must not forfeit bucketing or partitioning — the specs
+    survive the staging-swap rewrite."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.sinks.compact import compact_table, table_layout
+    from etl_workflows_spark.sinks.writer import write_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS cmp")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 13).alias("k"), (F.col("id") % 3).alias("p")
+    )
+    write_table(df.repartition(16), "cmp.bkt", bucket_by=(4, ["k"]))
+    compact_table(spark, "cmp.bkt", target_file_mb=256)
+    parts, bucket = table_layout(spark, "cmp.bkt")
+    assert bucket == (4, ["k"]) and parts == []
+    assert spark.table("cmp.bkt").count() == 2000
+
+    write_table(df.repartition(16), "cmp.part", partition_by=["p"])
+    compact_table(spark, "cmp.part", target_file_mb=256)
+    parts, bucket = table_layout(spark, "cmp.part")
+    assert parts == ["p"] and bucket is None
+    assert spark.table("cmp.part").filter("p = 1").count() > 0
+
+
 def test_stream_to_table_idempotent(spark, tmp_path):
     """Micro-batches land via keyed anti-join: a second run over new files
     carrying already-seen keys appends only the genuinely new rows."""
@@ -303,12 +328,16 @@ def test_stream_to_table_idempotent(spark, tmp_path):
     run()
     assert spark.table("sidem.events_t").count() == 2
 
-    # new file: one overlapping key (2), one new (3)
-    spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "v"]).coalesce(1).write.mode(
-        "append"
-    ).parquet(str(src))
+    # new file: one overlapping key (2), one new key (3) delivered TWICE
+    # within the same batch — the table anti-join can't catch that case,
+    # so the sink's own dropDuplicates must
+    spark.createDataFrame(
+        [(2, "b2"), (3, "c"), (3, "c")], ["k", "v"]
+    ).coalesce(1).write.mode("append").parquet(str(src))
     run()
-    out = {r["k"]: r["v"] for r in spark.table("sidem.events_t").collect()}
+    rows = spark.table("sidem.events_t").collect()
+    assert len(rows) == 3  # no within-batch duplicate landed
+    out = {r["k"]: r["v"] for r in rows}
     assert set(out) == {1, 2, 3}
     assert out[2] == "b"  # original kept; overlapping re-delivery ignored
 
