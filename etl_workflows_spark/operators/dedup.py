@@ -586,12 +586,17 @@ def dedup_incremental(
     survivors = fresh.join(
         index, fresh["__fp"] == index["fp"], "left_anti"
     )
-    # Within-batch dedup reuses the already-computed __fp (md5 over full
-    # text is the dominant per-row cost — don't hash twice).
-    keepers = survivors.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    return survivors.join(
-        keepers.select("doc_id"), "doc_id", "left_semi"
-    ).drop("__fp")
+    # Within-batch dedup reuses the already-computed __fp in a SINGLE
+    # plan branch (a keeper self-join would execute the md5 + index
+    # anti-join twice): one window pass over one shuffle on __fp.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
 
 
 def append_fingerprints(

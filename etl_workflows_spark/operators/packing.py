@@ -23,18 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.sampling import salted_hash
 from etl_workflows_spark.operators.text import token_count
-
-
-def _order_hash(key: Column, salt: str) -> Column:
-    return F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
 
 
 def deterministic_band(key: Column, n_bands: int, salt: str = "band") -> Column:
     """Stable band 0..n_bands-1 from a content hash — pre-split a huge
     stratum so packing windows stay bounded."""
     return (
-        F.conv(F.substring(_order_hash(key, salt), 1, 4), 16, 10).cast("long")
+        F.conv(F.substring(salted_hash(key, salt), 1, 4), 16, 10).cast("long")
         % n_bands
     )
 
@@ -60,7 +57,7 @@ def pack_sequences(
     n_tok = token_count(F.col(text_col))
     w = (
         Window.partitionBy(partition_col)
-        .orderBy(_order_hash(F.col(key_col), salt), key_col)
+        .orderBy(salted_hash(F.col(key_col), salt), key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(n_tok).over(w)

@@ -27,13 +27,16 @@ def profile_table(
     across column types."""
     cols = cols or df.columns
     distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    # index-based aliases + df[c] references: column names containing
+    # dots or other F.col-special characters must profile fine — this
+    # operator's whole contract is "runs over any table"
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            distinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(df[c]).alias(f"__nn_{i}"),
+            distinct(df[c]).alias(f"__nd_{i}"),
+            F.min(df[c]).cast("string").alias(f"__min_{i}"),
+            F.max(df[c]).cast("string").alias(f"__max_{i}"),
         ]
     row = df.agg(*aggs)
     per_col = F.array(
@@ -41,12 +44,12 @@ def profile_table(
             F.struct(
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
-                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
-                F.col(f"__nd_{c}").alias("n_distinct"),
-                F.col(f"__min_{c}").alias("min_str"),
-                F.col(f"__max_{c}").alias("max_str"),
+                (F.col("__n") - F.col(f"__nn_{i}")).alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_str"),
+                F.col(f"__max_{i}").alias("max_str"),
             )
-            for c in cols
+            for i, c in enumerate(cols)
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")

@@ -33,8 +33,15 @@ def _hex_threshold(fraction: float) -> str:
     return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
 
 
+def salted_hash(key: Column, salt: str) -> Column:
+    """THE corpus-contract content hash: md5 over ``salt || ':' || key``.
+    Single definition shared by sampling, splits, and packing — the
+    reproducibility claims of all three rest on this one expression."""
+    return F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+
+
 def _hash8(key: Column, salt: str) -> Column:
-    return F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8)
+    return F.substring(salted_hash(key, salt), 1, 8)
 
 
 def _keep(h: Column, fraction: float) -> Column:

@@ -338,8 +338,11 @@ def quantize_embeddings(
     """
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # an all-zero vector has scale 0; divide by 1 instead (codes are all
+    # zero anyway) — under ANSI mode a 0/0 would kill the whole job
+    denom = F.when(scale != 0, scale).otherwise(F.lit(1.0))
     codes = F.transform(
-        v, lambda x: F.round(x.cast("double") / scale * 127).cast("int")
+        v, lambda x: F.round(x.cast("double") / denom * 127).cast("int")
     )
     return embeddings.select(
         F.col(id_col),

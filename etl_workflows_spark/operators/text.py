@@ -155,6 +155,8 @@ def repetition_signals(
     have no n-grams at all and legitimately have no row.)
     All JVM-side expressions; no Python UDFs.
     """
+    if max_n < 2:
+        raise ValueError(f"max_n must be >= 2, got {max_n}")
     toks = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
     out = None
     for n in range(2, max_n + 1):

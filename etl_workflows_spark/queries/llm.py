@@ -473,10 +473,10 @@ WITH q AS (
 )
 SELECT vec_id, scale,
        CAST(LIST_SUM(LIST_TRANSFORM(v, x ->
-            CAST(ROUND(CAST(x AS DOUBLE) / scale * 127) AS BIGINT))) AS BIGINT)
+            CAST(ROUND(CAST(x AS DOUBLE) / (CASE WHEN scale = 0 THEN 1 ELSE scale END) * 127) AS BIGINT))) AS BIGINT)
          AS code_sum,
        LIST_MAX(LIST_TRANSFORM(v, x ->
-            ABS(CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale * 127) * scale / 127)))
+            ABS(CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / (CASE WHEN scale = 0 THEN 1 ELSE scale END) * 127) * scale / 127)))
          AS max_abs_err
 FROM q
 """

@@ -172,6 +172,9 @@ def stream_to_table_idempotent(
     # foreachBatch appends run in the micro-batch's cloned session; the
     # caller's session holds a cached file index for the table from any
     # earlier read — refresh so the appends are visible immediately.
-    stream_df.sparkSession.catalog.refreshTable(
-        normalize_table_name(destination_table)
-    )
+    # (Guarded: a run over an empty source executes zero batches and never
+    # creates the table — that no-op first run must not fail.)
+    spark = stream_df.sparkSession
+    table = normalize_table_name(destination_table)
+    if spark.catalog.tableExists(table):
+        spark.catalog.refreshTable(table)

@@ -268,3 +268,18 @@ def test_incremental_dedup_against_index(spark):
         [(20, "zeta eta theta"), (21, "alpha beta gamma")], ["doc_id", "text"]
     )
     assert dedup_incremental(b3, "didx.fps").count() == 0
+
+
+def test_quantize_zero_vector_survives(spark):
+    """An all-zero embedding (failed upstream embed call) must quantize to
+    zero codes, not kill the job with a divide-by-zero under ANSI mode."""
+    from etl_workflows_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_embeddings(emb).collect()}
+    assert rows[0]["scale"] == 0.0
+    assert rows[0]["codes"] == [0, 0, 0]
+    assert rows[1]["codes"] == [64, -127, 32]
