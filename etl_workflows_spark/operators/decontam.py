@@ -1,0 +1,109 @@
+"""Benchmark decontamination: flag training documents whose n-grams overlap
+a held-out evaluation set.
+
+The standard LLM-pipeline contamination check (n-gram collision against
+benchmark text, as popularized by the GPT-3/PaLM data cards): build the
+distinct n-gram set of the benchmark, then for every training document
+measure what fraction of its distinct n-grams appear in that set.
+
+Scale design (100 TB corpus, small benchmark):
+
+* n-grams are compared as ``xxhash64`` values, never as strings — the
+  shuffle/broadcast payload is 8 bytes per gram regardless of n.
+* The benchmark gram set is **broadcast** (it is the small side by
+  construction — benchmarks are MBs, corpora are TBs), so the check is a
+  map-side hash-join over the corpus: one scan, zero shuffle of the
+  training side; only the per-doc aggregation shuffles, keyed by doc id.
+* Everything is Catalyst expressions (split / transform / slice /
+  explode) — no Python UDFs.
+
+Net-new vs the reference (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _token_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct space-joined n-grams of a whitespace-tokenized column.
+
+    Documents with fewer than ``n`` tokens yield an empty array (callers
+    filter those out — an undersized doc has no well-defined overlap).
+    """
+    toks = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, k) with k < 1 counts DOWN — guard undersized docs.
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_hash_set(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(id, gram_h) — one row per distinct n-gram per document, hashed."""
+    return df.select(
+        F.col(id_col),
+        F.explode(_token_ngrams(F.col(text_col), n)).alias("gram"),
+    ).select(id_col, F.xxhash64("gram").alias("gram_h"))
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-training-document n-gram overlap against the benchmark set.
+
+    Returns (id_col, n_grams, n_matched, overlap_ratio, contaminated) for
+    every training doc with at least one n-gram. ``overlap_ratio`` is
+    matched/total over the document's *distinct* grams; ``contaminated``
+    is ``overlap_ratio >= threshold``.
+    """
+    train_g = ngram_hash_set(train, id_col, text_col, n)
+    bench_g = F.broadcast(
+        ngram_hash_set(benchmark, id_col, text_col, n)
+        .select("gram_h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = train_g.join(bench_g, "gram_h", "left")
+    report = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("hit").alias("n_matched"),
+    )
+    ratio = F.col("n_matched") / F.col("n_grams")
+    return report.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        ratio.alias("overlap_ratio"),
+        (ratio >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop contaminated training docs (the apply-side of the report).
+
+    Anti-joins the training set against the flagged ids — docs too short
+    to form an n-gram are KEPT (they cannot be meaningfully matched).
+    """
+    flagged = contamination_report(
+        train, benchmark, id_col, text_col, n, threshold
+    ).where("contaminated")
+    return train.join(flagged.select(id_col), id_col, "left_anti")

@@ -187,6 +187,97 @@ def repetition_signals(
     return out
 
 
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    token_len_range: tuple[float, float] = (2.0, 12.0),
+    min_stop_ratio: float = 0.01,
+    min_uniq_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style rule gate: each document gets per-rule booleans, an
+    overall ``passes``, and the first failing rule's name (the audit
+    column a curation pipeline logs). Rules, in evaluation order:
+
+    * ``ok_n_tokens`` — token count in [min_tokens, max_tokens]
+    * ``ok_token_len`` — mean token length within ``token_len_range``
+    * ``ok_stop_ratio`` — stopword fraction >= min_stop_ratio
+    * ``ok_uniq_ratio`` — distinct-token fraction >= min_uniq_ratio
+
+    All per-row IEEE arithmetic on integer counts — deterministic across
+    engines; single codegen stage, no shuffle.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_tok_d = n_tok.cast("double")
+    mean_tok_len = (F.length(t) - (n_tok - F.lit(1))) / n_tok_d
+    rules = [
+        ("ok_n_tokens", (n_tok >= min_tokens) & (n_tok <= max_tokens)),
+        (
+            "ok_token_len",
+            (mean_tok_len >= token_len_range[0])
+            & (mean_tok_len <= token_len_range[1]),
+        ),
+        ("ok_stop_ratio", stopword_count(t) / n_tok_d >= min_stop_ratio),
+        ("ok_uniq_ratio", distinct_token_count(t) / n_tok_d >= min_uniq_ratio),
+    ]
+    fail_reason = F.lit(None).cast("string")
+    for name, ok in reversed(rules):
+        fail_reason = F.when(~ok, F.lit(name)).otherwise(fail_reason)
+    passes = rules[0][1]
+    for _, ok in rules[1:]:
+        passes = passes & ok
+    return docs.select(
+        "doc_id",
+        *[ok.alias(name) for name, ok in rules],
+        passes.alias("passes"),
+        fail_reason.alias("fail_reason"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token windows of ``window`` tokens with
+    ``overlap`` tokens shared between consecutive chunks — the standard
+    context-window preparation for training/embedding pipelines.
+
+    Chunk starts are 1, 1+stride, … (stride = window - overlap) up to the
+    token count; the final chunk may be shorter (never empty). Output one
+    row per chunk: (doc_id, chunk_id, chunk_start, n_chunk_tokens,
+    chunk_text).
+
+    Scale: explode fans out ~n_tokens/stride rows per doc but everything
+    stays in one codegen stage — no shuffle, no UDF; chunking 100 TB is a
+    single map pass.
+    """
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
+    stride = window - overlap
+    toks = tokens(F.col(text_col))
+    chunk = F.slice(F.col("__t"), F.col("chunk_start"), window)
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("__t"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / stride).cast("int").alias("chunk_id"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame, k: int = 8, window: int = 4, text_col: str = "text"
 ) -> DataFrame:

@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_workflows_spark.operators import dedup, packing, sampling, similarity, text
+from etl_workflows_spark.operators import (
+    decontam,
+    dedup,
+    packing,
+    pii,
+    sampling,
+    similarity,
+    text,
+)
 from etl_workflows_spark.queries.base import table
 
 # --- text analysis ---------------------------------------------------------
@@ -507,6 +515,165 @@ SELECT doc_id, UNNEST(fps) AS fp FROM w
 """
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-doc match counts per pattern + redacted text.
+
+    The synthetic corpus carries no PII, so the query decorates each doc
+    with deterministic doc_id-derived PII (email + phone always; IP, SSN,
+    credit card on modular subsets) — the oracle builds the *identical*
+    string and re-runs the same RE2/Java-portable regexes, pinning both
+    the detectors and the redaction order end-to-end.
+    """
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    opt = lambda cond, *parts: F.when(cond, F.concat(*parts)).otherwise(F.lit(""))  # noqa: E731
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com tel 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            opt(did % 3 == 0, F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1")),
+            opt(did % 5 == 0, F.lit(" ssn "), F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-12-3456")),
+            opt(did % 7 == 0, F.lit(" card 4111-1111-1111-1111")),
+        ).alias("text"),
+    )
+    return pii.pii_report(decorated).drop("text")
+
+
+_PII_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' tel 555-' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' ssn ' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-12-3456'
+                      ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' card 4111-1111-1111-1111' ELSE '' END
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(LEN(REGEXP_EXTRACT_ALL(t, '\b(?:\d{4}[- ]){3}\d{4}\b')) AS BIGINT) AS n_credit_card,
+  CAST(LEN(REGEXP_EXTRACT_ALL(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+  CAST(LEN(REGEXP_EXTRACT_ALL(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+  CAST(LEN(REGEXP_EXTRACT_ALL(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+      '\b(?:\d{4}[- ]){3}\d{4}\b', '[CC]', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+    AS clean_text
+FROM d
+"""
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap of every training doc
+    (doc_id % 101 != 0) against the held-out benchmark slice
+    (doc_id % 101 == 0); contaminated at >= 50% distinct-gram overlap.
+    Benchmark gram set is broadcast — map-side check over the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    train = docs.where(F.col("doc_id") % 101 != 0)
+    return decontam.contamination_report(train, bench, n=5, threshold=0.5)
+
+
+_DECONTAM_ORACLE = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                  || toks[i+3] || ' ' || toks[i+4])) AS sh
+  FROM t WHERE LEN(toks) >= 5
+),
+bench AS (SELECT DISTINCT UNNEST(sh) AS gram FROM g WHERE doc_id % 101 = 0),
+train AS (SELECT doc_id, UNNEST(sh) AS gram FROM g WHERE doc_id % 101 <> 0),
+m AS (
+  SELECT tr.doc_id, COUNT(*) AS n_grams, COUNT(b.gram) AS n_matched
+  FROM train tr LEFT JOIN bench b USING (gram)
+  GROUP BY tr.doc_id
+)
+SELECT doc_id, n_grams, n_matched,
+       n_matched / CAST(n_grams AS DOUBLE) AS overlap_ratio,
+       n_matched / CAST(n_grams AS DOUBLE) >= 0.5 AS contaminated
+FROM m
+"""
+
+
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, 8-token overlap, one
+    row per chunk — single codegen map pass, no shuffle."""
+    return text.chunk_documents(
+        table(spark, sf_dir, "documents"), window=32, overlap=8
+    )
+
+
+_CHUNK_ORACLE = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             UNNEST(RANGE(1, LEN(toks) + 1, 24)) AS chunk_start
+      FROM t)
+SELECT doc_id,
+       CAST((chunk_start - 1) // 24 AS INTEGER) AS chunk_id,
+       CAST(chunk_start AS INTEGER) AS chunk_start,
+       CAST(LEN(LIST_SLICE(toks, chunk_start, chunk_start + 31)) AS INTEGER)
+         AS n_chunk_tokens,
+       ARRAY_TO_STRING(LIST_SLICE(toks, chunk_start, chunk_start + 31), ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate: per-rule booleans + overall pass + first
+    failing rule name per document."""
+    return text.quality_gate(table(spark, sf_dir, "documents"))
+
+
+_GATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             x -> LIST_CONTAINS({_STOPWORD_LIST}, x))) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         (n_tok >= 10 AND n_tok <= 100000) AS ok_n_tokens,
+         ((n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE) >= 2.0
+          AND (n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE) <= 12.0)
+           AS ok_token_len,
+         (n_stop / CAST(n_tok AS DOUBLE) >= 0.01) AS ok_stop_ratio,
+         (n_uniq / CAST(n_tok AS DOUBLE) >= 0.2) AS ok_uniq_ratio
+  FROM t
+)
+SELECT doc_id, ok_n_tokens, ok_token_len, ok_stop_ratio, ok_uniq_ratio,
+       ok_n_tokens AND ok_token_len AND ok_stop_ratio AND ok_uniq_ratio
+         AS passes,
+       CASE WHEN NOT ok_n_tokens THEN 'ok_n_tokens'
+            WHEN NOT ok_token_len THEN 'ok_token_len'
+            WHEN NOT ok_stop_ratio THEN 'ok_stop_ratio'
+            WHEN NOT ok_uniq_ratio THEN 'ok_uniq_ratio'
+            ELSE NULL END AS fail_reason
+FROM r
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -532,6 +699,10 @@ QUERIES = {
     "profile_documents": profile_documents,
     "embedding_quantization": embedding_quantization,
     "winnow_fingerprints": winnow_fingerprints_docs,
+    "pii_redaction": pii_redaction,
+    "decontaminate_overlap": decontaminate_overlap,
+    "chunk_windows": chunk_windows,
+    "quality_gate": quality_gate,
 }
 
 ORACLE_SQL = {
@@ -555,5 +726,9 @@ ORACLE_SQL = {
     "profile_documents": _PROFILE_ORACLE,
     "embedding_quantization": _QUANTIZATION_ORACLE,
     "winnow_fingerprints": _WINNOW_ORACLE,
+    "pii_redaction": _PII_ORACLE,
+    "decontaminate_overlap": _DECONTAM_ORACLE,
+    "chunk_windows": _CHUNK_ORACLE,
+    "quality_gate": _GATE_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }
