@@ -443,6 +443,160 @@ def approx_event_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_filled(ev: DataFrame) -> DataFrame:
+    """Gap-free hourly (event_type, hour) grid: aggregate to hours, then
+    left-join onto each type's min..max hour spine. The spine explode is
+    per-type (25 rows in, thousands out) — negligible next to the fact
+    scan; the join keys are (type, hour) so AQE broadcasts the tiny spine.
+    """
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("v"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+        )
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left")
+
+
+def gap_fill_hourly(ev: DataFrame) -> DataFrame:
+    """Gap fill / resample an events DataFrame (event_type, ts, value):
+    densify each type's hourly series over its min..max hour, zero-fill
+    counts, forward-fill the hourly value sum (``last IGNORE NULLS``)."""
+    filled = _hourly_filled(ev)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("carried_value"),
+    )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill / resample on the events table — the standard
+    regularization step before any downstream time-series model."""
+    return gap_fill_hourly(table(spark, sf_dir, "events"))
+
+
+_GAP_FILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+           FROM hourly GROUP BY 1),
+spine AS (SELECT event_type,
+                 UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds)
+SELECT s.event_type, s.hour,
+       COALESCE(h.n, 0) AS n_events,
+       h.n IS NULL AS is_gap,
+       LAST_VALUE(h.v IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.hour = h.hour
+"""
+
+
+def hourly_anomaly(ev: DataFrame, min_history: int = 12) -> DataFrame:
+    """Trailing-window z-score anomaly detection on the gap-filled hourly
+    count series: each hour scored against the previous 24 hours' mean and
+    sample stddev; anomalous at |z| > 3 (needs >= min_history trailing
+    hours).
+
+    Determinism note: the variance is computed from integer window sums
+    (sum, sum-of-squares, count — exact in doubles) with the identical
+    expression in both engines, NOT the engines' one-pass STDDEV (whose
+    intermediate rounding differs). ``greatest(0, ·)`` clamps the
+    catastrophic-cancellation epsilon when variance is ~0.
+    """
+    filled = _hourly_filled(ev)
+    cnt = F.coalesce(F.col("n"), F.lit(0))
+    base = filled.select("event_type", "hour", cnt.alias("n_events"))
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    n = F.col("n_events")
+    stats = base.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.sum(n).over(w).alias("s"),
+        F.sum(n * n).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    m, s, s2 = F.col("m"), F.col("s"), F.col("s2")
+    mu = s / m
+    var = F.greatest(F.lit(0.0), (s2 - s * s / m) / (m - 1))
+    z = F.when((m >= min_history) & (var > 0), (n - mu) / F.sqrt(var))
+    return stats.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.when(m >= min_history, mu).alias("trailing_mean"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags on the events table's hourly counts
+    (gap-filled; see ``hourly_anomaly``)."""
+    return hourly_anomaly(table(spark, sf_dir, "events"))
+
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+           FROM hourly GROUP BY 1),
+spine AS (SELECT event_type,
+                 UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds),
+base AS (
+  SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS n_events
+  FROM spine s LEFT JOIN hourly h
+    ON s.event_type = h.event_type AND s.hour = h.hour
+),
+stats AS (
+  SELECT event_type, hour, n_events,
+         SUM(n_events) OVER w AS s,
+         SUM(n_events * n_events) OVER w AS s2,
+         COUNT(*) OVER w AS m
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n_events,
+       CASE WHEN m >= 12 THEN s / m END AS trailing_mean,
+       CASE WHEN m >= 12 AND GREATEST(0.0, (s2 - s * s / m) / (m - 1)) > 0
+            THEN (n_events - s / m)
+                 / SQRT(GREATEST(0.0, (s2 - s * s / m) / (m - 1)))
+       END AS zscore,
+       COALESCE(ABS(CASE WHEN m >= 12
+                          AND GREATEST(0.0, (s2 - s * s / m) / (m - 1)) > 0
+                         THEN (n_events - s / m)
+                              / SQRT(GREATEST(0.0, (s2 - s * s / m) / (m - 1)))
+                    END) > 3, FALSE) AS is_anomaly
+FROM stats
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -455,6 +609,8 @@ QUERIES = {
     "session_purchase_join": session_purchase_join,
     "approx_event_sketches": approx_event_sketches,
     "events_hopping_1h_15m": events_hopping_1h_15m,
+    "events_gap_fill": events_gap_fill,
+    "events_hourly_anomaly": events_hourly_anomaly,
 }
 
 ORACLE_SQL = {
@@ -468,4 +624,6 @@ ORACLE_SQL = {
     "events_multigrain_rollup": _MULTIGRAIN_ORACLE,
     "session_purchase_join": _SESSION_JOIN_ORACLE,
     "events_hopping_1h_15m": _HOPPING_ORACLE,
+    "events_gap_fill": _GAP_FILL_ORACLE,
+    "events_hourly_anomaly": _ANOMALY_ORACLE,
 }
