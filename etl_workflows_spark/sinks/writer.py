@@ -54,12 +54,18 @@ def normalize_table_name(destination_table: str) -> str:
     return parts[0]
 
 
+# Columnar formats the sink speaks; both support zstd in Spark 4. (Avro
+# needs the spark-avro package — not bundled; declared out of scope.)
+SUPPORTED_FORMATS = ("parquet", "orc")
+
+
 def write_table(
     df: DataFrame,
     destination_table: str,
     append: bool = False,
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
+    file_format: str = "parquet",
 ) -> str:
     """Write ``df`` to a managed table with the requested disposition.
 
@@ -71,8 +77,14 @@ def write_table(
     (give big fact tables a date partition); ``bucket_by=(n, cols)``
     pre-shuffles data into n buckets on cols so downstream equi-joins and
     aggregations on those keys skip their shuffle entirely (both sides
-    bucketed the same way ⇒ sort-merge join with zero Exchange).
+    bucketed the same way ⇒ sort-merge join with zero Exchange);
+    ``file_format`` picks the columnar layout (parquet default, orc for
+    ORC-standardized lakes — readers get the same pushdown/pruning).
     """
+    if file_format not in SUPPORTED_FORMATS:
+        raise ValueError(
+            f"file_format must be one of {SUPPORTED_FORMATS}, got {file_format!r}"
+        )
     table = normalize_table_name(destination_table)
     spark = df.sparkSession
     if "." in table:
@@ -83,7 +95,7 @@ def write_table(
             raise CreationFailed() from e
     writer = (
         df.write.mode("append" if append else "overwrite")
-        .format("parquet")
+        .format(file_format)
         # zstd: ~30-50% smaller than snappy at comparable read speed —
         # at 100 TB the scan-time win from smaller files dominates.
         .option("compression", "zstd")
