@@ -50,6 +50,13 @@ HEADLINE = [
     "repetition_signals",
     "pack_sequences",
     "profile_documents",
+    # round-2 continuation: curation + time-series scale paths
+    "pii_redaction",
+    "decontaminate_overlap",
+    "chunk_windows",
+    "quality_gate",
+    "events_gap_fill",
+    "events_hourly_anomaly",
 ]
 
 

@@ -26,30 +26,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _token_ngrams(text_col: Column, n: int) -> Column:
-    """Distinct space-joined n-grams of a whitespace-tokenized column.
-
-    Documents with fewer than ``n`` tokens yield an empty array (callers
-    filter those out — an undersized doc has no well-defined overlap).
-    """
-    toks = F.split(text_col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    # sequence(1, k) with k < 1 counts DOWN — guard undersized docs.
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def ngram_hash_set(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:
-    """(id, gram_h) — one row per distinct n-gram per document, hashed."""
-    return df.select(
-        F.col(id_col),
-        F.explode(_token_ngrams(F.col(text_col), n)).alias("gram"),
+    """(id, gram_h) — one row per distinct n-gram per document, hashed.
+
+    n-gram windows come from n shifted slices zipped positionally (the
+    non-lambda construction — same measured codegen win as
+    text.repetition_signals' shingling); documents with fewer than ``n``
+    tokens are dropped (no well-defined overlap). Distinctness is
+    array-local (``array_distinct`` before the explode) — no shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= n
+    )
+    m = F.size("__t") - (n - 1)
+    z = F.arrays_zip(*[F.slice(F.col("__t"), j + 1, m) for j in range(n)])
+    grams = F.array_distinct(
+        F.transform(
+            z,
+            lambda s: F.concat_ws(
+                " ", *[s.getField(str(j)) for j in range(n)]
+            ),
+        )
+    )
+    return base.select(
+        F.col(id_col), F.explode(grams).alias("gram")
     ).select(id_col, F.xxhash64("gram").alias("gram_h"))
 
 
