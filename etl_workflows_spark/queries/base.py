@@ -44,22 +44,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session zone — pin it to UTC so results match the (zoneless) DuckDB
     oracle regardless of host configuration.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses to read as a timestamp; read it as a long (legacy conf) and
-    truncate to microseconds via pure NTZ arithmetic — exactly the value
-    DuckDB's reader produces, independent of any zone setting.
+    ``events.ts`` has been written two ways across testdata generations:
+    parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read as a timestamp
+    — read as long via legacy conf and truncate to micros) and plain
+    TIMESTAMP(MICROS) (reads directly as TIMESTAMP_NTZ). Detect which one
+    we got and normalize to TIMESTAMP_NTZ micros either way — exactly the
+    value DuckDB's reader produces, independent of any zone setting.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
