@@ -1,0 +1,94 @@
+"""Distributed heavy hitters: Misra-Gries candidates + exact recount.
+
+The problem at 100 TB: "which tokens / URLs / user-ids appear more than
+n/k times" — a full ``GROUP BY`` materializes every distinct key (billions
+of groups, giant shuffle) when only the ≤ k heavy keys are wanted.
+
+The classic two-pass fix (Misra & Gries 1982; merged summaries per
+Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+1. **Candidate pass** — each partition keeps a k-counter Misra-Gries
+   summary (``mapInPandas``, Arrow-batched, O(k) memory). By the standard
+   averaging argument, any key with GLOBAL frequency > n/k exceeds its
+   partition quota n_p/k in at least one partition, so the union of
+   per-partition survivors is a superset of every true heavy hitter.
+   Output size is bounded by k × num_partitions, independent of n.
+2. **Exact pass** — one tiny shuffle: rows are tagged candidate/other and
+   counted per tag, giving exact candidate frequencies AND the total row
+   count in a single aggregation; the n/k threshold then filters false
+   positives.
+
+Result: exact counts, exact threshold semantics (``freq * k > n``), but
+the only wide operation is a groupBy over ≤ k × partitions keys instead of
+every distinct key in the corpus. No reference counterpart (net-new per
+SURVEY.md §2.7's north-star mandate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Per-partition Misra-Gries survivors: ≤ k candidate values per
+    partition, guaranteed to include every value with global frequency
+    > n/k. Deterministic (counter algebra has no randomness)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    field = df.schema[col]
+    out_schema = T.StructType([field])
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            # NULLs are excluded from the summary (a NULL "key" is junk
+            # data, not a heavy hitter — filter it upstream if frequent)
+            for v in pdf[col].dropna():
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Exact frequencies of every value occurring more than n/k times.
+
+    Returns (col, freq) with exact counts, containing EXACTLY the set
+    ``{v : freq(v) * k > n}`` — the Misra-Gries pass only bounds the
+    candidate set; the final filter is exact, so the result is
+    deterministic and SQL-oracle-checkable despite the sketch inside.
+
+    Cost: one narrow candidate pass + ONE aggregation whose key space is
+    ≤ k × num_partitions + 1 (the "other" bucket), never the full distinct
+    key space.
+    """
+    cands = [r[0] for r in misra_gries_candidates(df, col, k).distinct().collect()]
+    # Tag rows as their candidate value or NULL, count per tag: exact
+    # candidate frequencies and (via the grand total) n, one shuffle.
+    tagged = df.select(
+        F.when(F.col(col).isin(cands), F.col(col)).alias("__cand")
+    )
+    counts = tagged.groupBy("__cand").agg(F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").alias("n")).collect()[0]["n"] or 0
+    return (
+        counts.filter(F.col("__cand").isNotNull())
+        .filter(F.col("freq") * k > F.lit(total))
+        .select(F.col("__cand").alias(col), "freq")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from etl_workflows_spark.operators import (
     decontam,
     dedup,
+    frequency,
     packing,
     pii,
     sampling,
@@ -674,6 +675,30 @@ FROM r
 """
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens appearing more than n/k times, via the Misra-Gries two-pass
+    operator (operators/frequency.py). The sketch bounds the candidate
+    set; the final counts and threshold are exact, so this hash-matches a
+    plain GROUP BY ... HAVING oracle while never shuffling the full
+    vocabulary."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(text.tokens(F.col("text"))).alias("token"))
+    )
+    return frequency.heavy_hitters(toks, "token", k=200)
+
+
+_HEAVY_HITTER_ORACLE = """
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS freq
+FROM tok
+GROUP BY token
+HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM tok)
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -703,6 +728,7 @@ QUERIES = {
     "decontaminate_overlap": decontaminate_overlap,
     "chunk_windows": chunk_windows,
     "quality_gate": quality_gate,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
 }
 
 ORACLE_SQL = {
@@ -730,5 +756,6 @@ ORACLE_SQL = {
     "decontaminate_overlap": _DECONTAM_ORACLE,
     "chunk_windows": _CHUNK_ORACLE,
     "quality_gate": _GATE_ORACLE,
+    "heavy_hitter_tokens": _HEAVY_HITTER_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -1,0 +1,75 @@
+"""Heavy hitters: Misra-Gries candidate guarantee + exact final set.
+
+The operator's contract is exactness-despite-sketch: the candidate pass
+may overshoot but never undershoot, and the final output equals a plain
+GROUP BY ... HAVING freq*k > n on any input. Verified here against a
+skewed synthetic distribution and the documents corpus.
+"""
+
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.frequency import (
+    heavy_hitters,
+    misra_gries_candidates,
+)
+from etl_workflows_spark.queries.base import table
+
+
+def _exact_heavy(df, col, k):
+    n = df.count()
+    rows = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * k > F.lit(n))
+        .collect()
+    )
+    return {(r[col], r["freq"]) for r in rows}
+
+
+def test_heavy_hitters_matches_exact_on_skewed_data(spark):
+    # zipf-ish: value v appears ~ 3000/v times; many singletons as noise
+    rows = [(v,) for v in range(1, 60) for _ in range(3000 // v)]
+    rows += [(1000 + i,) for i in range(2000)]  # long tail of uniques
+    df = spark.createDataFrame(rows, "v long").repartition(8)
+    for k in (5, 20, 100):
+        got = {(r["v"], r["freq"]) for r in heavy_hitters(df, "v", k).collect()}
+        assert got == _exact_heavy(df, "v", k), f"k={k}"
+
+
+def test_candidate_superset_guarantee(spark):
+    rows = [(v,) for v in range(1, 40) for _ in range(2000 // v)]
+    df = spark.createDataFrame(rows, "v long").repartition(16)
+    k = 10
+    n = df.count()
+    true_heavy = {
+        r["v"]
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") * k > F.lit(n))
+        .collect()
+    }
+    cands = {r["v"] for r in misra_gries_candidates(df, "v", k).collect()}
+    assert true_heavy <= cands
+    # the whole point: candidate set is bounded, not the full key space
+    assert len(cands) <= k * df.rdd.getNumPartitions()
+
+
+def test_heavy_hitters_excludes_nulls_and_empty_result(spark):
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), ("c",), ("d",)], "v string"
+    )
+    # every non-null value has freq 1; with k=2, n=5, need freq*2 > 5 → none
+    assert heavy_hitters(df, "v", 2).count() == 0
+
+
+def test_heavy_hitter_tokens_on_documents(spark, sf_dir):
+    from etl_workflows_spark.queries.llm import heavy_hitter_tokens
+
+    out = heavy_hitter_tokens(spark, sf_dir)
+    assert out.columns == ["token", "freq"]
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    assert {(r["token"], r["freq"]) for r in out.collect()} == _exact_heavy(
+        toks, "token", 200
+    )
