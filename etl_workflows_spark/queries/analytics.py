@@ -597,6 +597,64 @@ FROM stats
 """
 
 
+def zorder_keys_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) curve key over (p_size, price-cents) — the layout
+    key behind sinks/layout.py's multi-dimensional clustering, computed
+    with integer-only arithmetic so the value is engine-portable and
+    oracle-checkable bit for bit.
+
+    Shape: one tiny stats agg broadcast back over the scan (no shuffle of
+    the fact side); the interleave itself is pure shift/or codegen.
+    """
+    from etl_workflows_spark.sinks.layout import interleave_bits
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("s"),
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("v"),
+    )
+    st = p.agg(
+        F.min("s").alias("mns"),
+        F.max("s").alias("mxs"),
+        F.min("v").alias("mnv"),
+        F.max("v").alias("mxv"),
+    )
+    sc = p.crossJoin(F.broadcast(st)).select(
+        "p_partkey",
+        F.expr("((s - mns) * 255) div (mxs - mns)").alias("ss"),
+        F.expr("((v - mnv) * 255) div (mxv - mnv)").alias("sv"),
+    )
+    return sc.select(
+        "p_partkey",
+        interleave_bits([F.col("ss"), F.col("sv")], 8).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    # exact mirror of interleave_bits([ss, sv], 8): bit b of ss lands at
+    # position 2b, bit b of sv at 2b+1
+    terms = []
+    for b in range(8):
+        terms.append(f"(((ss >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((sv >> {b}) & 1) << {2 * b + 1})")
+    z = " | ".join(terms)
+    return f"""
+WITH c AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS s,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS v
+  FROM part
+), st AS (
+  SELECT MIN(s) AS mns, MAX(s) AS mxs, MIN(v) AS mnv, MAX(v) AS mxv FROM c
+), sc AS (
+  SELECT p_partkey,
+         ((s - mns) * 255) // (mxs - mns) AS ss,
+         ((v - mnv) * 255) // (mxv - mnv) AS sv
+  FROM c, st
+)
+SELECT p_partkey, {z} AS zkey FROM sc
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -611,6 +669,7 @@ QUERIES = {
     "events_hopping_1h_15m": events_hopping_1h_15m,
     "events_gap_fill": events_gap_fill,
     "events_hourly_anomaly": events_hourly_anomaly,
+    "zorder_keys_parts": zorder_keys_parts,
 }
 
 ORACLE_SQL = {
@@ -626,4 +685,5 @@ ORACLE_SQL = {
     "events_hopping_1h_15m": _HOPPING_ORACLE,
     "events_gap_fill": _GAP_FILL_ORACLE,
     "events_hourly_anomaly": _ANOMALY_ORACLE,
+    "zorder_keys_parts": _zorder_oracle(),
 }
