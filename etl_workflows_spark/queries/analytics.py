@@ -655,6 +655,38 @@ SELECT p_partkey, {z} AS zkey FROM sc
 """
 
 
+def attribution_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the stream-stream attribution join
+    (streaming/joins.py): purchases joined to the same user's views in the
+    preceding hour. The identical function body runs on two readStream
+    inputs with bounded state — test_streaming proves stream/batch parity;
+    this entry proves value-exactness against the SQL oracle."""
+    from etl_workflows_spark.streaming.joins import attribution_join
+
+    ev = table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT p.user_id,
+       v.event_id AS trigger_id,
+       v.ts AS trigger_ts,
+       p.event_id AS conversion_id,
+       p.ts AS conversion_ts,
+       p.value
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+  AND v.event_type = 'view'
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -670,6 +702,7 @@ QUERIES = {
     "events_gap_fill": events_gap_fill,
     "events_hourly_anomaly": events_hourly_anomaly,
     "zorder_keys_parts": zorder_keys_parts,
+    "attribution_view_purchase": attribution_view_purchase,
 }
 
 ORACLE_SQL = {
@@ -686,4 +719,5 @@ ORACLE_SQL = {
     "events_gap_fill": _GAP_FILL_ORACLE,
     "events_hourly_anomaly": _ANOMALY_ORACLE,
     "zorder_keys_parts": _zorder_oracle(),
+    "attribution_view_purchase": _ATTRIBUTION_ORACLE,
 }
