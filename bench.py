@@ -57,6 +57,11 @@ HEADLINE = [
     "quality_gate",
     "events_gap_fill",
     "events_hourly_anomaly",
+    # round-3 scale paths: sketch-bounded frequent items, layout-key
+    # computation, stream-stream attribution shape (batch twin)
+    "heavy_hitter_tokens",
+    "zorder_keys_parts",
+    "attribution_view_purchase",
 ]
 
 

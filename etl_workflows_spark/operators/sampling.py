@@ -111,3 +111,35 @@ def assign_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group frequency cap: keep at most ``n`` rows per
+    group (e.g. ≤ N documents per domain/source — the anti-domination
+    rule of web-corpus curation).
+
+    Selection is by the corpus-contract content hash (``salted_hash``),
+    key-tie-broken — a pure function of (key, salt), so re-runs and
+    corpus growth never swap previously kept rows for unrelated ones,
+    and which rows survive is independent of physical row order.
+
+    Scale: one shuffle on ``group_col``; rank-within-group is the same
+    window machinery as any top-k — no driver-side state.
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    from pyspark.sql.window import Window
+
+    h = _hash8(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -314,3 +314,50 @@ def winnow_fingerprints(
         .select("doc_id", grams.alias("__h"))
         .select("doc_id", F.explode(mins).alias("fp"))
     )
+
+
+def bigram_collocations(
+    docs: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Corpus collocation mining: bigram counts + pointwise lift.
+
+    ``lift = p(xy) / (p(x)·p(y))`` — the PMI argument without the log
+    (monotone in PMI, so ranking is identical, and it stays inside
+    cross-engine-deterministic IEEE arithmetic: integer counts, one
+    multiply/divide chain — no transcendentals, per the determinism rules
+    in queries/base.py).
+
+    Scale shape: bigrams come from ``slice``+``arrays_zip`` (non-lambda
+    builtins, codegen) exactly like the shingle path in dedup.py; two
+    vocabulary-sized aggregations and two key joins AFTER the min_count
+    filter has shrunk the bigram side — the joins carry surviving
+    bigrams, not the corpus.
+    """
+    toks = F.split(F.col(text_col), TOKEN_SPLIT_RE)
+    t = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
+    m = F.size("t") - 1
+    z = F.arrays_zip(F.slice(F.col("t"), 1, m), F.slice(F.col("t"), 2, m))
+    pairs = t.select(F.explode(z).alias("p")).select(
+        F.concat_ws(" ", F.col("p")["0"], F.col("p")["1"]).alias("bigram")
+    )
+    uni = docs.select(F.explode(toks).alias("w"))
+    # corpus totals: exact integers, stable under any execution order
+    nu = float(uni.count())
+    nb = float(pairs.count())
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bcnt = (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+    )
+    out = (
+        bcnt.join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+    )
+    lift = (
+        F.col("c_xy").cast("double") * F.lit(nu) * F.lit(nu)
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double") * F.lit(nb))
+    )
+    return out.select("bigram", "c_xy", "c_x", "c_y", lift.alias("lift"))

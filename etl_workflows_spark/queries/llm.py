@@ -699,6 +699,62 @@ HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM tok)
 """
 
 
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: ≤ 10 documents per source, selected by the
+    corpus-contract content hash (operators/sampling.py:cap_per_group) so
+    the kept set is stable under re-runs and corpus growth."""
+    return sampling.cap_per_group(
+        table(spark, sf_dir, "documents"), "source", 10
+    ).select("doc_id", "source")
+
+
+_PER_SOURCE_CAP_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 10
+"""
+
+
+def bigram_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the documents corpus (operators/text.py):
+    bigram counts with pointwise lift, min_count=5."""
+    return text.bigram_collocations(table(spark, sf_dir, "documents"))
+
+
+_BIGRAM_ORACLE = """
+WITH t AS (
+  SELECT STRING_SPLIT(text, ' ') AS toks FROM documents
+), big AS (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE LEN(toks) >= 2
+), uni AS (
+  SELECT UNNEST(toks) AS w FROM t
+), ucnt AS (
+  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+), bcnt AS (
+  SELECT bigram, COUNT(*) AS c_xy FROM big GROUP BY bigram
+  HAVING COUNT(*) >= 5
+)
+SELECT b.bigram, b.c_xy, x.c AS c_x, y.c AS c_y,
+       CAST(b.c_xy AS DOUBLE)
+         * CAST((SELECT COUNT(*) FROM uni) AS DOUBLE)
+         * CAST((SELECT COUNT(*) FROM uni) AS DOUBLE)
+         / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE)
+            * CAST((SELECT COUNT(*) FROM big) AS DOUBLE)) AS lift
+FROM bcnt b
+JOIN ucnt x ON x.w = SPLIT_PART(b.bigram, ' ', 1)
+JOIN ucnt y ON y.w = SPLIT_PART(b.bigram, ' ', 2)
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -729,6 +785,8 @@ QUERIES = {
     "chunk_windows": chunk_windows,
     "quality_gate": quality_gate,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "per_source_cap": per_source_cap,
+    "bigram_collocations": bigram_collocations_docs,
 }
 
 ORACLE_SQL = {
@@ -757,5 +815,7 @@ ORACLE_SQL = {
     "chunk_windows": _CHUNK_ORACLE,
     "quality_gate": _GATE_ORACLE,
     "heavy_hitter_tokens": _HEAVY_HITTER_ORACLE,
+    "per_source_cap": _PER_SOURCE_CAP_ORACLE,
+    "bigram_collocations": _BIGRAM_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

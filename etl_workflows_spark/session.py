@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow batches for every Python<->JVM exchange (Pandas UDFs etc.).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime row-level join pruning: when one side of a shuffle join
+        # is selective, inject a bloom filter of its join keys into the
+        # other side's scan — at 100 TB this turns "shuffle the whole
+        # fact table" into "shuffle the ~matching fraction". Pin it on
+        # explicitly (engine contract, not a default we inherit).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Deterministic timestamps regardless of host TZ.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

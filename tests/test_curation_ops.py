@@ -1,0 +1,55 @@
+"""Per-group frequency cap + bigram collocations: determinism and
+growth-stability contracts."""
+
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.sampling import cap_per_group
+from etl_workflows_spark.operators.text import bigram_collocations
+from etl_workflows_spark.queries.base import table
+
+
+def test_cap_per_group_binds_and_is_stable(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", 5)
+    per_src = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_src and all(n <= 5 for n in per_src.values())
+    # deterministic: identical kept set on re-run
+    a = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    b = {r["doc_id"] for r in cap_per_group(docs, "source", 5).select("doc_id").collect()}
+    assert a == b
+
+
+def test_cap_per_group_growth_stability(spark):
+    """Adding new rows must never evict a previously kept row unless the
+    new row hashes ahead of it — kept sets only shrink by displacement,
+    and rows that remain in the top-n stay kept."""
+    base = spark.createDataFrame(
+        [(i, "g") for i in range(20)], "doc_id long, source string"
+    )
+    grown = spark.createDataFrame(
+        [(i, "g") for i in range(40)], "doc_id long, source string"
+    )
+    keep_base = {r["doc_id"] for r in cap_per_group(base, "source", 5).collect()}
+    keep_grown = {r["doc_id"] for r in cap_per_group(grown, "source", 5).collect()}
+    # hash order is a pure function of doc_id: the grown corpus's top-5
+    # restricted to old ids must be a subset of the old top-5
+    assert keep_grown & set(range(20)) <= keep_base
+
+
+def test_bigram_collocations_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r["bigram"]: r for r in bigram_collocations(docs, min_count=2).collect()}
+    # "a b" occurs 4x (2 in doc1, 1 each in docs 2,3); everything else < 2
+    assert set(out) == {"a b"}
+    r = out["a b"]
+    assert r["c_xy"] == 4
+    assert r["c_x"] == 4  # 'a': 2 in doc1, 1 each in docs 2 and 3
+    assert r["c_y"] == 4
+    # lift = c_xy * nu^2 / (c_x * c_y * nb): nu=11 tokens, nb=8 bigrams
+    assert abs(r["lift"] - (4 * 11 * 11) / (4 * 4 * 8)) < 1e-12
