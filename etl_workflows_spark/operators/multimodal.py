@@ -394,3 +394,118 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         F.col("image.data").alias("data"),
     )
     return flat.mapInPandas(kernel, schema=_RESIZED_SCHEMA)
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("origin", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """64-bit perceptual hash (pHash) per image: grayscale → 32×32
+    nearest-neighbor downsample → 2-D DCT-II → low-frequency 8×8 block
+    (DC excluded) thresholded at its median.
+
+    Input is the JVM-decoded ``read_images`` schema (BGR(A) bytes) — the
+    Python side does pure numpy math on pixels the JVM already decoded,
+    Arrow-batched, no codec libraries. The DCT is an explicit cosine-basis
+    matrix multiply (no scipy dependency), deterministic across runs.
+
+    Near-duplicate images (re-encodes, small edits, resizes) hash within
+    a few bits of each other; pair them with ``image_near_dup_pairs``.
+    """
+    import numpy as np
+
+    def _dct_mat(n: int) -> "np.ndarray":
+        k = np.arange(n).reshape(-1, 1)
+        i = np.arange(n).reshape(1, -1)
+        return np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+
+    D = _dct_mat(32)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for origin, w, h, nch, data in zip(
+                pdf["origin"], pdf["width"], pdf["height"], pdf["nChannels"], pdf["data"]
+            ):
+                if data is None or w is None or h is None or not w or not h:
+                    out.append((origin, None))
+                    continue
+                arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, nch)
+                gray = arr[:, :, : min(3, nch)].mean(axis=2)
+                ys = (np.arange(32) * h) // 32
+                xs = (np.arange(32) * w) // 32
+                small = gray[np.ix_(ys, xs)]
+                freq = D @ small @ D.T
+                block = freq[:8, :8].flatten()[1:]  # drop DC term
+                bits = block > np.median(block)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # 63 data bits → always fits a signed long
+                out.append((origin, val))
+            yield pd.DataFrame(out, columns=["origin", "phash"])
+
+    cols = ["origin", "width", "height", "nChannels", "data"]
+    flat = images.select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.width").alias("width"),
+        F.col("image.height").alias("height"),
+        F.col("image.nChannels").alias("nChannels"),
+        F.col("image.data").alias("data"),
+    ) if "image" in images.columns else images.select(*cols)
+    return flat.mapInPandas(kernel, schema=_PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance.
+
+    Scale path mirrors SimHash text dedup (operators/dedup.py): split the
+    64-bit hash into 4 16-bit bands; by pigeonhole, any pair within
+    ``max_hamming`` ≤ 15 bits agrees on ≥ 1 band, so candidate
+    generation is a band-bucket equi-join (shuffle on short keys), never
+    an all-pairs product. Exact ``bit_count(xor)`` verifies candidates.
+
+    Returns (origin_a, origin_b, hamming), origin_a < origin_b.
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15] for 4-band pigeonhole")
+    banded = phashes.filter(F.col("phash").isNotNull()).select(
+        "origin",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("phash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("origin", "phash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.origin") < F.col("b.origin")),
+        )
+        .select(
+            F.col("a.origin").alias("origin_a"),
+            F.col("b.origin").alias("origin_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
