@@ -354,3 +354,86 @@ def quantize_embeddings(
 def dequantize(codes: Column, scale: Column) -> Column:
     """int8 codes + scale -> array<double> (q * scale / 127)."""
     return F.transform(codes, lambda q: q.cast("double") * scale / 127)
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for each corpus vector,
+    its maximum cosine to ANY benchmark vector, plus the flag
+    ``contaminated = max_cos > threshold``.
+
+    The n-gram decontaminator (operators/decontam.py) catches verbatim
+    leakage; this catches paraphrased leakage the token overlap misses.
+
+    Shape: benchmark sets are tiny next to the corpus, so the benchmark
+    side is broadcast — the corpus is scanned once, map-side, and partial
+    aggregation collapses the per-(corpus × bench) products to one row
+    per corpus vector before the exchange. Exact and deterministic
+    (fixed-order float sums per pair, max over pairs) → oracle-checkable.
+    """
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    b = benchmark.select(F.col(vec_col).alias("bv"))
+    return (
+        c.crossJoin(F.broadcast(b))
+        .groupBy("cid")
+        .agg(F.max(cosine(F.col("cv"), F.col("bv"))).alias("max_cos_bench"))
+        .select(
+            F.col("cid").alias(id_col),
+            "max_cos_bench",
+            (F.col("max_cos_bench") > F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def semantic_contamination_fast(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shuffle-free twin of ``semantic_contamination``: the benchmark is
+    collected to a (small) matrix and every corpus partition computes its
+    max-cosine block with ONE numpy matmul per Arrow batch — no
+    per-pair row explosion, no shuffle at all, linear scan of the corpus.
+
+    Same output contract as the exact operator (verified in tests); use
+    this one at scale, the relational twin as the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    bench = np.array(
+        [row[0] for row in benchmark.select(vec_col).collect()], dtype=np.float64
+    )
+    bn = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+    id_field = corpus.schema[id_col]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("max_cos_bench", T.DoubleType(), True),
+            T.StructField("contaminated", T.BooleanType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            mx = (vn @ bn.T).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_cos_bench": mx,
+                    "contaminated": mx > threshold,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema=schema)

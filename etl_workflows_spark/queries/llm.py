@@ -755,6 +755,36 @@ JOIN ucnt y ON y.w = SPLIT_PART(b.bigram, ' ', 2)
 """
 
 
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus = label != 0 vectors,
+    benchmark = label 0 vectors; max cosine of each corpus vector to the
+    benchmark set (operators/similarity.py:semantic_contamination — the
+    broadcast/map-side exact twin; the matmul fast path is equality-
+    tested in test_llm_ops)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination(
+        emb.filter(F.col("label") != 0),
+        emb.filter(F.col("label") == 0),
+        threshold=0.8,
+    )
+
+
+_SEMANTIC_DECONTAM_ORACLE = (
+    _VEC_CTE
+    + f""",
+c AS (SELECT e.vec_id, e.v FROM e JOIN embeddings em USING (vec_id) WHERE em.label <> 0),
+b AS (SELECT e.v AS bv FROM e JOIN embeddings em USING (vec_id) WHERE em.label = 0),
+m AS (
+  SELECT c.vec_id,
+         MAX({_DOT.format(a='c.v', b='b.bv')}
+             / ({_NORM.format(a='c.v')} * {_NORM.format(a='b.bv')})) AS max_cos_bench
+  FROM c, b GROUP BY c.vec_id
+)
+SELECT vec_id, max_cos_bench, max_cos_bench > 0.8 AS contaminated FROM m
+"""
+)
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -787,6 +817,7 @@ QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "per_source_cap": per_source_cap,
     "bigram_collocations": bigram_collocations_docs,
+    "semantic_decontam": semantic_decontam,
 }
 
 ORACLE_SQL = {
@@ -817,5 +848,6 @@ ORACLE_SQL = {
     "heavy_hitter_tokens": _HEAVY_HITTER_ORACLE,
     "per_source_cap": _PER_SOURCE_CAP_ORACLE,
     "bigram_collocations": _BIGRAM_ORACLE,
+    "semantic_decontam": _SEMANTIC_DECONTAM_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

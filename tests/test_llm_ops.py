@@ -283,3 +283,30 @@ def test_quantize_zero_vector_survives(spark):
     assert rows[0]["scale"] == 0.0
     assert rows[0]["codes"] == [0, 0, 0]
     assert rows[1]["codes"] == [64, -127, 32]
+
+
+def test_semantic_contamination_fast_matches_exact(spark, sf_dir):
+    """The shuffle-free matmul path must agree with the relational exact
+    twin on ids, flags, and max-cos values (to float tolerance)."""
+    from etl_workflows_spark.operators.similarity import (
+        semantic_contamination,
+        semantic_contamination_fast,
+    )
+    from etl_workflows_spark.queries.base import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") != 0)
+    bench = emb.filter(F.col("label") == 0)
+    exact = {
+        r["vec_id"]: r for r in semantic_contamination(corpus, bench, 0.8).collect()
+    }
+    fast = {
+        r["vec_id"]: r
+        for r in semantic_contamination_fast(corpus, bench, 0.8).collect()
+    }
+    assert set(exact) == set(fast) and exact
+    for vid, e in exact.items():
+        f = fast[vid]
+        assert abs(e["max_cos_bench"] - f["max_cos_bench"]) < 1e-9
+        assert e["contaminated"] == f["contaminated"]
