@@ -1,0 +1,100 @@
+"""MERGE INTO (upsert) for managed parquet tables, partition-pruned.
+
+The warehouse op the reference's append/truncate dispositions can't
+express: "update matched rows, insert new ones, leave the rest alone".
+Plain parquet has no transaction log, so MERGE must rewrite data — the
+scale question is *how much*. Two paths:
+
+* **Partitioned target** (the 100 TB path): only partitions that contain
+  a source key are rewritten. Affected partition values come from the
+  (small) source side; the target scan is partition-pruned to them; the
+  write uses dynamic partition overwrite so untouched partitions are
+  never read or written. Cost scales with the touched slice, not the
+  table.
+* **Unpartitioned target**: full rewrite through a staging table + the
+  same catalog swap compaction uses (overwrite-in-place would fail —
+  Spark refuses to overwrite a table from a plan that reads it).
+
+With Delta/Iceberg this operation becomes the native ``MERGE INTO``; the
+semantics here (update-all-matched-columns, insert-unmatched) match that
+statement's most common form, so pipelines written against this operator
+port directly.
+
+Reference parity: none — net-new (SURVEY.md §2.3 covers only W2/W3
+dispositions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> dict[str, int]:
+    """Upsert ``source`` into ``target_table`` on ``key_cols``.
+
+    Matched target rows are replaced by their source row; unmatched
+    source rows are inserted; unmatched target rows are untouched. If the
+    source has several rows per key, the statement is ambiguous — raises
+    ValueError (same contract as SQL MERGE's cardinality check).
+
+    Returns ``{"matched": n, "inserted": n, "partitions_rewritten": n}``
+    (partitions_rewritten = -1 for the unpartitioned full rewrite).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    target = spark.table(target_table)
+    if set(source.columns) != set(target.columns):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} must match target "
+            f"{sorted(target.columns)}"
+        )
+    dupes = (
+        source.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
+    )
+    if dupes.limit(1).count():
+        raise ValueError("source has multiple rows per merge key (ambiguous MERGE)")
+
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(target_table) if c.isPartition
+    ]
+    src = source.localCheckpoint(eager=True)  # cut lineage; it's read 3×
+    keys = src.select(*key_cols)
+    matched = target.join(F.broadcast(keys), key_cols, "leftsemi").count()
+    inserted = src.count() - matched
+
+    # align column order with the target for the union/write
+    src_aligned = src.select(*target.columns)
+
+    if part_cols:
+        # the partitions MERGE is allowed to touch, from the small side
+        pvals = src.select(*part_cols).distinct()
+        affected = target.join(F.broadcast(pvals), part_cols, "leftsemi")
+        survivors = affected.join(F.broadcast(keys), key_cols, "leftanti")
+        merged = survivors.select(*target.columns).unionByName(src_aligned)
+        # survivors reads the target; materialize before overwriting it
+        merged = merged.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").insertInto(target_table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return {
+            "matched": matched,
+            "inserted": inserted,
+            "partitions_rewritten": pvals.count(),
+        }
+
+    survivors = target.join(F.broadcast(keys), key_cols, "leftanti")
+    merged = survivors.select(*target.columns).unionByName(src_aligned)
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").saveAsTable(f"{target_table}__merge_staging")
+    spark.sql(f"DROP TABLE {target_table}")
+    spark.sql(f"ALTER TABLE {target_table}__merge_staging RENAME TO {target_table}")
+    return {"matched": matched, "inserted": inserted, "partitions_rewritten": -1}
