@@ -687,6 +687,22 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def events_distinct_hll_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type over the full range, answered from
+    per-day mergeable HLL sketches (operators/sketch_rollup.py) — the
+    any-range-without-rescanning path. Approximate by contract → rows-only
+    check; error bounds and mergeability are pinned in
+    test_sketch_rollup."""
+    from etl_workflows_spark.operators.sketch_rollup import (
+        daily_distinct_sketches,
+        estimate_range,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sk = daily_distinct_sketches(ev, dims=["event_type"])
+    return estimate_range(sk, "1990-01-01", "2100-01-01", dims=["event_type"])
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -703,6 +719,7 @@ QUERIES = {
     "events_hourly_anomaly": events_hourly_anomaly,
     "zorder_keys_parts": zorder_keys_parts,
     "attribution_view_purchase": attribution_view_purchase,
+    "events_distinct_hll_range": events_distinct_hll_range,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,79 @@
+"""HLL sketch rollups: error bounds vs exact, mergeability (union of
+daily sketches ≈ direct sketch of the range), parquet round-trip, and
+incremental append semantics."""
+
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.sketch_rollup import (
+    daily_distinct_sketches,
+    estimate_range,
+)
+from etl_workflows_spark.queries.base import table
+
+
+def _events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def test_range_estimate_within_hll_error(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    days = ev.select(F.date_trunc("day", "ts").alias("d")).distinct().orderBy("d")
+    dvals = [r["d"] for r in days.collect()]
+    start, end = str(dvals[0]), str(dvals[len(dvals) // 2])
+
+    sk = daily_distinct_sketches(ev, dims=["event_type"])
+    est = {
+        r["event_type"]: r["distinct_est"]
+        for r in estimate_range(sk, start, end, dims=["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(
+            (F.date_trunc("day", "ts") >= F.lit(start).cast("timestamp_ntz"))
+            & (F.date_trunc("day", "ts") <= F.lit(end).cast("timestamp_ntz"))
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, ex in exact.items():
+        # lg_k=12 ⇒ rse ~1.6%; allow 5 sigma + small-count slack
+        assert abs(est[et] - ex) <= max(5, 0.08 * ex), (et, est[et], ex)
+
+
+def test_mergeability_union_equals_direct(spark, sf_dir):
+    """Union-of-daily-sketches must estimate the same as one sketch built
+    directly over the whole range — the property that makes the rollup
+    re-aggregable across grains."""
+    ev = _events(spark, sf_dir)
+    sk = daily_distinct_sketches(ev)
+    merged = estimate_range(sk, "1990-01-01", "2100-01-01").collect()[0][
+        "distinct_est"
+    ]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+    ).collect()[0][0]
+    assert abs(merged - direct) <= 0.01 * max(merged, direct)
+
+
+def test_sketches_survive_parquet_and_incremental_append(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    days = sorted(
+        r["d"] for r in ev.select(F.date_trunc("day", "ts").alias("d")).distinct().collect()
+    )
+    cut = days[len(days) // 2]
+    old, new = ev.filter(F.date_trunc("day", "ts") <= F.lit(cut)), ev.filter(
+        F.date_trunc("day", "ts") > F.lit(cut)
+    )
+    path = str(tmp_path / "sk")
+    daily_distinct_sketches(old).write.parquet(path)
+    # a new day arrives: append only its sketches (incremental maintenance)
+    daily_distinct_sketches(new).write.mode("append").parquet(path)
+    stored = spark.read.parquet(path)
+    assert stored.count() == len(days)
+    est = estimate_range(stored, "1990-01-01", "2100-01-01").collect()[0][
+        "distinct_est"
+    ]
+    exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(est - exact) <= max(5, 0.08 * exact)
