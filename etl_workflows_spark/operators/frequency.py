@@ -92,3 +92,80 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
         .filter(F.col("freq") * k > F.lit(total))
         .select(F.col("__cand").alias(col), "freq")
     )
+
+
+def _batch_candidate_counts(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact within-batch counts of the batch's Misra-Gries candidates:
+    (value, count) with ≤ k × partitions rows."""
+    cands = [r[0] for r in misra_gries_candidates(df, col, k).distinct().collect()]
+    return (
+        df.select(F.when(F.col(col).isin(cands), F.col(col)).alias(col))
+        .filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def merge_mg_summaries(a: DataFrame, b: DataFrame, col: str, k: int) -> DataFrame:
+    """Merge two Misra-Gries-style (value, freq) summaries into one of
+    size ≤ k, per the mergeable-summaries construction (Agarwal et al.,
+    PODS 2012): add counts, then subtract the (k+1)-largest count from
+    every counter and drop non-positives. Each merge adds ≤ n_b/k
+    undercount; the global bound stays freq_true - freq_stored ≤ n/k.
+    """
+    u = (
+        a.unionByName(b)
+        .groupBy(col)
+        .agg(F.sum("freq").alias("freq"))
+    )
+    top = u.orderBy(F.col("freq").desc()).limit(k + 1).collect()
+    if len(top) <= k:
+        return u
+    sub = top[-1]["freq"]
+    return (
+        u.select(col, (F.col("freq") - F.lit(sub)).alias("freq"))
+        .filter(F.col("freq") > 0)
+    )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    col: str,
+    k: int,
+    state_table: str,
+    checkpoint_dir: str,
+):
+    """Frequent items over an UNBOUNDED stream with O(k) persistent state.
+
+    Each micro-batch contributes its exact candidate counts; the state
+    table is a merged Misra-Gries summary capped at k rows (a few KB
+    regardless of stream length — the table is the summary, not the
+    data). Guarantee after any prefix of length n: every value with
+    true frequency > n/k is present, with stored_freq ∈
+    [true - n/k, true].
+
+    Returns the started streaming query (AvailableNow trigger: drains
+    what exists, then stops — rerun to process new arrivals; the
+    checkpoint makes each file count exactly once).
+    """
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        summary = _batch_candidate_counts(batch_df, col, k)
+        if spark.catalog.tableExists(state_table):
+            prev = spark.table(state_table)
+            merged = merge_mg_summaries(prev, summary, col, k)
+        else:
+            merged = merge_mg_summaries(
+                summary, spark.createDataFrame([], summary.schema), col, k
+            )
+        # tiny table (≤ k rows): cut the self-read lineage, then overwrite
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            state_table
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
