@@ -1,0 +1,104 @@
+"""Stateful per-series time-series operators (the non-SQL-expressible set).
+
+EWMA and Holt double smoothing are RECURSIVE — value t depends on value
+t-1 — which no window frame can express. The Spark shape for "per-key
+sequential scan" is ``applyInPandas``: one shuffle on the series key,
+then each series is processed in event-time order inside an Arrow batch.
+State is per-series O(1); parallelism is across series — exactly how a
+1000-executor cluster wants per-entity recursions laid out (millions of
+independent series, each tiny).
+
+Complements the window-expressible time-series ops in
+queries/analytics.py (gap fill, trailing z-score): those stay in pure
+Catalyst; these pay the Arrow hop only because the recursion demands it.
+
+Reference parity: none (net-new north-star surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially weighted moving average per series, in event-time
+    order: ``s_0 = x_0; s_t = alpha·x_t + (1-alpha)·s_{t-1}`` (pandas
+    ``ewm(alpha, adjust=False)`` semantics). Output: input rows +
+    ``ewma`` column.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    schema = T.StructType(
+        list(df.select(*key_cols, ts_col, value_col).schema)
+        + [T.StructField("ewma", T.DoubleType(), True)]
+    )
+    cols = [*key_cols, ts_col, value_col]
+
+    def fn(pdf):
+        pdf = pdf[cols].sort_values(ts_col, kind="mergesort")
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 1,
+) -> DataFrame:
+    """Holt double exponential smoothing per series: level + trend state,
+    one forecast row per series ``horizon`` steps ahead.
+
+    ``l_t = α·x_t + (1-α)(l_{t-1} + b_{t-1});
+    b_t = β(l_t - l_{t-1}) + (1-β)b_{t-1};
+    forecast = l_n + horizon·b_n`` (initialized l_0 = x_0, b_0 = x_1-x_0;
+    single-point series forecast flat).
+
+    Output: key cols + n_obs, level, trend, forecast.
+    """
+    if not 0 < alpha <= 1 or not 0 <= beta <= 1:
+        raise ValueError("alpha in (0,1], beta in [0,1] required")
+    key_fields = [df.schema[k] for k in key_cols]
+    schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("n_obs", T.LongType(), False),
+            T.StructField("level", T.DoubleType(), True),
+            T.StructField("trend", T.DoubleType(), True),
+            T.StructField("forecast", T.DoubleType(), True),
+        ]
+    )
+    cols = [*key_cols, ts_col, value_col]
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf[cols].sort_values(ts_col, kind="mergesort")
+        xs = pdf[value_col].astype(float).tolist()
+        keys = [pdf[k].iloc[0] for k in key_cols]
+        if len(xs) == 1:
+            lvl, tr = xs[0], 0.0
+        else:
+            lvl, tr = xs[0], xs[1] - xs[0]
+            for x in xs[1:]:
+                prev = lvl
+                lvl = alpha * x + (1 - alpha) * (lvl + tr)
+                tr = beta * (lvl - prev) + (1 - beta) * tr
+        return pd.DataFrame(
+            [[*keys, len(xs), lvl, tr, lvl + horizon * tr]],
+            columns=[*key_cols, "n_obs", "level", "trend", "forecast"],
+        )
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)

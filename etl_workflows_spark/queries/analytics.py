@@ -703,6 +703,56 @@ def events_distinct_hll_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate_range(sk, "1990-01-01", "2100-01-01", dims=["event_type"])
 
 
+def user_journey_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: each user's event-time-ordered journey
+    as a compact initial-letter string, plus a regex subsequence match
+    (view → … → click → … → purchase).
+
+    Shape: one shuffle on user_id; the per-user ordering happens inside
+    the aggregation buffer (array_sort over (ts, event_id) structs — the
+    unique key breaks ties so the string is deterministic), then a codegen
+    regex. The regex-over-journey idiom is the poor man's MATCH_RECOGNIZE
+    and covers most funnel/path questions in one pass.
+    """
+    ev = table(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(journey.alias("journey"))
+        .select(
+            "user_id",
+            "journey",
+            F.col("journey").rlike("v.*c.*p").alias("has_funnel"),
+        )
+    )
+
+
+_JOURNEY_ORACLE = """
+SELECT user_id,
+       STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id)
+         AS journey,
+       REGEXP_MATCHES(
+         STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id),
+         'v.*c.*p') AS has_funnel
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -720,6 +770,7 @@ QUERIES = {
     "zorder_keys_parts": zorder_keys_parts,
     "attribution_view_purchase": attribution_view_purchase,
     "events_distinct_hll_range": events_distinct_hll_range,
+    "user_journey_pattern": user_journey_pattern,
 }
 
 ORACLE_SQL = {
@@ -737,4 +788,5 @@ ORACLE_SQL = {
     "events_hourly_anomaly": _ANOMALY_ORACLE,
     "zorder_keys_parts": _zorder_oracle(),
     "attribution_view_purchase": _ATTRIBUTION_ORACLE,
+    "user_journey_pattern": _JOURNEY_ORACLE,
 }

@@ -16,6 +16,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_ivf",
     "dedup_near_end_to_end",
     "approx_event_sketches",
+    "events_distinct_hll_range",
 }
 
 
