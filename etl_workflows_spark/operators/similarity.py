@@ -437,3 +437,46 @@ def semantic_contamination_fast(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Set-to-set k-NN join: for EVERY query vector, its k most-cosine-
+    similar corpus vectors. Output (query_id, neighbor_id, cos_sim, rank),
+    rank 1..k, ties broken by neighbor id — fully deterministic, so the
+    brute-force form is SQL-oracle-checkable.
+
+    Scale shape: the query side is broadcast (queries are the small side —
+    a benchmark set, a probe sample); the corpus is scanned ONCE serving
+    all queries, and the per-query top-k runs as a rank-limited window
+    (WindowGroupLimit prunes to k per query map-side before the single
+    shuffle on query_id). For corpus×corpus self-joins at 10⁸+ vectors,
+    pre-bucket with ``lsh_bucket`` / ``build_ivf_index`` and run this
+    within buckets.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("c_vec"), F.col("q_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -785,6 +785,43 @@ SELECT vec_id, max_cos_bench, max_cos_bench > 0.8 AS contaminated FROM m
 )
 
 
+def knn_join_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-to-set k-NN join (operators/similarity.py:knn_join): every
+    label-0 'benchmark' vector gets its 3 nearest label≠0 corpus
+    neighbors in ONE corpus scan — broadcast query side, WindowGroupLimit
+    top-k per query before the shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_join(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") != 0),
+        k=3,
+    )
+
+
+_KNN_JOIN_ORACLE = (
+    _VEC_CTE
+    + f""",
+q AS (SELECT e.vec_id AS query_id, e.v AS qv
+      FROM e JOIN embeddings em USING (vec_id) WHERE em.label = 0),
+c AS (SELECT e.vec_id AS neighbor_id, e.v AS cv
+      FROM e JOIN embeddings em USING (vec_id) WHERE em.label <> 0),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_DOT.format(a='c.cv', b='q.qv')}
+           / ({_NORM.format(a='c.cv')} * {_NORM.format(a='q.qv')}) AS cos_sim
+  FROM q, c
+), r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3
+"""
+)
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -818,6 +855,7 @@ QUERIES = {
     "per_source_cap": per_source_cap,
     "bigram_collocations": bigram_collocations_docs,
     "semantic_decontam": semantic_decontam,
+    "knn_join_bench": knn_join_bench,
 }
 
 ORACLE_SQL = {
@@ -849,5 +887,6 @@ ORACLE_SQL = {
     "per_source_cap": _PER_SOURCE_CAP_ORACLE,
     "bigram_collocations": _BIGRAM_ORACLE,
     "semantic_decontam": _SEMANTIC_DECONTAM_ORACLE,
+    "knn_join_bench": _KNN_JOIN_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

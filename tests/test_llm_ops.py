@@ -310,3 +310,31 @@ def test_semantic_contamination_fast_matches_exact(spark, sf_dir):
         f = fast[vid]
         assert abs(e["max_cos_bench"] - f["max_cos_bench"]) < 1e-9
         assert e["contaminated"] == f["contaminated"]
+
+
+def test_knn_join_matches_per_query_bruteforce(spark, sf_dir):
+    """knn_join's per-query neighbor lists must equal independent
+    single-query brute-force top-k for a sample of queries."""
+    from etl_workflows_spark.operators.similarity import ann_topk_bruteforce, knn_join
+    from etl_workflows_spark.queries.base import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    corpus = emb.filter(F.col("label") != 0)
+    out = knn_join(queries, corpus, k=3)
+    by_query = {}
+    for r in out.collect():
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert by_query and all(len(v) == 3 for v in by_query.values())
+
+    corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    for qid in sorted(by_query)[:3]:
+        # single-query path: all-but-self scan, so restrict to corpus ids
+        single = [
+            r["vec_id"]
+            for r in ann_topk_bruteforce(emb, query_vec_id=qid, k=3 + 60)
+            .collect()
+            if r["vec_id"] in corpus_ids
+        ][:3]
+        assert [nid for _, nid in sorted(by_query[qid])] == single
