@@ -480,3 +480,41 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of vectors per group — the chunk→document
+    pooling step of a RAG/embedding pipeline (embed overlapping chunks,
+    pool to one vector per document).
+
+    Pure built-in array algebra: ``zip_with`` running elementwise sums
+    inside the aggregation buffer, one division at the end — JVM-side,
+    no UDF, one shuffle on the group key. Assumes equal-length vectors
+    per group (embedding models emit fixed dims).
+
+    Note: float summation follows ``collect_list`` arrival order, so the
+    low bits can differ run to run (like any float SUM). Downstream
+    cosine math is insensitive to this; if bitwise reproducibility
+    matters, canonicalize chunk order first (e.g. sort by chunk id).
+    """
+    summed = df.groupBy(group_col).agg(
+        F.aggregate(
+            F.collect_list(F.col(vec_col)),
+            F.lit(None).cast("array<double>"),
+            lambda acc, v: F.when(acc.isNull(), v.cast("array<double>")).otherwise(
+                F.zip_with(acc, v.cast("array<double>"), lambda a, b: a + b)
+            ),
+        ).alias("sum_vec"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    return summed.select(
+        group_col,
+        F.transform(
+            F.col("sum_vec"), lambda x: x / F.col("n_chunks").cast("double")
+        ).alias(vec_col),
+        "n_chunks",
+    )

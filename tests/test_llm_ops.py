@@ -338,3 +338,19 @@ def test_knn_join_matches_per_query_bruteforce(spark, sf_dir):
             if r["vec_id"] in corpus_ids
         ][:3]
         assert [nid for _, nid in sorted(by_query[qid])] == single
+
+
+def test_mean_pool_embeddings(spark):
+    from etl_workflows_spark.operators.similarity import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (1, [3.0, 4.0, 5.0]),
+            (2, [10.0, 0.0, -2.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = {r["doc_id"]: r for r in mean_pool_embeddings(df, "doc_id").collect()}
+    assert out[1]["embedding"] == [2.0, 3.0, 4.0] and out[1]["n_chunks"] == 2
+    assert out[2]["embedding"] == [10.0, 0.0, -2.0] and out[2]["n_chunks"] == 1
