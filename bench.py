@@ -58,10 +58,13 @@ HEADLINE = [
     "events_gap_fill",
     "events_hourly_anomaly",
     # round-3 scale paths: sketch-bounded frequent items, layout-key
-    # computation, stream-stream attribution shape (batch twin)
+    # computation, stream-stream attribution shape (batch twin),
+    # broadcast knn join, ordered-collect sequence mining
     "heavy_hitter_tokens",
     "zorder_keys_parts",
     "attribution_view_purchase",
+    "knn_join_bench_fast",
+    "user_journey_pattern",
 ]
 
 

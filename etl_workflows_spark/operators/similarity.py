@@ -518,3 +518,67 @@ def mean_pool_embeddings(
         ).alias(vec_col),
         "n_chunks",
     )
+
+
+def knn_join_fast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path of ``knn_join``: the query side is collected to a
+    normalized matrix (small — benchmark/probe sets) and each corpus
+    Arrow batch computes its block of cosines with ONE numpy matmul,
+    keeping only per-batch top-k candidates; a final per-query window
+    over ≤ k × batches candidate rows yields the global top-k.
+
+    Same output contract as ``knn_join`` (equality-tested); the corpus is
+    scanned once with no row explosion — the shuffle carries candidates,
+    not the q×n score matrix.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    id_field = corpus.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType, True),
+            T.StructField("neighbor_id", id_field.dataType, True),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm @ cm.T  # (q, batch)
+            nb = sims.shape[1]
+            kk = min(k, nb)
+            # per-query top-k within this batch (argpartition: O(n))
+            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            nids = pdf[id_col].to_numpy()
+            for qi in range(sims.shape[0]):
+                out_q.extend([qids[qi]] * kk)
+                out_n.extend(nids[idx[qi]])
+                out_s.extend(sims[qi, idx[qi]])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

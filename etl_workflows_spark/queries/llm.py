@@ -822,6 +822,21 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3
 )
 
 
+def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of knn_join_bench: one numpy matmul per corpus Arrow
+    batch against the broadcast normalized query matrix, per-batch top-k
+    candidates, then a final window over candidates only. Equality with
+    the exact twin is pinned in test_llm_ops; float summation order
+    differs from the SQL oracle (normalized matmul), so this entry is
+    rows-only and the relational twin carries the hash check."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_join_fast(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") != 0),
+        k=3,
+    )
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -856,6 +871,7 @@ QUERIES = {
     "bigram_collocations": bigram_collocations_docs,
     "semantic_decontam": semantic_decontam,
     "knn_join_bench": knn_join_bench,
+    "knn_join_bench_fast": knn_join_bench_fast,
 }
 
 ORACLE_SQL = {

@@ -354,3 +354,27 @@ def test_mean_pool_embeddings(spark):
     out = {r["doc_id"]: r for r in mean_pool_embeddings(df, "doc_id").collect()}
     assert out[1]["embedding"] == [2.0, 3.0, 4.0] and out[1]["n_chunks"] == 2
     assert out[2]["embedding"] == [10.0, 0.0, -2.0] and out[2]["n_chunks"] == 1
+
+
+def test_knn_join_fast_matches_exact(spark, sf_dir):
+    """The matmul scale path must return the same neighbors/ranks as the
+    relational brute-force twin (cosines to float tolerance)."""
+    from etl_workflows_spark.operators.similarity import knn_join, knn_join_fast
+    from etl_workflows_spark.queries.base import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("label") == 0)
+    c = emb.filter(F.col("label") != 0)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in knn_join(q, c, k=3).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in knn_join_fast(q, c, k=3).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (nid, cs) in exact.items():
+        fnid, fcs = fast[key]
+        assert fnid == nid and abs(fcs - cs) < 1e-9

@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "dedup_near_end_to_end",
     "approx_event_sketches",
     "events_distinct_hll_range",
+    "knn_join_bench_fast",
 }
 
 
