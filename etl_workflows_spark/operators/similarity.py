@@ -582,3 +582,48 @@ def knn_join_fast(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_topk_multiprobe(
+    index: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN over a prebuilt hyperplane index: probe the
+    query's bucket AND every Hamming-distance-1 bucket (each plane's sign
+    flipped once).
+
+    The standard recall knob for sign-LSH: a true neighbor that disagrees
+    with the query on exactly one hyperplane — the dominant miss mode —
+    is recovered, at the cost of scanning (n_planes+1)× the bucket
+    volume, still ~corpus·(n_planes+1)/2^n_planes ≪ a full scan. Probes
+    are generated as a literal array and exploded against the bucketed
+    index: candidate fetch stays an equi-join, so a bucket-partitioned
+    stored index serves it with pruned scans.
+    """
+    q = index.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec"), F.col("bucket").alias("q_bucket")
+    )
+    probes = F.explode(
+        F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+    ).alias("probe")
+    q_probes = q.select("q_vec", probes)
+    return (
+        index.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q_probes), F.col("bucket") == F.col("probe"))
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

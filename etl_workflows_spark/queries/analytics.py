@@ -753,6 +753,71 @@ GROUP BY user_id
 """
 
 
+def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: slope/intercept of value over time per
+    event_type, computed from exact-decimal sufficient statistics.
+
+    Spark has regr_slope/regr_intercept, but their float partial sums are
+    order-dependent (same reason queries/base.py bans plain AVG); the
+    closed form from DECIMAL(18,2)-exact Σx, Σy, Σxy, Σx² is bitwise
+    deterministic AND cross-engine — the per-row double division at the
+    end is IEEE-identical everywhere. One shuffle, map-side partials.
+
+    x = hours since epoch (integer), y = value.
+    """
+    ev = table(spark, sf_dir, "events")
+    x = (ntz_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
+    d = ev.select(
+        "event_type",
+        x.alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    denom = n * F.col("sxx").cast("double") - sx * sx
+    slope = (n * F.col("sxy") - sx * F.col("sy")) / denom
+    return agg.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * sx) / n).alias("intercept"),
+    )
+
+
+_GROUPED_REGRESSION_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH_US(ts) / 3600000000) AS BIGINT) AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+), a AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         SUM(x * x) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM a
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -771,6 +836,7 @@ QUERIES = {
     "attribution_view_purchase": attribution_view_purchase,
     "events_distinct_hll_range": events_distinct_hll_range,
     "user_journey_pattern": user_journey_pattern,
+    "grouped_regression": grouped_regression,
 }
 
 ORACLE_SQL = {
@@ -789,4 +855,5 @@ ORACLE_SQL = {
     "zorder_keys_parts": _zorder_oracle(),
     "attribution_view_purchase": _ATTRIBUTION_ORACLE,
     "user_journey_pattern": _JOURNEY_ORACLE,
+    "grouped_regression": _GROUPED_REGRESSION_ORACLE,
 }

@@ -378,3 +378,30 @@ def test_knn_join_fast_matches_exact(spark, sf_dir):
     for key, (nid, cs) in exact.items():
         fnid, fcs = fast[key]
         assert fnid == nid and abs(fcs - cs) < 1e-9
+
+
+def test_multiprobe_improves_recall_over_single_bucket(spark, sf_dir):
+    """Hamming-1 probing must recover strictly more of the exact top-k
+    than single-bucket LSH on the same index (the whole point of the
+    knob), and candidates' cosines stay exact."""
+    from etl_workflows_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_indexed,
+        ann_topk_multiprobe,
+        build_ann_index,
+    )
+    from etl_workflows_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    index = build_ann_index(emb, dim=64, n_planes=8).localCheckpoint(eager=True)
+    k = 20
+    qids = [0, 7, 42]
+    single_recall, multi_recall = 0, 0
+    for qid in qids:
+        exact = {r["vec_id"] for r in ann_topk_bruteforce(emb, qid, k).collect()}
+        single = {r["vec_id"] for r in ann_topk_indexed(index, qid, k).collect()}
+        multi = {r["vec_id"] for r in ann_topk_multiprobe(index, qid, k).collect()}
+        assert single <= multi or len(multi) >= len(single)
+        single_recall += len(exact & single)
+        multi_recall += len(exact & multi)
+    assert multi_recall > single_recall
