@@ -361,3 +361,62 @@ def bigram_collocations(
         / (F.col("c_x").cast("double") * F.col("c_y").cast("double") * F.lit(nb))
     )
     return out.select("bigram", "c_xy", "c_x", "c_y", lift.alias("lift"))
+
+
+def _char_bigrams(c: Column) -> Column:
+    """Array of lowercase character bigrams of a string (empty for len<2)."""
+    t = F.lower(c)
+    return F.when(
+        F.length(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: F.substr(t, i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def charlm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a character-bigram language model over the corpus:
+    (bigram, logp) with add-one smoothing, logp = ln(count+1 / ctx+V).
+
+    The model is vocabulary-sized (≤ |alphabet|² rows — KBs), so scoring
+    broadcasts it; training is one explode + two vocabulary aggregations.
+    """
+    grams = docs.select(F.explode(_char_bigrams(F.col(text_col))).alias("bg"))
+    counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    ctx = counts.groupBy(F.substring("bg", 1, 1).alias("h")).agg(
+        F.sum("c").alias("hc"), F.count(F.lit(1)).alias("hv")
+    )
+    v = counts.select(F.substring("bg", 2, 1)).distinct().count()
+    return (
+        counts.join(ctx, F.substring("bg", 1, 1) == F.col("h"))
+        .select(
+            "bg",
+            F.log((F.col("c") + 1).cast("double") / (F.col("hc") + v)).alias("logp"),
+        )
+    )
+
+
+def charlm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unseen_logp: float = -12.0,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a trained model —
+    the perplexity-proxy quality signal (gibberish / wrong-charset /
+    binary-pasted docs score far below corpus-typical text).
+
+    Scale: explode doc bigrams, ONE broadcast join against the KB-sized
+    model, one groupBy doc. Unseen bigrams get a fixed floor logp.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(_char_bigrams(F.col(text_col))).alias("bg")
+    )
+    scored = grams.join(F.broadcast(model), "bg", "left").select(
+        id_col, F.coalesce(F.col("logp"), F.lit(unseen_logp)).alias("logp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("logp").alias("mean_logp"), F.count(F.lit(1)).alias("n_bigrams")
+    )

@@ -405,3 +405,29 @@ def test_multiprobe_improves_recall_over_single_bucket(spark, sf_dir):
         single_recall += len(exact & single)
         multi_recall += len(exact & multi)
     assert multi_recall > single_recall
+
+
+def test_charlm_separates_text_from_gibberish(spark, sf_dir):
+    """Corpus-trained char-bigram LM must score held-out corpus-like text
+    above character-shuffled gibberish of the same length distribution."""
+    import random
+
+    from etl_workflows_spark.operators.text import charlm_score, charlm_train
+    from etl_workflows_spark.queries.base import table
+
+    docs = table(spark, sf_dir, "documents")
+    model = charlm_train(docs).localCheckpoint(eager=True)
+
+    sample = [r["text"] for r in docs.limit(20).collect()]
+    rng = random.Random(7)
+    rows = []
+    for i, t in enumerate(sample):
+        rows.append((i, t, "real"))
+        shuffled = "".join(rng.sample(list(t), len(t)))
+        rows.append((1000 + i, shuffled, "gibberish"))
+    probe = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    scores = charlm_score(probe, model)
+    joined = {r["doc_id"]: r["mean_logp"] for r in scores.collect()}
+    real = sum(joined[i] for i in range(20)) / 20
+    gib = sum(joined[1000 + i] for i in range(20)) / 20
+    assert real > gib + 0.2, (real, gib)
