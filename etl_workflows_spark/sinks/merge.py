@@ -98,3 +98,70 @@ def merge_into(
     spark.sql(f"DROP TABLE {target_table}")
     spark.sql(f"ALTER TABLE {target_table}__merge_staging RENAME TO {target_table}")
     return {"matched": matched, "inserted": inserted, "partitions_rewritten": -1}
+
+
+def delete_from(
+    spark: SparkSession,
+    target_table: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> dict[str, int]:
+    """DELETE FROM target WHERE key IN keys — the DML twin of
+    ``merge_into`` (TPC-H RF2's shape), with the same scale posture:
+
+    * partitioned target → only partitions containing a doomed key are
+      rewritten (dynamic partition overwrite; the doomed-key partition
+      values come from the small side);
+    * unpartitioned target → staging rewrite + catalog swap.
+
+    Returns ``{"deleted": n, "partitions_rewritten": n | -1}``. Idempotent:
+    re-deleting the same keys is a no-op.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    target = spark.table(target_table)
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(target_table) if c.isPartition
+    ]
+    k = keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    deleted = target.join(F.broadcast(k), key_cols, "leftsemi").count()
+
+    if part_cols:
+        doomed_parts = (
+            target.join(F.broadcast(k), key_cols, "leftsemi")
+            .select(*part_cols)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_parts = doomed_parts.count()
+        if n_parts == 0:
+            return {"deleted": 0, "partitions_rewritten": 0}
+        affected = target.join(F.broadcast(doomed_parts), part_cols, "leftsemi")
+        survivors = affected.join(F.broadcast(k), key_cols, "leftanti").select(
+            *target.columns
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            survivors.write.mode("overwrite").insertInto(target_table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # a partition whose every row was doomed writes no files under
+        # dynamic overwrite and silently keeps its old data — rewrite it
+        # empty is impossible in this mode, so drop it via the catalog
+        for p in doomed_parts.join(
+            survivors.select(*part_cols).distinct(), part_cols, "leftanti"
+        ).collect():
+            spec = ", ".join(f"{c} = '{p[c]}'" for c in part_cols)
+            spark.sql(f"ALTER TABLE {target_table} DROP IF EXISTS PARTITION ({spec})")
+        return {"deleted": deleted, "partitions_rewritten": n_parts}
+
+    survivors = target.join(F.broadcast(k), key_cols, "leftanti").select(
+        *target.columns
+    )
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").saveAsTable(f"{target_table}__delete_staging")
+    spark.sql(f"DROP TABLE {target_table}")
+    spark.sql(f"ALTER TABLE {target_table}__delete_staging RENAME TO {target_table}")
+    return {"deleted": deleted, "partitions_rewritten": -1}

@@ -102,3 +102,51 @@ def test_merge_is_idempotent_on_rerun(spark):
     stats = merge_into(spark, "mdb.t5", src, ["k"])
     assert stats["matched"] == 2 and stats["inserted"] == 0
     assert sorted(tuple(r) for r in spark.table("mdb.t5").collect()) == first
+
+
+def test_delete_from_unpartitioned(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS mdb")
+    _mk(spark, "mdb.d1", [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")])
+    from etl_workflows_spark.sinks.merge import delete_from
+
+    keys = spark.createDataFrame([(2,), (9,)], "k long")
+    stats = delete_from(spark, "mdb.d1", keys, ["k"])
+    assert stats == {"deleted": 1, "partitions_rewritten": -1}
+    assert {r["k"] for r in spark.table("mdb.d1").collect()} == {1, 3}
+    # idempotent rerun
+    stats = delete_from(spark, "mdb.d1", keys, ["k"])
+    assert stats["deleted"] == 0
+
+
+def test_delete_from_partitioned_prunes_and_drops_emptied(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS mdb")
+    spark.sql("DROP TABLE IF EXISTS mdb.d2")
+    _mk(
+        spark,
+        "mdb.d2",
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"), (4, "d", "d3")],
+        partition_by="day",
+    )
+    import os
+
+    from etl_workflows_spark.sinks.merge import delete_from
+
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED mdb.d2")
+        .filter("col_name = 'Location'")
+        .collect()[-1]["data_type"]
+    ).replace("file:", "")
+    d3_mtimes = {
+        f: os.path.getmtime(os.path.join(loc, "day=d3", f))
+        for f in os.listdir(os.path.join(loc, "day=d3"))
+    }
+
+    # delete one row of d1 and ALL of d2 (partition becomes empty)
+    keys = spark.createDataFrame([(1,), (3,)], "k long")
+    stats = delete_from(spark, "mdb.d2", keys, ["k"])
+    assert stats["deleted"] == 2 and stats["partitions_rewritten"] == 2
+    got = {(r["k"], r["day"]) for r in spark.table("mdb.d2").collect()}
+    assert got == {(2, "d1"), (4, "d3")}
+    # untouched partition d3: bit-identical files
+    for f, m in d3_mtimes.items():
+        assert os.path.getmtime(os.path.join(loc, "day=d3", f)) == m
