@@ -818,6 +818,18 @@ FROM a
 """
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed event values per event_type series
+    (operators/timeseries.py — the recursive op no window frame can
+    express; applyInPandas per series). Rows-only: the recursion is
+    outside SQL; exactness vs pandas' own ewm is pinned in
+    test_timeseries_stateful."""
+    from etl_workflows_spark.operators.timeseries import ewma
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return ewma(ev, ["event_type"], "ts", "value", alpha=0.3)
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -837,6 +849,7 @@ QUERIES = {
     "events_distinct_hll_range": events_distinct_hll_range,
     "user_journey_pattern": user_journey_pattern,
     "grouped_regression": grouped_regression,
+    "events_ewma": events_ewma,
 }
 
 ORACLE_SQL = {

@@ -18,6 +18,7 @@ ROWS_ONLY = {
     "approx_event_sketches",
     "events_distinct_hll_range",
     "knn_join_bench_fast",
+    "events_ewma",
 }
 
 
