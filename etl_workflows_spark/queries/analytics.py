@@ -830,6 +830,44 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(ev, ["event_type"], "ts", "value", alpha=0.3)
 
 
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: 20 buckets of (near-)equal
+    row count with per-bucket bounds — the quantile-bucketing twin of the
+    equi-width `numeric_histogram`, and the statistic a CBO wants for
+    skewed columns (equal-width buckets collapse under skew; equal-depth
+    ones don't).
+
+    NTILE over (value, unique key) is deterministic; one global sort —
+    at 100 TB swap in approx percentile cut points and a range join,
+    trading exactness for no total order.
+    """
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        F.ntile(20)
+        .over(W.orderBy(F.col("o_totalprice"), F.col("o_orderkey")))
+        .alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH t AS (
+  SELECT o_totalprice,
+         CAST(NTILE(20) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+           AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM t GROUP BY bucket
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -850,6 +888,7 @@ QUERIES = {
     "user_journey_pattern": user_journey_pattern,
     "grouped_regression": grouped_regression,
     "events_ewma": events_ewma,
+    "equidepth_histogram": equidepth_histogram,
 }
 
 ORACLE_SQL = {
@@ -869,4 +908,5 @@ ORACLE_SQL = {
     "attribution_view_purchase": _ATTRIBUTION_ORACLE,
     "user_journey_pattern": _JOURNEY_ORACLE,
     "grouped_regression": _GROUPED_REGRESSION_ORACLE,
+    "equidepth_histogram": _EQUIDEPTH_ORACLE,
 }
