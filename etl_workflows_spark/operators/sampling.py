@@ -143,3 +143,40 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of exactly k rows,
+    deterministic: the Efraimidis-Spirakis exponential-sort-key scheme
+    with the corpus-contract hash as the uniform source.
+
+    Each row gets priority ``u^(1/w)`` (equivalently rank by
+    ``-ln(u)/w``) where u is its hash-uniform in (0,1); the global top-k
+    by priority is a weighted sample without replacement. Fully parallel
+    — per-row scoring plus one TakeOrderedAndProject-shaped top-k, no
+    rejection loops, no sequential pass; reruns pick the identical set
+    (pure function of key, salt, weights).
+
+    Rows with non-positive or NULL weight are excluded (never sampled).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # hash8 hex → uniform in (0,1): (int(h,16) + 0.5) / 16^8 avoids u=0
+    u = (
+        F.conv(_hash8(F.col(key_col), salt), 16, 10).cast("double") + 0.5
+    ) / F.lit(float(16**8))
+    w = F.col(weight_col).cast("double")
+    priority = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("__pri", priority)
+        .orderBy(F.col("__pri").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__pri")
+    )

@@ -90,3 +90,38 @@ def test_fraction_one_keeps_all_and_zero_keeps_none(spark):
     per_src = dict(mixed.groupBy("source").count().collect())
     all_src = dict(docs.groupBy("source").count().collect())
     assert per_src == {"0": all_src["0"]}
+
+
+def test_weighted_sample_k_deterministic_and_weight_monotone(spark):
+    """Efraimidis-Spirakis sampling: reruns are identical; across many
+    salts, a 5x-weighted stratum is included ~5x as often as the 1x
+    stratum (binomial slack)."""
+    from etl_workflows_spark.operators.sampling import weighted_sample_k
+    from pyspark.sql import functions as F
+
+    rows = [(i, 5.0 if i < 100 else 1.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    a = {r["doc_id"] for r in weighted_sample_k(df, 60, "w").collect()}
+    b = {r["doc_id"] for r in weighted_sample_k(df, 60, "w").collect()}
+    assert a == b and len(a) == 60
+
+    heavy_rate, light_rate, trials = 0, 0, 12
+    for s in range(trials):
+        got = {
+            r["doc_id"]
+            for r in weighted_sample_k(df, 60, "w", salt=f"s{s}").collect()
+        }
+        heavy_rate += len([d for d in got if d < 100])
+        light_rate += len([d for d in got if d >= 100])
+    # expected inclusion ~ w-proportional: heavy 100*5 / (100*5+500*1) = 0.5
+    # of each sample of 60 → ~30 heavy vs ~30 light per trial
+    assert heavy_rate / trials > 20, heavy_rate / trials
+    assert abs((heavy_rate + light_rate) / trials - 60) < 1e-9
+
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 2.0)], "doc_id long, w double"
+    )
+    got = {r["doc_id"] for r in weighted_sample_k(df2, 3, "w").collect()}
+    assert got == {3}
