@@ -196,3 +196,78 @@ def _parse_duration_ms(s: str) -> int:
         "day": 86_400_000,
     }[unit.rstrip("s")]
     return int(qty) * mult
+
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the batch EWMA (operators/timeseries.py): per-key
+    exponential smoothing whose state — ONE (last_ts, ewma) pair per key —
+    persists across micro-batches via ``applyInPandasWithState``.
+
+    Emits every input row with its smoothed value, in event-time order
+    within the key. Rows arriving out of order ACROSS micro-batches
+    (event time older than the state's last emitted point) are emitted
+    with null ewma rather than silently corrupting the recursion — the
+    recursion is order-defined, so late data needs an upstream
+    watermark+sort stage if it must participate.
+
+    Scale: state is O(keys), not O(events); each micro-batch shuffles
+    once on the key like the batch twin.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    key_type = events.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in pdfs:
+            for t, v in zip(pdf["__ts_ms"], pdf[value_col]):
+                rows.append((int(t), float(v)))
+        rows.sort()
+        last_ms, s = state.get if state.exists else (-(2**62), None)
+        out = []
+        for t, v in rows:
+            if t < last_ms:
+                out.append((key[0], t, v, None))  # late vs emitted state
+                continue
+            s = v if s is None else alpha * v + (1 - alpha) * s
+            last_ms = t
+            out.append((key[0], t, v, s))
+        state.update((last_ms, s if s is not None else 0.0))
+        yield pd.DataFrame(out, columns=[key_col, "ts_ms", value_col, "ewma"])
+
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(
+        "__ts_ms", (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
+    )
+    return ev.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

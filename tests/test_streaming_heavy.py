@@ -62,3 +62,51 @@ def test_streaming_heavy_hitters_multi_batch(spark, tmp_path):
     q2.awaitTermination(120)
     after = {r["v"]: r["freq"] for r in spark.table("hhdb.state").collect()}
     assert after == before
+
+
+def test_streaming_ewma_matches_batch_across_microbatches(spark, tmp_path):
+    """Per-key EWMA state must survive micro-batch boundaries: streaming
+    the series as two ordered files must reproduce the batch EWMA
+    exactly at every point."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators.timeseries import ewma
+    from etl_workflows_spark.streaming.stateful import streaming_ewma
+
+    rows = [(u, 1_600_000_000_000 + i * 60_000, float((i * 7 + u) % 11))
+            for u in (1, 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, ms long, value double").select(
+        "user_id", F.timestamp_millis(F.col("ms")).alias("ts"), "value"
+    )
+    src = tmp_path / "ewma_in"
+    src.mkdir()
+    # two time-ordered halves → two micro-batches
+    df.filter(F.col("ts") < F.timestamp_millis(F.lit(1_600_000_000_000 + 20 * 60_000))
+              ).coalesce(1).write.parquet(str(src / "a"))
+    df.filter(F.col("ts") >= F.timestamp_millis(F.lit(1_600_000_000_000 + 20 * 60_000))
+              ).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    out = streaming_ewma(stream, alpha=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["ts_ms"]): r["ewma"]
+        for r in spark.table("ewma_out").collect()
+    }
+    batch = {
+        (r["user_id"], int(r["ts"].timestamp() * 1000)): r["ewma"]
+        for r in ewma(df, ["user_id"], "ts", "value", alpha=0.3).collect()
+    }
+    assert set(streamed) == set(batch)
+    for k, v in batch.items():
+        assert abs(streamed[k] - v) < 1e-9, k
