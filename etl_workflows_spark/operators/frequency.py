@@ -79,11 +79,18 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     ≤ k × num_partitions + 1 (the "other" bucket), never the full distinct
     key space.
     """
-    cands = [r[0] for r in misra_gries_candidates(df, col, k).distinct().collect()]
-    # Tag rows as their candidate value or NULL, count per tag: exact
-    # candidate frequencies and (via the grand total) n, one shuffle.
-    tagged = df.select(
-        F.when(F.col(col).isin(cands), F.col(col)).alias("__cand")
+    cands = (
+        misra_gries_candidates(df, col, k)
+        .distinct()
+        .withColumnRenamed(col, "__cand")
+    )
+    # Tag rows as their candidate value or NULL via a broadcast left join
+    # (candidates never leave the cluster — at k × num_partitions keys an
+    # isin literal list would be a multi-million-node driver expression
+    # tree at 100 TB), then count per tag: exact candidate frequencies and
+    # (via the grand total) n, one shuffle.
+    tagged = df.select(F.col(col).alias("__v")).join(
+        F.broadcast(cands), F.col("__v") == F.col("__cand"), "left"
     )
     counts = tagged.groupBy("__cand").agg(F.count(F.lit(1)).alias("freq"))
     total = counts.agg(F.sum("freq").alias("n")).collect()[0]["n"] or 0
@@ -97,10 +104,10 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
 def _batch_candidate_counts(df: DataFrame, col: str, k: int) -> DataFrame:
     """Exact within-batch counts of the batch's Misra-Gries candidates:
     (value, count) with ≤ k × partitions rows."""
-    cands = [r[0] for r in misra_gries_candidates(df, col, k).distinct().collect()]
+    cands = misra_gries_candidates(df, col, k).distinct()
     return (
-        df.select(F.when(F.col(col).isin(cands), F.col(col)).alias(col))
-        .filter(F.col(col).isNotNull())
+        df.select(col)
+        .join(F.broadcast(cands), col, "leftsemi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("freq"))
     )

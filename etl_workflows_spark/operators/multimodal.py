@@ -462,18 +462,29 @@ def image_phash(images: DataFrame) -> DataFrame:
 
 
 def image_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate image pairs by pHash Hamming distance.
+    """Near-duplicate image pairs by pHash Hamming distance — exact recall.
 
     Scale path mirrors SimHash text dedup (operators/dedup.py): split the
-    64-bit hash into 4 16-bit bands; by pigeonhole, any pair within
-    ``max_hamming`` ≤ 15 bits agrees on ≥ 1 band, so candidate
-    generation is a band-bucket equi-join (shuffle on short keys), never
-    an all-pairs product. Exact ``bit_count(xor)`` verifies candidates.
+    64-bit hash into ``max_hamming + 1`` contiguous bands. By pigeonhole,
+    a pair differing in ≤ ``max_hamming`` bits cannot touch every one of
+    the ``max_hamming + 1`` bands, so it agrees exactly on ≥ 1 band and
+    candidate generation is a band-bucket equi-join (shuffle on short
+    keys), never an all-pairs product. Exact ``bit_count(xor)`` verifies
+    candidates, so recall is exact (no missed pairs) for any
+    ``max_hamming`` ≤ 63.
 
     Returns (origin_a, origin_b, hamming), origin_a < origin_b.
     """
-    if not 0 <= max_hamming <= 15:
-        raise ValueError("max_hamming must be in [0, 15] for 4-band pigeonhole")
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            "max_hamming must be in [0, 63]: the pigeonhole guarantee needs "
+            "max_hamming + 1 bands of >= 1 bit out of 64"
+        )
+    n_bands = max_hamming + 1
+    # Band i covers bits [i*64//n_bands, (i+1)*64//n_bands) — contiguous,
+    # disjoint, exhaustive. phash carries 63 data bits (non-negative), so
+    # arithmetic shiftright never smears a sign bit.
+    bounds = [(i * 64) // n_bands for i in range(n_bands + 1)]
     banded = phashes.filter(F.col("phash").isNotNull()).select(
         "origin",
         "phash",
@@ -482,11 +493,11 @@ def image_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftright("phash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("phash", bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("band_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band"),

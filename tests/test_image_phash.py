@@ -88,4 +88,29 @@ def test_phash_accepts_jvm_image_schema(spark, tmp_path):
 def test_near_dup_pairs_rejects_bad_threshold(spark):
     df = _img_rows(spark, [("a", _noise(1))])
     with pytest.raises(ValueError):
-        image_near_dup_pairs(image_phash(df), max_hamming=16)
+        image_near_dup_pairs(image_phash(df), max_hamming=64)
+
+
+def test_banding_finds_pairs_spread_across_quarters(spark):
+    """Regression: differing bits spread 2+2+1+1 over the four 16-bit
+    quarters defeat a fixed 4-band layout (no quarter agrees) but must
+    still be found — the band count scales with max_hamming+1."""
+    base = 0x5A5A_3C3C_0F0F_7E7E
+    # flip 6 bits: two in each of bits[0:16], bits[16:32], one in
+    # bits[32:48], one in bits[48:63]
+    flips = (1 << 0) | (1 << 7) | (1 << 17) | (1 << 29) | (1 << 40) | (1 << 60)
+    other = base ^ flips
+    assert bin(flips).count("1") == 6
+    df = spark.createDataFrame(
+        [("a", base), ("b", other)], "origin string, phash long"
+    )
+    got = {
+        (r["origin_a"], r["origin_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert got == {("a", "b"): 6}
+    # one bit past the threshold → excluded by the exact verify
+    df2 = spark.createDataFrame(
+        [("a", base), ("b", other ^ (1 << 50))], "origin string, phash long"
+    )
+    assert image_near_dup_pairs(df2, max_hamming=6).count() == 0
