@@ -413,7 +413,11 @@ def semantic_contamination_fast(
     bench = np.array(
         [row[0] for row in benchmark.select(vec_col).collect()], dtype=np.float64
     )
-    bn = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+    if bench.size == 0:
+        raise ValueError("benchmark side is empty — nothing to check against")
+    # clamp zero norms (a zero vector has cosine 0 to everything, not NaN —
+    # matches the exact twin, which yields no contamination for it)
+    bn = bench / np.maximum(np.linalg.norm(bench, axis=1, keepdims=True), 1e-12)
     id_field = corpus.schema[id_col]
     schema = T.StructType(
         [
@@ -425,8 +429,12 @@ def semantic_contamination_fast(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue
             vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
-            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            vn = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+            )
             mx = (vn @ bn.T).max(axis=1)
             yield pd.DataFrame(
                 {
@@ -544,9 +552,11 @@ def knn_join_fast(
     from pyspark.sql.window import Window
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("query side is empty — no vectors to search for")
     qids = np.array([r[0] for r in qrows])
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     id_field = corpus.schema[id_col]
     schema = T.StructType(
         [
@@ -558,8 +568,10 @@ def knn_join_fast(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue
             cm = np.array(list(pdf[vec_col]), dtype=np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
             sims = qm @ cm.T  # (q, batch)
             nb = sims.shape[1]
             kk = min(k, nb)

@@ -72,8 +72,21 @@ def merge_into(
     src_aligned = src.select(*target.columns)
 
     if part_cols:
-        # the partitions MERGE is allowed to touch, from the small side
-        pvals = src.select(*part_cols).distinct()
+        # The partitions MERGE must touch: the source's own partition
+        # values PLUS the partitions holding the OLD row of any matched
+        # key whose partition value changed in the source (source values
+        # alone would strand that row as a duplicate key). The target-side
+        # lookup is the same broadcast semi-join scan `matched` already
+        # paid for — no new asymptotic cost.
+        src_pvals = src.select(*part_cols).distinct()
+        tgt_pvals = (
+            target.join(F.broadcast(keys), key_cols, "leftsemi")
+            .select(*part_cols)
+            .distinct()
+        )
+        pvals = (
+            src_pvals.unionByName(tgt_pvals).distinct().localCheckpoint(eager=True)
+        )
         affected = target.join(F.broadcast(pvals), part_cols, "leftsemi")
         survivors = affected.join(F.broadcast(keys), key_cols, "leftanti")
         merged = survivors.select(*target.columns).unionByName(src_aligned)
@@ -85,6 +98,13 @@ def merge_into(
             merged.write.mode("overwrite").insertInto(target_table)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # a partition whose every row moved away writes no files under
+        # dynamic overwrite and would silently keep its old data — drop it
+        for p in pvals.join(
+            merged.select(*part_cols).distinct(), part_cols, "leftanti"
+        ).collect():
+            spec = ", ".join(f"{c} = '{p[c]}'" for c in part_cols)
+            spark.sql(f"ALTER TABLE {target_table} DROP IF EXISTS PARTITION ({spec})")
         return {
             "matched": matched,
             "inserted": inserted,

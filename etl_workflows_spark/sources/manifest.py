@@ -164,10 +164,12 @@ def read_pruned(
     Returns an empty-but-typed DataFrame if nothing survives."""
     paths = pruned_paths(manifest, predicates)
     if not paths:
-        raise ValueError(
-            "no files survive the manifest prune — read the table directly "
-            "for schema-only access"
-        )
+        all_paths = [r["path"] for r in manifest.select("path").distinct().collect()]
+        if not all_paths:
+            raise ValueError("manifest is empty — no files to derive a schema from")
+        # schema-only read of one manifest file (footer metadata, no data IO)
+        schema = spark.read.parquet(all_paths[0]).schema
+        return spark.createDataFrame([], schema)
     df = spark.read.parquet(*paths)
     for c, (lo, hi) in predicates.items():
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))

@@ -258,7 +258,10 @@ def streaming_ewma(
             s = v if s is None else alpha * v + (1 - alpha) * s
             last_ms = t
             out.append((key[0], t, v, s))
-        state.update((last_ms, s if s is not None else 0.0))
+        if s is not None:
+            # s is None ⇔ no observation ever seen for this key — storing a
+            # fabricated 0.0 would seed the recursion with a fake datum
+            state.update((last_ms, s))
         yield pd.DataFrame(out, columns=[key_col, "ts_ms", value_col, "ewma"])
 
     ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withColumn(

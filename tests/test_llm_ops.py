@@ -431,3 +431,44 @@ def test_charlm_separates_text_from_gibberish(spark, sf_dir):
     real = sum(joined[i] for i in range(20)) / 20
     gib = sum(joined[1000 + i] for i in range(20)) / 20
     assert real > gib + 0.2, (real, gib)
+
+
+def test_fast_paths_guard_zero_norm_and_empty_sides(spark):
+    """Zero-norm vectors must yield cosine 0 (not NaN → silently dropped
+    rows), and an empty collected side must raise a clear error instead of
+    crashing in numpy (round-3 advice)."""
+    import pytest
+    from etl_workflows_spark.operators.similarity import (
+        knn_join_fast,
+        semantic_contamination_fast,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_contamination_fast(corpus, bench, 0.8).collect()
+    }
+    # zero vector: cosine 0 to everything, present and uncontaminated
+    assert rows[1]["max_cos_bench"] == 0.0 and not rows[1]["contaminated"]
+    assert rows[2]["contaminated"]
+
+    empty = bench.limit(0)
+    with pytest.raises(ValueError, match="empty"):
+        semantic_contamination_fast(corpus, empty, 0.8)
+    with pytest.raises(ValueError, match="empty"):
+        knn_join_fast(empty, corpus, k=2)
+    # zero-norm queries don't NaN-poison the top-k
+    out = knn_join_fast(
+        spark.createDataFrame(
+            [(10, [0.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+        ),
+        corpus,
+        k=2,
+    ).collect()
+    assert len(out) == 2 and all(r["cos_sim"] == 0.0 for r in out)

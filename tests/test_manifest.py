@@ -72,5 +72,10 @@ def test_manifest_empty_dir_and_no_survivors(spark, tmp_path):
     path = str(tmp_path / "t3")
     _grid(spark, 1_000).write.parquet(path)
     man = build_manifest(spark, path, ["x"])
-    with pytest.raises(ValueError, match="no files survive"):
-        read_pruned(spark, man, {"x": (5000.0, 6000.0)})
+    # no survivors → empty-but-typed result, same schema as the table
+    got = read_pruned(spark, man, {"x": (5000.0, 6000.0)})
+    assert got.count() == 0
+    assert got.schema == spark.read.parquet(path).schema
+
+    with pytest.raises(ValueError, match="manifest is empty"):
+        read_pruned(spark, man.limit(0), {"x": (0.0, 1.0)})
