@@ -257,6 +257,37 @@ def build_ivf_index(
     return ivf_assign(embeddings, cents, vec_col), cents
 
 
+def write_ivf_index(
+    index: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Materialize an IVF index: vectors parquet-partitioned by
+    ``list_id`` (so an nprobe query is a partition-PRUNED scan — only
+    nprobe/n_lists of the files are ever opened) plus a tiny centroid
+    sidecar at ``<path>/centroids``. This is the contract
+    ``build_ivf_index``'s docstring promises; pruning is asserted in
+    test_llm_ops (PartitionFilters in the probe plan)."""
+    spark = index.sparkSession
+    index.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(
+    spark: "SparkSession", path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Open a persisted IVF index: the lists DataFrame (``list_id`` is a
+    partition column — filters on it prune at file-listing time) and the
+    centroid sidecar (n_lists × dim floats, driver-side)."""
+    lists = spark.read.parquet(f"{path}/lists")
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    return lists, [[float(x) for x in r["centroid"]] for r in rows]
+
+
 def ann_topk_ivf(
     index: DataFrame,
     centroids: list[list[float]],

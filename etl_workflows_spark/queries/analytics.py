@@ -855,6 +855,46 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of ``equidepth_histogram``: approx-percentile cut points
+    + codegen bucket assignment — NO total-order sort anywhere.
+
+    The exact form NTILEs over a global ORDER BY: a single-reducer sort
+    that dies at 100 TB. Here one tree-aggregated ``percentile_approx``
+    (GK sketch, rank error ≤ n/accuracy) yields the 19 interior cut
+    points; each row's bucket is then 1 + #cuts-below-it, a chain of 19
+    comparisons inside whole-stage codegen (no join, no sort, no window
+    — the cut list is a driver-side constant of n_buckets-1 doubles,
+    bounded regardless of data size). Only shuffle: the 20-key final agg.
+
+    Rows-only catalog entry (bucket boundaries are sketch-approximate);
+    exactness bound vs the NTILE twin is pinned in test_plan_quality.
+    """
+    n_buckets = 20
+    o = table(spark, sf_dir, "orders")
+    cuts = o.select(
+        F.percentile_approx(
+            "o_totalprice",
+            [i / n_buckets for i in range(1, n_buckets)],
+            100_000,
+        ).alias("cuts")
+    ).collect()[0]["cuts"]
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(
+            F.col("o_totalprice") > F.lit(float(c)), 1
+        ).otherwise(0)
+    return (
+        o.select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 _EQUIDEPTH_ORACLE = """
 WITH t AS (
   SELECT o_totalprice,
@@ -889,6 +929,7 @@ QUERIES = {
     "grouped_regression": grouped_regression,
     "events_ewma": events_ewma,
     "equidepth_histogram": equidepth_histogram,
+    "equidepth_histogram_approx": equidepth_histogram_approx,
 }
 
 ORACLE_SQL = {

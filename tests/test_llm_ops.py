@@ -472,3 +472,34 @@ def test_fast_paths_guard_zero_norm_and_empty_sides(spark):
         k=2,
     ).collect()
     assert len(out) == 2 and all(r["cos_sim"] == 0.0 for r in out)
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index must turn an nprobe query into a
+    partition-PRUNED scan: PartitionFilters on list_id in the probe plan,
+    and only the probed lists' files read. Round-trip must preserve the
+    index contents and query results."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index, cents = similarity.build_ivf_index(emb, n_lists=8, iterations=1)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(index, cents, path)
+    lists, cents2 = similarity.read_ivf_index(spark, path)
+
+    # round-trip fidelity
+    assert cents2 == [[float(x) for x in c] for c in cents]
+    assert lists.count() == index.count()
+
+    got = similarity.ann_topk_ivf(lists, cents2, query_vec_id=0, k=10, nprobe=2)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the probe filter must reach the file listing, not a post-scan Filter
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
+    assert m, plan
+    # results equal the in-memory index's at the same nprobe
+    mem = similarity.ann_topk_ivf(index, cents, query_vec_id=0, k=10, nprobe=2)
+    assert [(r["vec_id"], round(r["cos_sim"], 10)) for r in got.collect()] == [
+        (r["vec_id"], round(r["cos_sim"], 10)) for r in mem.collect()
+    ]

@@ -117,3 +117,31 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         assert joined.count() == 10000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_equidepth_approx_no_global_sort_and_bounded_error(spark, sf_dir):
+    """The approx equi-depth twin must plan with no Sort/Window at all
+    (the exact NTILE form is a single-reducer total order), and its
+    bucket populations must track the exact twin within the GK sketch's
+    rank-error bound."""
+    from etl_workflows_spark.queries.analytics import (
+        equidepth_histogram,
+        equidepth_histogram_approx,
+    )
+
+    approx = equidepth_histogram_approx(spark, sf_dir)
+    plan = _plan(approx)
+    assert "Sort" not in plan and "Window" not in plan
+    got = {r["bucket"]: r for r in approx.collect()}
+    want = {r["bucket"]: r for r in equidepth_histogram(spark, sf_dir).collect()}
+    n = sum(r["n_rows"] for r in want.values())
+    assert sum(r["n_rows"] for r in got.values()) == n  # partition of the rows
+    # rank error <= n/accuracy per cut; allow ties + both adjacent cuts
+    tol = max(5, 2 * n // 100_000 + 2)
+    for b, w in want.items():
+        assert b in got
+        assert abs(got[b]["n_rows"] - w["n_rows"]) <= tol, (b, got[b], w)
+    # bucket bounds are monotone and non-overlapping
+    ordered = [got[b] for b in sorted(got)]
+    for lo_r, hi_r in zip(ordered, ordered[1:]):
+        assert lo_r["hi"] <= hi_r["lo"]

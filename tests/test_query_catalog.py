@@ -19,6 +19,7 @@ ROWS_ONLY = {
     "events_distinct_hll_range",
     "knn_join_bench_fast",
     "events_ewma",
+    "equidepth_histogram_approx",
 }
 
 
