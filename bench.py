@@ -68,6 +68,67 @@ HEADLINE = [
 ]
 
 
+# Scaled pass (×10 replication of $SPARK_GRAFT_SF_DIR ≈ sf1): the most
+# expensive headline queries re-timed where data, not plan launch,
+# dominates (BASELINE.md: at sf0.1 most entries measure ~0.15-0.2 s of
+# launch floor). Disable with SPARK_GRAFT_SCALED=0.
+SCALED = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topk_per_group",
+    "events_hourly",
+    "sessionize",
+    "doc_stats",
+    "dedup_exact",
+    "near_dup_minhash_lsh",
+    "heavy_hitter_tokens",
+    "pipeline_doc_curation",
+    "decontaminate_overlap",
+]
+
+
+def _time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
+    fn(spark, sf_dir).count()  # untimed warmup
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    spark.catalog.clearCache()
+    # lower median: for 3 runs the middle, for 2 the faster (steady-state)
+    return round(sorted(samples)[(len(samples) - 1) // 2], 3)
+
+
+def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
+    from etl_workflows_spark.queries.analytics import skewed_join_salted
+    from tools.scale_data import ensure_scaled
+
+    scaled_dir = ensure_scaled(spark, sf_dir, factor, "/tmp/etlws_scaled")
+    timings: dict[str, float] = {}
+    for name in SCALED:
+        timings[name] = _time_query(spark, QUERIES[name], scaled_dir, runs=2)
+    # salted-vs-unsalted skew demo: broadcast off so the skewed shuffle
+    # join is real (the hot key holds ~1/3 of all events)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        timings["skewed_join_salted"] = _time_query(
+            spark, skewed_join_salted, scaled_dir, runs=2
+        )
+        timings["skewed_join_unsalted"] = _time_query(
+            spark, QUERIES["skewed_join_unsalted"], scaled_dir, runs=2
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return {
+        "factor": factor,
+        "dir": scaled_dir,
+        "value": round(sum(timings.values()), 3),
+        "queries": timings,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -76,24 +137,22 @@ def main() -> None:
     # Warm up the JVM / codegen / parquet footer cache with a trivial job.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Host calibration: a fixed CPU-bound JVM job, timed. Round-over-round
+    # query deltas are only meaningful after dividing by this (the VM the
+    # driver provisions per round varies ~2× in single-thread speed —
+    # observed round 3 → 4).
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    calib = round(time.perf_counter() - t0, 3)
+
     # One untimed warmup pass, then the MEDIAN of three timed passes per
     # query: steady-state execution (codegen compiled, footers cached)
     # with single-run GC/scheduler noise filtered out.
+    # (clearCache between queries: internally-persisted relations — LSH
+    # shingles etc. — must not pressure later queries' memory)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        fn(spark, sf_dir).count()
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
-        # queries that persist internally (LSH shingles etc.) would leave
-        # one cached copy per invocation resident for the rest of the
-        # session, pressuring later queries' memory — release between
-        # queries so each timing stands alone
-        spark.catalog.clearCache()
+        timings[name] = _time_query(spark, QUERIES[name], sf_dir, runs=3)
 
     out = {
         "metric": "headline_queries_total",
@@ -101,7 +160,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_jvm_sec": calib,
     }
+    if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0":
+        out["scaled"] = _scaled_pass(spark, sf_dir)
     print(json.dumps(out))
 
 

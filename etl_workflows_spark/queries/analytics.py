@@ -855,6 +855,72 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavily-skewed equi-join executed through ``salted_join``
+    (operators/skew.py): a synthetic hot key absorbs ~1/3 of all events
+    (every user_id ≡ 0 mod 3 collapses to key 1 — the 'default user id'
+    pathology), then joins customer attributes on that key.
+
+    The salt explodes the hot key across ``salt`` reducers; the right
+    side is replicated salt×. Results are salt-invariant, so the oracle
+    is the plain join — correctness of the rewrite is exactly what the
+    hash-match checks. Unsalted-vs-salted timing is measured in bench.py
+    (broadcast disabled there so the skewed shuffle is real).
+    """
+    from etl_workflows_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("cust_id"),
+        "value",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "cust_id", salt=8, how="inner")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+def skewed_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control twin of ``skewed_join_salted``: the identical join without
+    salting — same oracle; exists so bench.py can time the hot-key
+    shuffle both ways (broadcast disabled there)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("cust_id"),
+        "value",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(cust, "cust_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+_SKEWED_JOIN_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS cust_id, value
+  FROM events
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM ev JOIN customer ON c_custkey = cust_id
+GROUP BY c_mktsegment
+"""
+
+
 def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale twin of ``equidepth_histogram``: approx-percentile cut points
     + codegen bucket assignment — NO total-order sort anywhere.
@@ -930,6 +996,8 @@ QUERIES = {
     "events_ewma": events_ewma,
     "equidepth_histogram": equidepth_histogram,
     "equidepth_histogram_approx": equidepth_histogram_approx,
+    "skewed_join_salted": skewed_join_salted,
+    "skewed_join_unsalted": skewed_join_unsalted,
 }
 
 ORACLE_SQL = {
@@ -950,4 +1018,6 @@ ORACLE_SQL = {
     "user_journey_pattern": _JOURNEY_ORACLE,
     "grouped_regression": _GROUPED_REGRESSION_ORACLE,
     "equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "skewed_join_salted": _SKEWED_JOIN_ORACLE,
+    "skewed_join_unsalted": _SKEWED_JOIN_ORACLE,
 }

@@ -45,3 +45,19 @@ def test_entry_contract(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_catalog_md_in_sync():
+    """CATALOG.md is generated from the QUERIES dict — docs cannot drift
+    from code. Regenerate with: python tools/gen_catalog.py"""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import gen_catalog
+
+    on_disk = open(os.path.join(root, "CATALOG.md")).read()
+    assert on_disk == gen_catalog.render(), (
+        "CATALOG.md is stale — run: python tools/gen_catalog.py"
+    )
