@@ -1,0 +1,244 @@
+"""Product quantization (PQ) for embedding columns — billion-scale ANN
+compression (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+The 100 TB problem: a 64-dim float32 embedding is 256 bytes/vector; a
+10^11-vector corpus is 25 TB of vectors alone, and every ANN probe scans
+floats. PQ splits each vector into ``m`` subvectors, k-means-quantizes
+each subspace independently, and stores only the ``m`` code bytes
+(m=8 → 8 bytes, 32× smaller). Query-time scoring needs NO decoding:
+an **asymmetric distance computation** (ADC) lookup table of
+query-subvector · centroid dot products (m × k floats, computed once on
+the driver) turns each vector's score into ``m`` table lookups.
+
+Spark mapping:
+* **training** — Lloyd iterations where assignment is an Arrow-batched
+  numpy argmin per subspace (same kernel pattern as knn_join_fast) and
+  the centroid update is a distributed groupBy mean; only m × k ×
+  (dim/m) floats ever reach the driver.
+* **encoding** — one mapInPandas pass; output is (id, array<m codes>).
+* **ADC scan** — posexplode(codes) + broadcast join against the LUT +
+  groupBy(id) sum: pure JVM/codegen, one scan of the code table, no
+  floats, no UDF. Top-k via TakeOrderedAndProject.
+
+Cosine contract: vectors are L2-normalized before training/encoding, so
+the ADC score (sum of sub-dot-products against the normalized query)
+approximates the cosine; exactness improves with m and k. Recall vs the
+brute-force twin is pinned in tests, not promised.
+
+No reference counterpart — net-new per SURVEY.md §2.7's north-star
+mandate (the reference delegates all querying to BigQuery).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _norm_rows(mat):
+    import numpy as np
+
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks; returns ``codebooks[sub][code] ->
+    centroid`` (m × k × dim/m floats — driver-sized regardless of corpus).
+
+    Deterministic: seeds are the first k vectors in xxhash64(id) order
+    (same convention as ivf_train_centroids); Lloyd assignment and the
+    mean update have no randomness. Empty codes keep their centroid.
+    """
+    import numpy as np
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    seeds = (
+        embeddings.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need >= k={k} vectors to seed codebooks, got {len(seeds)}")
+    seed_mat = _norm_rows(np.array([r[0] for r in seeds], dtype=np.float64))
+    # codebooks[sub]: (k, sub) — seed code j of every subspace from vector j
+    books = [seed_mat[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
+
+    for _ in range(iterations):
+        codes = _assign_codes(embeddings, books, id_col, vec_col)
+        # distributed centroid update: explode (sub, code, pos, x), mean
+        vec = embeddings.select(id_col, vec_col)
+        sums = (
+            codes.join(vec, id_col)
+            .select(
+                F.posexplode("codes").alias("sub_id", "code"),
+                F.col(vec_col).alias("v"),
+            )
+            .select(
+                "sub_id",
+                "code",
+                F.posexplode(
+                    F.slice(
+                        F.col("v"), F.col("sub_id") * sub + 1, sub
+                    )
+                ).alias("pos", "x"),
+            )
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mval"))
+            .collect()
+        )
+        # NOTE: means are over RAW (unnormalized-subspace) values of the
+        # L2-normalized full vectors — exactly the PQ training objective.
+        new_books = [b.copy() for b in books]
+        for r in sums:
+            new_books[r["sub_id"]][r["code"]][r["pos"]] = r["mval"]
+        books = new_books
+    return [[list(map(float, c)) for c in b] for b in books]
+
+
+def _assign_codes(
+    embeddings: DataFrame,
+    books,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace argmin-L2 centroid, one
+    Arrow-batched numpy pass (L2 argmin on normalized inputs ≡ max
+    dot-product argmax up to the centroid-norm term, handled exactly)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(books)
+    sub = books[0].shape[1] if hasattr(books[0], "shape") else len(books[0][0])
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    id_field = embeddings.schema[id_col]
+    schema = T.StructType(
+        [id_field, T.StructField("codes", T.ArrayType(T.IntegerType()), False)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            out = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                x = mat[:, s * sub : (s + 1) * sub]  # (n, sub)
+                b = books_np[s]  # (k, sub)
+                # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                d = -2.0 * (x @ b.T) + (b * b).sum(axis=1)[None, :]
+                out[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [list(map(int, r)) for r in out]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress to (id, codes): m small ints per vector — the table you
+    persist (and the only thing the ADC scan reads)."""
+    return _assign_codes(embeddings, codebooks, id_col, vec_col)
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via the ADC lookup table —
+    pure JVM plan: the LUT (m × k_codes rows) is a broadcast join;
+    scoring is posexplode + sum; top-k is TakeOrderedAndProject. The
+    corpus side never touches a float vector.
+
+    Returns (id, adc_score) ordered by score desc, id asc (deterministic
+    tie-break).
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    sub = len(codebooks[0][0])
+    lut_rows = []
+    for s in range(m):
+        qs = q[s * sub : (s + 1) * sub]
+        for c, cent in enumerate(codebooks[s]):
+            lut_rows.append((s, c, float(np.dot(qs, np.asarray(cent)))))
+    lut = spark.createDataFrame(lut_rows, "sub_id int, code int, dot double")
+    return (
+        codes.select(id_col, F.posexplode("codes").alias("sub_id", "code"))
+        .join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("dot").alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_reconstruction_error(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error over the (normalized) corpus —
+    the PQ training objective; must fall as k or m grows. Distributed:
+    per-batch numpy, one double per batch to the driver via an agg."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books_np = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    schema = T.StructType(
+        [
+            T.StructField("sq_err", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            err = 0.0
+            for s in range(m):
+                x = mat[:, s * sub : (s + 1) * sub]
+                b = books_np[s]
+                d = -2.0 * (x @ b.T) + (b * b).sum(axis=1)[None, :]
+                code = np.argmin(d, axis=1)
+                err += float(((x - b[code]) ** 2).sum())
+            yield pd.DataFrame({"sq_err": [err], "n": [len(pdf)]})
+
+    agg = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(kernel, schema=schema)
+        .agg(F.sum("sq_err").alias("e"), F.sum("n").alias("n"))
+        .collect()[0]
+    )
+    return float(agg["e"]) / max(int(agg["n"]), 1)

@@ -362,6 +362,26 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(lists, cents, query_vec_id=0, k=20, nprobe=4)
 
 
+def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 8×16 codebooks, ADC
+    lookup-table scan over 8-byte codes — the 32×-compressed billion-scale
+    probe shape. Approximate (rows-only); recall vs brute force and
+    reconstruction-error monotonicity pinned in test_pq."""
+    from etl_workflows_spark.operators import pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = _pq_books_cache.get(sf_dir)
+    if books is None:
+        books = pq.train_pq_codebooks(emb, m=8, k=16, iterations=2)
+        _pq_books_cache[sf_dir] = books
+    codes = pq.pq_encode(emb, books)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq.pq_adc_topk(spark, codes, books, qv, k=20)
+
+
+_pq_books_cache: dict = {}
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_label_stats(table(spark, sf_dir, "embeddings"))
 
@@ -867,6 +887,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
+    "ann_cosine_topk_pq": ann_cosine_topk_pq,
     "stratified_sample_docs": stratified_sample_docs,
     "train_val_split_counts": train_val_split_counts,
     "similar_pairs": similar_pairs,

@@ -14,6 +14,7 @@ ROWS_ONLY = {
     "near_dup_minhash_lsh",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
+    "ann_cosine_topk_pq",
     "dedup_near_end_to_end",
     "approx_event_sketches",
     "events_distinct_hll_range",
