@@ -1,0 +1,168 @@
+"""Global row ordinals and deterministic corpus shuffling at scale.
+
+``row_number() OVER (ORDER BY k)`` is the classic single-reducer trap:
+Spark plans an ``Exchange SinglePartition`` feeding one Window task, so
+every row of a 100 TB table funnels through one executor. These operators
+produce the SAME exact ordinals with a bucketed two-pass plan:
+
+1. a *bucket key* that is a monotone coarsening of the sort order (range
+   cut points for numerics, the leading byte of a hash for uniform keys);
+2. per-bucket counts collected to the driver — a bounded constant
+   (``n_buckets`` rows, independent of data size);
+3. cumulative offsets re-injected as a literal ``map`` lookup, plus a
+   ``row_number`` window PARTITIONED by bucket — parallel across buckets,
+   no single-partition exchange anywhere in the plan.
+
+Training pipelines need this twice: stable example ids over a corpus
+snapshot, and the per-epoch deterministic shuffle (position = rank of
+``md5(epoch_salt || id)``) that lets any worker recompute "which examples
+are in my shard for epoch E" without a stored permutation.
+
+Net-new operators (no reference counterpart — the reference delegates all
+query processing to its warehouse engine; cf. reference
+functions/load_query/main.py which only submits SQL text).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etl_workflows_spark.operators.sampling import salted_hash
+
+
+def numeric_cut_buckets(df: DataFrame, col: str, n_buckets: int = 64) -> Column:
+    """Bucket expression for a numeric sort column: 1 + #cut-points-below.
+
+    Cut points come from one tree-aggregated ``percentile_approx`` (GK
+    sketch) — a driver-side constant of ``n_buckets - 1`` doubles, bounded
+    regardless of data size. Sketch error only skews bucket *balance*,
+    never ordinal *correctness*: equal values always land in the same
+    bucket (strict ``>`` against each cut), and within-bucket ranking
+    restores the exact order.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    cuts = df.select(
+        F.percentile_approx(
+            col, [i / n_buckets for i in range(1, n_buckets)], 100_000
+        ).alias("cuts")
+    ).collect()[0]["cuts"]
+    bucket = F.lit(1)
+    seen = set()
+    for c in cuts or []:
+        c = float(c)
+        if c in seen:  # duplicate cut points add nothing but expression depth
+            continue
+        seen.add(c)
+        bucket = bucket + F.when(F.col(col) > F.lit(c), 1).otherwise(0)
+    # NULL sort values must surface as NULL buckets (not silently bucket 1):
+    # global_ordinals rejects them — Spark sorts NULLs first, other engines
+    # last, so a NULL key has no portable ordinal.
+    return F.when(F.col(col).isNotNull(), bucket)
+
+
+def hash_prefix_bucket(hash_col: Column, n_hex_chars: int = 2) -> Column:
+    """Bucket expression for an md5-hex sort key: its leading hex chars as
+    an integer (256 uniform buckets at the default 2 chars). Monotone by
+    construction — lexicographic hex order == numeric order of the prefix.
+    """
+    return F.conv(F.substring(hash_col, 1, n_hex_chars), 16, 10).cast("int")
+
+
+def global_ordinals(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    bucket: Column,
+    ordinal_col: str = "ordinal",
+    start: int = 1,
+) -> DataFrame:
+    """Exact dense global row numbers by ``sort_cols``, no global sort.
+
+    ``bucket`` must be a deterministic pure function of the row that
+    coarsens the sort order (all rows of bucket b sort before all rows of
+    bucket b+1). ``sort_cols`` should be a total order (include a unique
+    tiebreaker) for reproducible output.
+
+    Plan shape: one shuffle for the tiny per-bucket count agg (collected:
+    <= n_buckets rows), one hash-partitioned shuffle for the per-bucket
+    ``row_number`` window. The count pass and the rank pass each scan the
+    input once; bucket being value-determined makes the two passes agree
+    without caching.
+    """
+    d = df.withColumn("__bucket", bucket)
+    rows = d.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    if any(r["__bucket"] is None for r in rows):
+        raise ValueError(
+            "global_ordinals: bucket expression produced NULL — sort keys "
+            "must be non-null (filter or coalesce them first)"
+        )
+    counts = sorted((r["__bucket"], r["n"]) for r in rows)
+    offsets: dict[int, int] = {}
+    acc = start - 1
+    for b, n in counts:
+        offsets[b] = acc
+        acc += n
+    if not offsets:
+        return df.withColumn(ordinal_col, F.lit(None).cast("int"))
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for bn in offsets.items() for x in bn]
+        ),
+        F.col("__bucket"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("__bucket").orderBy(*[F.col(c) for c in sort_cols])
+    )
+    return (
+        d.withColumn(ordinal_col, (rn + off_expr).cast("int"))
+        .drop("__bucket")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: every row gets a dense 1..N
+    position, permuted by ``md5(salt:epoch: || key)``.
+
+    Any engine (and any epoch-E worker) recomputes the identical
+    permutation from the corpus alone — no stored shuffle files, no
+    driver-held permutation array. Buckets are the hash's leading byte
+    (uniform by construction), so the ranking window is hash-partitioned
+    256 ways; shard extraction for worker w of W is then just
+    ``pos % W == w`` on top of this.
+    """
+    h = salted_hash(F.col(key_col), f"{salt}:{epoch}")
+    d = df.withColumn("__h", h)
+    out = global_ordinals(
+        d,
+        sort_cols=["__h", key_col],
+        bucket=hash_prefix_bucket(F.col("__h")),
+        ordinal_col=pos_col,
+    )
+    return out.drop("__h")
+
+
+def shard_for_epoch(
+    df: DataFrame,
+    epoch: int,
+    shard: int,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Worker ``shard`` of ``n_shards``'s slice of the epoch permutation:
+    rows whose epoch position ≡ shard (mod n_shards), in position order
+    within the shard. Cheap way for W workers to partition an epoch with
+    zero coordination beyond (epoch, shard id)."""
+    if not 0 <= shard < n_shards:
+        raise ValueError(f"shard must be in [0, {n_shards}), got {shard}")
+    d = epoch_shuffle(df, epoch, key_col=key_col)
+    return d.filter((F.col("pos") - 1) % n_shards == shard)

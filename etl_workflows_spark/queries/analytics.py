@@ -974,6 +974,35 @@ FROM t GROUP BY bucket
 """
 
 
+def global_rowids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dense global row numbers over orders by (o_totalprice,
+    o_orderkey) — the single-reducer-free form of
+    ``row_number() OVER (ORDER BY ...)``.
+
+    Plan: approx-percentile range buckets (driver constant), per-bucket
+    counts (one tiny agg), literal-map offsets, bucket-partitioned
+    row_number window. No ``Exchange SinglePartition`` on the data path —
+    see operators/ordering.py.
+    """
+    from etl_workflows_spark.operators import ordering
+
+    o = table(spark, sf_dir, "orders")
+    d = o.select("o_orderkey", "o_totalprice")
+    return ordering.global_ordinals(
+        d,
+        sort_cols=["o_totalprice", "o_orderkey"],
+        bucket=ordering.numeric_cut_buckets(d, "o_totalprice", 64),
+    ).select("o_orderkey", "ordinal")
+
+
+_GLOBAL_ROWIDS_ORACLE = """
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+         AS ordinal
+FROM orders
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -998,6 +1027,7 @@ QUERIES = {
     "equidepth_histogram_approx": equidepth_histogram_approx,
     "skewed_join_salted": skewed_join_salted,
     "skewed_join_unsalted": skewed_join_unsalted,
+    "global_rowids_orders": global_rowids_orders,
 }
 
 ORACLE_SQL = {
@@ -1020,4 +1050,5 @@ ORACLE_SQL = {
     "equidepth_histogram": _EQUIDEPTH_ORACLE,
     "skewed_join_salted": _SKEWED_JOIN_ORACLE,
     "skewed_join_unsalted": _SKEWED_JOIN_ORACLE,
+    "global_rowids_orders": _GLOBAL_ROWIDS_ORACLE,
 }

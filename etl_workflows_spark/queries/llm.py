@@ -17,6 +17,7 @@ from etl_workflows_spark.operators import (
     decontam,
     dedup,
     frequency,
+    ordering,
     packing,
     pii,
     sampling,
@@ -871,6 +872,48 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-7 corpus shuffle: dense 1..N positions ordered
+    by md5('epoch:7:' || doc_id), computed with the bucketed global-ordinal
+    plan (no single-partition window — operators/ordering.py)."""
+    d = table(spark, sf_dir, "documents")
+    return ordering.epoch_shuffle(d.select("doc_id"), epoch=7).select(
+        "doc_id", "pos"
+    )
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('epoch:7:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INTEGER) AS pos
+FROM documents
+"""
+
+
+def epoch_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worker 1-of-4's slice of the epoch-3 permutation: positions
+    ≡ 1 (mod 4). Zero-coordination sharding — any worker recomputes its
+    slice from (corpus, epoch, shard id) alone."""
+    d = table(spark, sf_dir, "documents")
+    return ordering.shard_for_epoch(
+        d.select("doc_id"), epoch=3, shard=1, n_shards=4
+    ).select("doc_id", "pos")
+
+
+_EPOCH_SHARD_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('epoch:3:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos
+FROM p WHERE (pos - 1) % 4 = 1
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -907,6 +950,8 @@ QUERIES = {
     "semantic_decontam": semantic_decontam,
     "knn_join_bench": knn_join_bench,
     "knn_join_bench_fast": knn_join_bench_fast,
+    "epoch_shuffle_docs": epoch_shuffle_docs,
+    "epoch_shard_docs": epoch_shard_docs,
 }
 
 ORACLE_SQL = {
@@ -939,5 +984,7 @@ ORACLE_SQL = {
     "bigram_collocations": _BIGRAM_ORACLE,
     "semantic_decontam": _SEMANTIC_DECONTAM_ORACLE,
     "knn_join_bench": _KNN_JOIN_ORACLE,
+    "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
+    "epoch_shard_docs": _EPOCH_SHARD_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -1,0 +1,107 @@
+"""Global ordinals / epoch shuffle: exactness vs the naive global window,
+plan shape (no single-partition exchange), and the permutation contract."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.window import Window as W
+
+from etl_workflows_spark.operators.ordering import (
+    epoch_shuffle,
+    global_ordinals,
+    hash_prefix_bucket,
+    numeric_cut_buckets,
+    shard_for_epoch,
+)
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ordinals_match_naive_window_with_duplicates(spark):
+    # heavy duplication + skew: value 5.0 holds half the rows
+    rows = [Row(k=i, v=5.0 if i % 2 == 0 else float(i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows).repartition(8)
+    out = global_ordinals(
+        df, ["v", "k"], numeric_cut_buckets(df, "v", 8)
+    )
+    naive = df.withColumn(
+        "expect", F.row_number().over(W.orderBy("v", "k"))
+    )
+    joined = out.join(naive, ["k", "v"])
+    assert joined.filter(F.col("ordinal") != F.col("expect")).count() == 0
+
+
+def test_ordinals_dense_and_start_offset(spark):
+    df = spark.range(50).withColumnRenamed("id", "k").withColumn(
+        "v", (F.col("k") % 5).cast("double")
+    )
+    out = global_ordinals(
+        df, ["v", "k"], numeric_cut_buckets(df, "v", 4), start=100
+    )
+    got = sorted(r["ordinal"] for r in out.collect())
+    assert got == list(range(100, 150))
+
+
+def test_ordinals_plan_has_no_single_partition_exchange(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k").withColumn(
+        "v", (F.col("k") * 37 % 101).cast("double")
+    )
+    out = global_ordinals(df, ["v", "k"], numeric_cut_buckets(df, "v", 16))
+    plan = _executed_plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(__bucket" in plan, plan
+    # the naive form, for contrast, IS a single-partition window
+    naive = df.withColumn("o", F.row_number().over(W.orderBy("v", "k")))
+    assert "SinglePartition" in _executed_plan(naive)
+
+
+def test_null_sort_key_raises(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, v=1.0), Row(k=2, v=None)]
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        global_ordinals(df, ["v", "k"], numeric_cut_buckets(df, "v", 4))
+
+
+def test_epoch_shuffle_is_permutation_and_seeded(spark):
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    e1 = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, 1).collect()}
+    assert sorted(e1.values()) == list(range(1, 301))
+    e1b = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, 1).collect()}
+    assert e1 == e1b  # same epoch → identical permutation
+    e2 = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, 2).collect()}
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved > 250  # different epoch → a genuinely different order
+
+
+def test_shards_partition_the_epoch(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    n_shards = 4
+    shards = [
+        {r["doc_id"] for r in shard_for_epoch(df, 5, s, n_shards).collect()}
+        for s in range(n_shards)
+    ]
+    all_ids = set().union(*shards)
+    assert all_ids == set(range(200))
+    assert sum(len(s) for s in shards) == 200  # disjoint
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_shard_args_validated(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="shard"):
+        shard_for_epoch(df, 1, 4, 4)
+
+
+def test_hash_prefix_bucket_monotone_with_hash_order(spark):
+    df = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    )
+    out = df.select(
+        "h", hash_prefix_bucket(F.col("h")).alias("b")
+    ).orderBy("h")
+    rows = out.collect()
+    buckets = [r["b"] for r in rows]
+    assert buckets == sorted(buckets)  # bucket never decreases in hash order
+    assert all(0 <= b <= 255 for b in buckets)
