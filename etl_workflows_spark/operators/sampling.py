@@ -180,3 +180,62 @@ def weighted_sample_k(
         .limit(k)
         .drop("__pri")
     )
+
+
+def blend_sources(
+    df: DataFrame,
+    weights: dict,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "blend",
+) -> DataFrame:
+    """Downsample per source so the surviving corpus matches target mixture
+    ``weights`` (source → proportion), keeping as much data as possible.
+
+    The max total T with w_s·T ≤ n_s for every source is T = min_s(n_s/w_s);
+    each source then keeps fraction w_s·T/n_s — the binding (scarcest
+    relative to its target) source keeps everything, the rest downsample
+    to proportion. Membership is the corpus-contract content hash compared
+    as a 32-bit integer against floor(frac·2³²), so the blend is a pure
+    function of (row key, salt, weights, per-source counts): reproducible
+    on any engine, and when a source's keep-fraction grows the kept set
+    only ever GROWS (thresholds are nested) — no churn of already-kept
+    rows as the corpus evolves.
+
+    Fully in-plan: one groupBy(source) count (tiny — #sources rows), a
+    1-row global min, a broadcast join of per-source thresholds back onto
+    the corpus, and a codegen hash filter. No driver-side thresholds, no
+    second scan. Sources absent from ``weights`` are dropped (target
+    proportion zero).
+
+    At 100 TB: the count agg is map-side-combined to #sources rows, the
+    threshold join is a broadcast of #sources rows, and the filter is
+    embarrassingly parallel — nothing scales with corpus size except the
+    one scan every sampler needs.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: proportion} map")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("all weights must be > 0 (omit a source to drop it)")
+    w_map = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        .withColumn("__w", F.element_at(w_map, F.col(source_col)))
+        .filter(F.col("__w").isNotNull())
+    )
+    total = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__T"))
+    thresholds = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        F.floor(
+            F.col("__w") * F.col("__T") / F.col("__n") * F.lit(4294967296.0)
+        ).alias("__thr"),
+    )
+    h32 = F.conv(_hash8(F.col(key_col), salt), 16, 10).cast("bigint")
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(h32 < F.col("__thr"))
+        .drop("__thr")
+    )

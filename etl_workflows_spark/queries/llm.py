@@ -872,6 +872,39 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def blend_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture blend: downsample src0/src1/src2 to 50/30/20 proportions,
+    keeping the max total the targets allow (operators/sampling.py
+    blend_sources — hash-threshold membership, fully in-plan)."""
+    d = table(spark, sf_dir, "documents")
+    return sampling.blend_sources(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+_BLEND_ORACLE = """
+WITH w(source, wt) AS (
+  VALUES ('src0', CAST(0.5 AS DOUBLE)),
+         ('src1', CAST(0.3 AS DOUBLE)),
+         ('src2', CAST(0.2 AS DOUBLE))
+),
+c AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY source
+),
+j AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+t AS (SELECT MIN(n / wt) AS T FROM j),
+f AS (
+  SELECT j.source,
+         CAST(FLOOR(j.wt * t.T / j.n * 4294967296.0) AS BIGINT) AS thr
+  FROM j, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN f USING (source)
+WHERE CAST(CONCAT('0x', SUBSTR(md5('blend:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) < f.thr
+"""
+
+
 def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-7 corpus shuffle: dense 1..N positions ordered
     by md5('epoch:7:' || doc_id), computed with the bucketed global-ordinal
@@ -952,6 +985,7 @@ QUERIES = {
     "knn_join_bench_fast": knn_join_bench_fast,
     "epoch_shuffle_docs": epoch_shuffle_docs,
     "epoch_shard_docs": epoch_shard_docs,
+    "blend_sources_docs": blend_sources_docs,
 }
 
 ORACLE_SQL = {
@@ -986,5 +1020,6 @@ ORACLE_SQL = {
     "knn_join_bench": _KNN_JOIN_ORACLE,
     "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
     "epoch_shard_docs": _EPOCH_SHARD_ORACLE,
+    "blend_sources_docs": _BLEND_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -125,3 +125,70 @@ def test_weighted_sample_k_deterministic_and_weight_monotone(spark):
     )
     got = {r["doc_id"] for r in weighted_sample_k(df2, 3, "w").collect()}
     assert got == {3}
+
+
+# --- blend_sources ----------------------------------------------------------
+
+
+def test_blend_sources_proportions_and_binding_source(spark):
+    from etl_workflows_spark.operators.sampling import blend_sources
+
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(i + 1000, "b") for i in range(1000)]
+        + [(i + 2000, "c") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # c is binding: T = min(1000/.4, 1000/.4, 200/.2) = 1000 → keep all of c,
+    # a and b each keep ~0.4·1000/1000 = 40%
+    out = blend_sources(df, {"a": 0.4, "b": 0.4, "c": 0.2})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["c"] == 200  # binding source keeps everything
+    assert 330 <= counts["a"] <= 470, counts  # ~400 ± hash noise
+    assert 330 <= counts["b"] <= 470, counts
+    # deterministic: identical rerun
+    again = {r["source"]: r["n"] for r in
+             blend_sources(df, {"a": 0.4, "b": 0.4, "c": 0.2})
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_blend_sources_drops_unlisted_and_nests(spark):
+    from etl_workflows_spark.operators.sampling import blend_sources
+
+    rows = [(i, ["a", "b", "x"][i % 3]) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = blend_sources(df, {"a": 0.5, "b": 0.5})
+    assert out.filter(F.col("source") == "x").count() == 0
+    # nested thresholds: raising a source's target only grows its kept set
+    small = {r["doc_id"] for r in
+             blend_sources(df, {"a": 0.2, "b": 0.8}).filter(
+                 F.col("source") == "a").collect()}
+    big = {r["doc_id"] for r in
+           blend_sources(df, {"a": 0.5, "b": 0.5}).filter(
+               F.col("source") == "a").collect()}
+    assert small <= big
+
+
+def test_blend_sources_validates_weights(spark):
+    from etl_workflows_spark.operators.sampling import blend_sources
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="non-empty"):
+        blend_sources(df, {})
+    with pytest.raises(ValueError, match="> 0"):
+        blend_sources(df, {"a": 0.0})
+
+
+def test_blend_sources_plan_is_broadcast_only(spark):
+    from etl_workflows_spark.operators.sampling import blend_sources
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = blend_sources(df, {"a": 0.5, "b": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
