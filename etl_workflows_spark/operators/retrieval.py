@@ -1,0 +1,218 @@
+"""Lexical (BM25) retrieval and reciprocal-rank-fusion hybrid search.
+
+The retrieval layer a training-data/RAG pipeline needs over a document
+corpus: score documents against term queries with BM25, and fuse multiple
+rankers (lexical + embedding-cosine) with RRF (Cormack/Clarke/Buettcher,
+SIGIR 2009: score(d) = Σ_r 1/(k0 + rank_r(d))).
+
+Engine-portability: per-term BM25 contributions are integerized to
+micro-units BEFORE the cross-term sum, so a document's score is an exact
+64-bit integer sum — order-independent, bit-identical on any engine —
+and ranking ties break on doc_id. The default idf is the ratio form
+(N - df + ½)/(df + ½) + 1 (the argument of Lucene's log idf): it keeps
+every expression in +,-,*,/ (correctly-rounded IEEE, portable) and is
+per-term rank-equivalent to the log form; ``idf='log'`` gives classic
+Lucene/Robertson idf for in-Spark use.
+
+Scale shape: tf and df are one groupBy each (map-side combined); the
+query-terms join is a broadcast (queries are tiny by definition); doc
+length and the global avg ride the same scan. Nothing shuffles more than
+(doc_id, token) pairs; top-k per query is a bucket-partitioned window.
+
+Net-new operators (no reference counterpart — the reference's query
+surface is SQL pass-through; cf. reference functions/load_query/main.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+MICRO = 1_000_000.0
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Sequence[Tuple[str, Sequence[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "ratio",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 documents per query.
+
+    ``queries``: [(query_id, [term, ...]), ...] — literal term lists, as a
+    retrieval API takes them; they become a broadcast relation.
+
+    Returns (query_id, doc_id, rank, score_micro): score_micro is the sum
+    of per-term contributions each rounded to 1e-6 — an exact integer, so
+    ranking (score_micro desc, doc_id) is deterministic on any engine.
+    """
+    if idf not in ("ratio", "log"):
+        raise ValueError(f"idf must be 'ratio' or 'log', got {idf}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, token string",
+    )
+
+    n_docs = docs.count()
+    arr = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__arr")
+    )
+    # doc length rides the token explosion — no separate corpus-sized
+    # doclen relation to join (or worse, broadcast) later
+    toks = arr.select(
+        id_col,
+        F.size("__arr").alias("len"),
+        F.explode("__arr").alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("len").alias("len")
+    )
+    # restrict postings to query terms FIRST; document frequency computed
+    # on the restricted postings equals global df for those terms, so the
+    # full-vocabulary df aggregation never runs
+    qtok = qterms.select("token").distinct()
+    tf_q = tf.join(F.broadcast(qtok), "token")
+    df_q = tf_q.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    # avg doclen: exact integer sum / exact count → one portable division
+    totals = arr.select(F.size("__arr").alias("len")).agg(
+        F.sum("len").cast("double").alias("len_sum"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).select((F.col("len_sum") / F.col("n")).alias("avg_len"))
+
+    idf_ratio = (
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    ) + F.lit(1.0)
+    idf_col = F.log(idf_ratio) if idf == "log" else idf_ratio
+
+    contrib = (
+        idf_col
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("len") / F.col("avg_len")
+            )
+        )
+    )
+    scored = (
+        tf_q.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df_q), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            id_col,
+            F.round(contrib * F.lit(MICRO)).cast("bigint").alias("c_micro"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("c_micro").alias("score_micro"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score_micro")
+    )
+
+
+def rrf_fuse(
+    rankings: List[DataFrame],
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankers: each input is
+    (query_id, doc_id, rank); output (query_id, doc_id, rrf_nano,
+    fused_rank) where rrf_nano = Σ round(1e9/(k0+rank)) — per-ranker
+    contributions integerized before the sum, so fusion is an exact
+    integer sum and the fused order is engine-portable.
+
+    A doc absent from a ranker simply contributes nothing (the standard
+    RRF treatment of truncated lists). Inputs are typically top-k lists —
+    tiny relative to the corpus — so the union/groupBy is cheap.
+    """
+    if not rankings:
+        raise ValueError("rankings must be a non-empty list")
+    contribs = [
+        r.select(
+            "query_id",
+            id_col,
+            F.round(F.lit(1e9) / (F.lit(float(k0)) + F.col("rank")))
+            .cast("bigint")
+            .alias("c"),
+        )
+        for r in rankings
+    ]
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    fused = unioned.groupBy("query_id", id_col).agg(
+        F.sum("c").alias("rrf_nano")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col(id_col)
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+
+
+def cosine_rank(
+    embeddings: DataFrame,
+    query_vec: List[float],
+    query_id: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank corpus vectors by cosine to one literal query vector — the
+    semantic side of hybrid retrieval, shaped for ``rrf_fuse``.
+
+    The dot product folds the array in index order (F.aggregate with
+    zip_with), matching an ordered-UNNEST SQL twin exactly; ranking is by
+    (cosine desc, id) with the cosine only ever compared, never summed
+    across rows. One corpus scan, TakeOrderedAndProject top-k.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    norm_c = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + (x * x).cast("double"),
+        )
+    )
+    norm_q = float(sum(x * x for x in query_vec)) ** 0.5
+    if norm_q == 0.0:
+        raise ValueError("query_vec has zero norm")
+    cos = dot / (norm_c * F.lit(norm_q))
+    ranked = (
+        embeddings.select(
+            F.lit(query_id).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            cos.alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id")
+    )
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "query_id", "doc_id", "rank"
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from etl_workflows_spark.operators import (
     decontam,
@@ -20,6 +21,7 @@ from etl_workflows_spark.operators import (
     ordering,
     packing,
     pii,
+    retrieval,
     sampling,
     similarity,
     text,
@@ -872,6 +874,160 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    ("q1", ["hash", "table"]),
+    ("q2", ["sort", "merge"]),
+    ("q3", ["window", "scan"]),
+]
+# literals the oracle must share bit-for-bit with the Spark plan
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_K1P1 = repr(_BM25_K1 + 1.0)
+_BM25_1MB = repr(1.0 - _BM25_B)
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 documents for three fixed term queries
+    (operators/retrieval.py — ratio idf, micro-integerized per-term
+    contributions so scores are exact integer sums)."""
+    d = table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(d, _BM25_QUERIES, k=10)
+
+
+_BM25_CORE = f"""
+qt(query_id, token) AS (
+  VALUES ('q1','hash'),('q1','table'),
+         ('q2','sort'),('q2','merge'),
+         ('q3','window'),('q3','scan')
+),
+arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+toks AS (SELECT doc_id, LEN(a) AS len, UNNEST(a) AS token FROM arr),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf, MIN(len) AS len
+  FROM toks GROUP BY doc_id, token
+),
+tfq AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT token FROM qt) q USING (token)
+),
+dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tfq GROUP BY token),
+tot AS (
+  SELECT CAST(SUM(LEN(a)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len
+  FROM arr
+),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+contrib AS (
+  SELECT qt.query_id, tfq.doc_id,
+         CAST(ROUND(
+           ((nd.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+           * (tfq.tf * {_BM25_K1P1})
+           / (tfq.tf + {_BM25_K1!r} * ({_BM25_1MB}
+              + {_BM25_B!r} * tfq.len / tot.avg_len))
+           * 1000000.0
+         ) AS BIGINT) AS c
+  FROM tfq
+  JOIN qt USING (token)
+  JOIN dfq USING (token)
+  CROSS JOIN tot CROSS JOIN nd
+),
+sc AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+)"""
+
+_BM25_ORACLE = (
+    "WITH "
+    + _BM25_CORE
+    + """
+SELECT query_id, doc_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+       ) AS INTEGER) AS rank,
+       score_micro
+FROM sc
+QUALIFY rank <= 10
+"""
+)
+
+
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for query 'hash table': BM25 top-20 lexical ranks
+    fused with embedding-cosine-to-vec0 top-20 semantic ranks via
+    reciprocal-rank fusion (retrieval.rrf_fuse — nano-integerized
+    contributions, exact integer fusion). Top-10 fused."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(d, [("q1", ["hash", "table"])], k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem_w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id")
+    )
+    sem = (
+        similarity.ann_topk_bruteforce(e, query_vec_id=0, k=20)
+        .select(
+            F.lit("q1").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "cos_sim",
+        )
+        .withColumn("rank", F.row_number().over(sem_w).cast("int"))
+        .select("query_id", "doc_id", "rank")
+    )
+    fused = retrieval.rrf_fuse([lex, sem], k0=60)
+    return fused.filter(F.col("fused_rank") <= 10).select(
+        "query_id", "doc_id", "rrf_nano", "fused_rank"
+    )
+
+
+_HYBRID_ORACLE = (
+    "WITH "
+    + _BM25_CORE
+    + f""",
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS rank
+  FROM sc WHERE query_id = 'q1'
+  QUALIFY rank <= 20
+),
+e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+semc AS (
+  SELECT e.vec_id AS doc_id,
+         {_DOT.format(a='e.v', b='qv.qv')}
+           / ({_NORM.format(a='e.v')} * {_NORM.format(a='qv.qv')}) AS cos_sim
+  FROM e, qv WHERE e.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+  FROM semc QUALIFY rank <= 20
+),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(1000000000.0 / (60.0 + rank)) AS BIGINT) AS c
+  FROM lex
+  UNION ALL
+  SELECT 'q1' AS query_id, doc_id,
+         CAST(ROUND(1000000000.0 / (60.0 + rank)) AS BIGINT) AS c
+  FROM sem
+),
+f AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_nano
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_nano,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id
+       ) AS INTEGER) AS fused_rank
+FROM f
+QUALIFY fused_rank <= 10
+"""
+)
+
+
 def blend_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture blend: downsample src0/src1/src2 to 50/30/20 proportions,
     keeping the max total the targets allow (operators/sampling.py
@@ -986,6 +1142,8 @@ QUERIES = {
     "epoch_shuffle_docs": epoch_shuffle_docs,
     "epoch_shard_docs": epoch_shard_docs,
     "blend_sources_docs": blend_sources_docs,
+    "bm25_topk_docs": bm25_topk_docs,
+    "hybrid_rrf_docs": hybrid_rrf_docs,
 }
 
 ORACLE_SQL = {
@@ -1021,5 +1179,7 @@ ORACLE_SQL = {
     "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
     "epoch_shard_docs": _EPOCH_SHARD_ORACLE,
     "blend_sources_docs": _BLEND_ORACLE,
+    "bm25_topk_docs": _BM25_ORACLE,
+    "hybrid_rrf_docs": _HYBRID_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }
