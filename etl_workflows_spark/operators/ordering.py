@@ -166,3 +166,55 @@ def shard_for_epoch(
         raise ValueError(f"shard must be in [0, {n_shards}), got {shard}")
     d = epoch_shuffle(df, epoch, key_col=key_col)
     return d.filter((F.col("pos") - 1) % n_shards == shard)
+
+
+def global_cumsum(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    val_col: str,
+    bucket: Column,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Exact running total of ``val_col`` in global ``sort_cols`` order —
+    the scale-safe form of ``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED
+    PRECEDING)``, which Spark plans as a single-partition window.
+
+    Same two-pass shape as ``global_ordinals``: ``bucket`` must coarsen
+    the sort order monotonically (non-decreasing along it); per-bucket
+    SUMS are collected (bounded: one row per bucket), cumulated on the
+    driver, and re-injected as a literal-map offset under a
+    bucket-partitioned running-sum window. Exact for integer/decimal
+    values (long addition is associative); for doubles the bucket split
+    changes summation order — use decimal values if bit-exactness across
+    plans matters.
+    """
+    d = df.withColumn("__bucket", bucket)
+    rows = (
+        d.groupBy("__bucket").agg(F.sum(F.col(val_col)).alias("s")).collect()
+    )
+    if any(r["__bucket"] is None for r in rows):
+        raise ValueError(
+            "global_cumsum: bucket expression produced NULL — sort keys "
+            "must be non-null (filter or coalesce them first)"
+        )
+    sums = sorted((r["__bucket"], r["s"]) for r in rows)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b, s in sums:
+        offsets[b] = acc
+        acc += s or 0
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for bs in offsets.items() for x in bs]),
+        F.col("__bucket"),
+    )
+    w = (
+        W.partitionBy("__bucket")
+        .orderBy(*[F.col(c) for c in sort_cols])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn(out_col, F.sum(F.col(val_col)).over(w) + off_expr)
+        .drop("__bucket")
+    )

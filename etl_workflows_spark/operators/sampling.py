@@ -239,3 +239,66 @@ def blend_sources(
         .filter(h32 < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def split_by_group(
+    df: DataFrame,
+    splits: dict,
+    group_col: str,
+    salt: str = "gsplit",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split is a hash of a
+    GROUP key, so every member of a group lands in the same split.
+
+    The classic contamination bug in training-data splits is per-document
+    assignment — near-identical documents straddle train and eval and the
+    eval set silently leaks. Pass the group that defines "the same
+    content": an exact-dup fingerprint (md5 of text), a near-dup cluster
+    id from ``dedup.cluster_duplicates``, or a domain/source. Same
+    cumulative hash-band layout as ``assign_split`` (pure function of
+    group key + salt: corpus growth never reassigns a group); zero extra
+    shuffles — the hash is computed per-row from the group column.
+    """
+    return assign_split(
+        df, splits, key_col=group_col, salt=salt, out_col=out_col
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    quality_col: str,
+    cost_col: str,
+    key_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Select the highest-``quality_col`` rows whose cumulative
+    ``cost_col`` (e.g. token count) stays within ``budget`` — "give me the
+    best N-token corpus", the canonical data-selection step before
+    training.
+
+    Semantics: rows ordered by (quality desc, key asc); a row is kept iff
+    the running cost total up to and including it is ≤ budget. Exact —
+    equivalent to ``SUM(cost) OVER (ORDER BY quality DESC, key) <=
+    budget`` — but computed with the bucketed ``global_cumsum`` plan
+    (operators/ordering.py), so there is no single-partition window: the
+    running total is a per-bucket window plus a literal offset, with
+    bucket boundaries from one approx-percentile sketch.
+
+    Returns the kept rows with ``cum_cost`` attached.
+    """
+    from etl_workflows_spark.operators import ordering
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    d = df.withColumn("__negq", -F.col(quality_col))
+    bucket = ordering.numeric_cut_buckets(d, "__negq", n_buckets)
+    out = ordering.global_cumsum(
+        d,
+        sort_cols=["__negq", key_col],
+        val_col=cost_col,
+        bucket=bucket,
+        out_col="cum_cost",
+    )
+    return out.filter(F.col("cum_cost") <= budget).drop("__negq")

@@ -874,6 +874,67 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_free_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed by the exact-dup fingerprint
+    (md5 of text), so byte-identical documents can never straddle splits
+    (sampling.split_by_group — the anti-leakage split)."""
+    d = table(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    return sampling.split_by_group(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, group_col="fp"
+    ).select("doc_id", "split")
+
+
+# thresholds shared with the Spark band layout (sorted split names:
+# test @ 0.1, train @ cum 0.9, val = rest)
+_GS_T1 = sampling._hex_threshold(0.1)
+_GS_T2 = sampling._hex_threshold(0.1 + 0.8)
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN SUBSTR(MD5('gsplit:' || MD5(text)), 1, 8) < '{_GS_T1}'
+              THEN 'test'
+            WHEN SUBSTR(MD5('gsplit:' || MD5(text)), 1, 8) < '{_GS_T2}'
+              THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+"""
+
+
+def budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality 12k-token sub-corpus: rows ordered by (n_chars desc,
+    doc_id), kept while the running token total stays ≤ 12000 — computed
+    with the bucketed global_cumsum plan, no single-partition window
+    (sampling.budget_select / operators/ordering.py)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn(
+            "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+        )
+        .select("doc_id", "n_chars", "n_tokens")
+    )
+    return sampling.budget_select(
+        d, budget=12000, quality_col="n_chars", cost_col="n_tokens"
+    ).select("doc_id", "n_tokens", "cum_cost")
+
+
+_BUDGET_SELECT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cost
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_cost FROM c WHERE cum_cost <= 12000
+"""
+
+
 _BM25_QUERIES = [
     ("q1", ["hash", "table"]),
     ("q2", ["sort", "merge"]),
@@ -1144,6 +1205,8 @@ QUERIES = {
     "blend_sources_docs": blend_sources_docs,
     "bm25_topk_docs": bm25_topk_docs,
     "hybrid_rrf_docs": hybrid_rrf_docs,
+    "leakage_free_split_docs": leakage_free_split_docs,
+    "budget_select_docs": budget_select_docs,
 }
 
 ORACLE_SQL = {
@@ -1181,5 +1244,7 @@ ORACLE_SQL = {
     "blend_sources_docs": _BLEND_ORACLE,
     "bm25_topk_docs": _BM25_ORACLE,
     "hybrid_rrf_docs": _HYBRID_ORACLE,
+    "leakage_free_split_docs": _LEAKAGE_SPLIT_ORACLE,
+    "budget_select_docs": _BUDGET_SELECT_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -192,3 +192,75 @@ def test_blend_sources_plan_is_broadcast_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# --- split_by_group / budget_select ----------------------------------------
+
+
+def test_split_by_group_keeps_duplicates_together(spark):
+    from etl_workflows_spark.operators.sampling import split_by_group
+
+    # three distinct texts, each duplicated across many doc_ids
+    rows = [(i, f"text {i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "fp", F.md5("text")
+    )
+    out = split_by_group(df, {"train": 0.8, "val": 0.1, "test": 0.1}, "fp")
+    per_fp = (
+        out.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_fp)  # no group straddles
+
+
+def test_budget_select_matches_window_semantics(spark):
+    from etl_workflows_spark.operators.sampling import budget_select
+    from pyspark.sql.window import Window as W2
+
+    rows = [(i, float((i * 37) % 50), (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, cost long")
+    got = budget_select(df, 200, "q", "cost", n_buckets=8)
+    w = W2.orderBy(F.col("q").desc(), F.col("doc_id")).rowsBetween(
+        W2.unboundedPreceding, W2.currentRow
+    )
+    expect = (
+        df.withColumn("cum", F.sum("cost").over(w))
+        .filter(F.col("cum") <= 200)
+        .collect()
+    )
+    g = {r["doc_id"]: r["cum_cost"] for r in got.collect()}
+    e = {r["doc_id"]: r["cum"] for r in expect}
+    assert g == e
+    # plan: no single-partition exchange on the selection path
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_budget_select_zero_budget_and_validation(spark):
+    from etl_workflows_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 5)], "doc_id long, q double, cost long"
+    )
+    assert budget_select(df, 0, "q", "cost").count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        budget_select(df, -1, "q", "cost")
+
+
+def test_global_cumsum_exact_on_skewed_values(spark):
+    from etl_workflows_spark.operators.ordering import (
+        global_cumsum,
+        numeric_cut_buckets,
+    )
+    from pyspark.sql.window import Window as W2
+
+    rows = [(i, float(5 if i % 2 else i % 11), int(i % 13)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v double, c long").repartition(8)
+    out = global_cumsum(
+        df, ["v", "k"], "c", numeric_cut_buckets(df, "v", 8)
+    )
+    w = W2.orderBy("v", "k").rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    expect = df.withColumn("e", F.sum("c").over(w))
+    joined = out.join(expect, ["k", "v", "c"])
+    assert joined.filter(F.col("cumsum") != F.col("e")).count() == 0
