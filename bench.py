@@ -108,19 +108,29 @@ def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
     timings: dict[str, float] = {}
     for name in SCALED:
         timings[name] = _time_query(spark, QUERIES[name], scaled_dir, runs=2)
-    # salted-vs-unsalted skew demo: broadcast off so the skewed shuffle
-    # join is real (the hot key holds ~1/3 of all events)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # Skew-join demo, three legs (broadcast off so the skewed shuffle join
+    # is real; the hot key holds ~1/3 of all events):
+    #   unsalted + AQE skew-split  — what you'd ship: AQE repairs at runtime
+    #   unsalted, AQE skew off     — the naive plan where AQE can't see it
+    #   salted,   AQE skew off     — the manual fix for those AQE-blind
+    #                                 shapes (streaming joins, skewed aggs)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        timings["skewed_join_salted"] = _time_query(
-            spark, skewed_join_salted, scaled_dir, runs=2
-        )
-        timings["skewed_join_unsalted"] = _time_query(
+        timings["skewed_join_unsalted_aqe"] = _time_query(
             spark, QUERIES["skewed_join_unsalted"], scaled_dir, runs=2
         )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        timings["skewed_join_unsalted_noaqe"] = _time_query(
+            spark, QUERIES["skewed_join_unsalted"], scaled_dir, runs=2
+        )
+        timings["skewed_join_salted_noaqe"] = _time_query(
+            spark, skewed_join_salted, scaled_dir, runs=2
+        )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
     return {
         "factor": factor,
         "dir": scaled_dir,

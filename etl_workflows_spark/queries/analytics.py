@@ -857,8 +857,8 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavily-skewed equi-join executed through ``salted_join``
-    (operators/skew.py): a synthetic hot key absorbs ~1/3 of all events
-    (every user_id ≡ 0 mod 3 collapses to key 1 — the 'default user id'
+    (operators/skew.py): a synthetic hot key absorbs ~4/5 of all events
+    (every user_id ≢ 0 mod 5 collapses to key 1 — the 'default user id'
     pathology), then joins customer attributes on that key.
 
     The salt explodes the hot key across ``salt`` reducers; the right
@@ -870,7 +870,7 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_workflows_spark.operators.skew import salted_join
 
     ev = table(spark, sf_dir, "events").select(
-        F.when(F.col("user_id") % 3 == 0, F.lit(1))
+        F.when(F.col("user_id") % 5 != 0, F.lit(1))
         .otherwise(F.col("user_id"))
         .alias("cust_id"),
         "value",
@@ -878,7 +878,7 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_id"), "c_mktsegment"
     )
-    joined = salted_join(ev, cust, "cust_id", salt=8, how="inner")
+    joined = salted_join(ev, cust, "cust_id", salt=32, how="inner")
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("sum_value"),
@@ -890,7 +890,7 @@ def skewed_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting — same oracle; exists so bench.py can time the hot-key
     shuffle both ways (broadcast disabled there)."""
     ev = table(spark, sf_dir, "events").select(
-        F.when(F.col("user_id") % 3 == 0, F.lit(1))
+        F.when(F.col("user_id") % 5 != 0, F.lit(1))
         .otherwise(F.col("user_id"))
         .alias("cust_id"),
         "value",
@@ -910,7 +910,7 @@ def skewed_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SKEWED_JOIN_ORACLE = """
 WITH ev AS (
-  SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS cust_id, value
+  SELECT CASE WHEN user_id % 5 <> 0 THEN 1 ELSE user_id END AS cust_id, value
   FROM events
 )
 SELECT c_mktsegment,

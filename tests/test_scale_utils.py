@@ -152,3 +152,34 @@ def test_dedup_embedding_cosine(spark):
     )
     kept = {r["doc_id"] for r in dedup_embedding_cosine(emb, docs, 0.95).collect()}
     assert kept == {1, 3}
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark, sf_dir):
+    """The point of salting is the PLAN: the exchange must hash on
+    (key, __salt) so one hot key spreads across `salt` reducers."""
+    from pyspark.sql import functions as F
+    from etl_workflows_spark.queries.base import table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            F.lit(1).alias("cust_id"), "value"  # 100% hot key
+        )
+        cust = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+        )
+        out = salted_join(ev, cust, "cust_id", salt=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan, plan
+        # both exchanges carry the salt in their partitioning key
+        import re
+
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        # the literal hot key is constant-folded out of the partitioning,
+        # leaving __salt as the ONLY distribution key — exactly the spread
+        # the rewrite promises; both join-side exchanges must carry it
+        join_parts = [p for p in parts if "__salt" in p]
+        assert len(join_parts) >= 2, parts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
