@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from etl_workflows_spark.operators import (
+    bpe,
     decontam,
     dedup,
     frequency,
@@ -874,6 +875,40 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _BPE_CACHE:
+        _BPE_CACHE[sf_dir] = bpe.train_bpe(
+            table(spark, sf_dir, "documents"), n_merges=15
+        )
+    return _BPE_CACHE[sf_dir]
+
+
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 15 BPE merges learned from the corpus (operators/bpe.py —
+    distributed vocabulary induction over the word-frequency table).
+    Iterative/order-dependent → rows-only; exactness vs a reference
+    Python implementation is pinned in test_bpe."""
+    merges = _bpe_merges_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count long",
+    )
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under the corpus-learned merges —
+    the in-plan encoder (pure Catalyst fold chain, no Python per row).
+    Rows-only (depends on the iterative training above)."""
+    merges = _bpe_merges_for(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    return bpe.bpe_encode(d, merges).select(
+        "doc_id", F.size("bpe_tokens").cast("int").alias("n_bpe_tokens")
+    )
+
+
 def leakage_free_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment keyed by the exact-dup fingerprint
     (md5 of text), so byte-identical documents can never straddle splits
@@ -1207,6 +1242,8 @@ QUERIES = {
     "hybrid_rrf_docs": hybrid_rrf_docs,
     "leakage_free_split_docs": leakage_free_split_docs,
     "budget_select_docs": budget_select_docs,
+    "bpe_merges_docs": bpe_merges_docs,
+    "bpe_encode_docs": bpe_encode_docs,
 }
 
 ORACLE_SQL = {
