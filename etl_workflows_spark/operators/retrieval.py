@@ -74,14 +74,17 @@ def bm25_topk(
         F.size("__arr").alias("len"),
         F.explode("__arr").alias("token"),
     )
-    tf = toks.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("len").alias("len")
-    )
-    # restrict postings to query terms FIRST; document frequency computed
-    # on the restricted postings equals global df for those terms, so the
-    # full-vocabulary df aggregation never runs
+    # restrict to query-term tokens BEFORE any aggregation — the broadcast
+    # semi-filter sits under the shuffle, so only query-term postings ever
+    # shuffle; tf and df computed on the restricted postings equal their
+    # global values for those terms, and the full-vocabulary tf/df passes
+    # never run
     qtok = qterms.select("token").distinct()
-    tf_q = tf.join(F.broadcast(qtok), "token")
+    tf_q = (
+        toks.join(F.broadcast(qtok), "token")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
+    )
     df_q = tf_q.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
     # avg doclen: exact integer sum / exact count → one portable division
     totals = arr.select(F.size("__arr").alias("len")).agg(
