@@ -85,11 +85,12 @@ def train_bpe(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    # localCheckpoint per iteration truncates the fold-chain lineage
-    # (same discipline as dedup.cluster_duplicates); the checkpoint RDDs
-    # of dropped iterations are released by the ContextCleaner once this
-    # function's references go out of scope — pinned in test_bpe's
-    # cache-hygiene test.
+    # localCheckpoint per iteration truncates the fold-chain lineage;
+    # every checkpoint is released deterministically (the result is a
+    # plain Python list — nothing distributed escapes), pinned in
+    # test_bpe's cache-hygiene test.
+    from etl_workflows_spark.operators.cache import release_checkpoint
+
     words = word_frequencies(docs, text_col).select(
         _initial_symbols(F.col("word")).alias("syms"), "count"
     )
@@ -119,10 +120,13 @@ def train_bpe(
             break
         left, right = best["left"], best["right"]
         merges.append((left, right, best["pair_count"]))
+        prev = words
         words = words.select(
             _merge_pair(F.col("syms"), left, right).alias("syms"),
             "count",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=True)
+        release_checkpoint(prev)
+    release_checkpoint(words)
     return merges
 
 

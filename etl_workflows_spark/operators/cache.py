@@ -1,0 +1,67 @@
+"""Deterministic release of localCheckpoint storage.
+
+``localCheckpoint`` materializes a DataFrame into cached RDD blocks and
+truncates lineage. Spark frees those blocks via the ContextCleaner —
+*eventually*, after the JVM garbage-collects the RDD object, which in a
+long-lived driver can lag arbitrarily (it needs a Python GC, a py4j
+detach, a JVM GC, and the async cleaner thread to all line up). Iterative
+operators (duplicate clustering, BPE training) create one checkpoint per
+iteration, so waiting on GC turns bounded scratch space into an
+unbounded-looking pile of cached blocks.
+
+``release_checkpoint`` frees the blocks NOW by unpersisting the RDD that
+backs the checkpointed plan. After the call the DataFrame is UNUSABLE
+(its lineage was truncated at the checkpoint — there is nothing to
+recompute from); only release state that nothing will read again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _checkpoint_leaves(df: DataFrame):
+    """(rdd_id, LogicalRDD leaf) pairs under df's analyzed plan."""
+    plan = df._jdf.queryExecution().analyzed()
+    leaves = plan.collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() == "LogicalRDD":
+            out.append((leaf.rdd().id(), leaf))
+    return out
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Immediately unpersist the RDD blocks behind a localCheckpoint'd
+    DataFrame. The DataFrame must never be used afterwards.
+
+    No-op (with no error) if ``df`` is not checkpoint-backed.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return
+        plan.rdd().unpersist(False)
+    except Exception:
+        # best-effort: a plan shape we don't recognize falls back to the
+        # ContextCleaner path, never breaks the caller
+        pass
+
+
+def release_all_checkpoints(df: DataFrame, keep=()) -> None:
+    """Release EVERY localCheckpoint under ``df``'s plan — for consumers
+    that are completely done with a derived result (e.g. after writing a
+    dedup output). ``keep`` lists DataFrames whose own checkpoints must
+    survive (typically the caller's input); their blocks are skipped.
+
+    ``df`` and anything sharing its released checkpoints must never be
+    used afterwards.
+    """
+    try:
+        keep_ids = {rid for k in keep for rid, _ in _checkpoint_leaves(k)}
+        for rid, leaf in _checkpoint_leaves(df):
+            if rid not in keep_ids:
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass

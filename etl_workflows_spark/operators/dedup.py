@@ -377,7 +377,16 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     ``pairs`` needs columns (doc_a, doc_b); output assigns every vertex
     that appears in any pair. (Singletons never enter the graph — they're
     their own cluster by definition and don't need rows.)
+
+    Storage discipline: each dropped iteration's checkpoint blocks are
+    released immediately (cache.release_checkpoint) — waiting on the
+    ContextCleaner turns bounded scratch into an unbounded-looking pile.
+    The RETURNED labels are checkpoint-backed; they free via the
+    ContextCleaner once the result is dropped, or deterministically via
+    ``cache.release_checkpoint`` when the caller is done.
     """
+    from etl_workflows_spark.operators.cache import release_checkpoint
+
     edges = pairs.select("doc_a", "doc_b")
     # undirected: both directions
     sym = edges.union(
@@ -415,6 +424,9 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the previous iteration's checkpoint has now served its last
+        # read (the changed-count above) — free its blocks NOW
+        release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             converged = True
@@ -444,11 +456,18 @@ def dedup_near_duplicates(
     This is the full 100 TB dedup recipe: O(n·bands) candidate
     generation, exact verification, component clustering, one anti-join.
 
-    Owns the shingle cache end-to-end: the persisted shingled relation is
-    released as soon as clustering has consumed the pair graph (clusters
-    are localCheckpoint'd, so nothing downstream re-reads it) — repeated
-    invocations in a long-lived session don't accumulate cached blocks.
+    Owns ALL intermediate storage end-to-end: the persisted shingled
+    relation is released once clustering has consumed the pair graph,
+    clustering releases its per-iteration checkpoints as it goes, and the
+    cluster labels are condensed into a loser-id checkpoint (duplicate
+    ids only — the small side) so the labels' storage is freed before
+    returning. The returned DataFrame depends on that one loser
+    checkpoint; it frees via the ContextCleaner when the result is
+    dropped, or deterministically via ``cache.release_checkpoint`` once
+    the caller has consumed the result.
     """
+    from etl_workflows_spark.operators.cache import release_all_checkpoints
+
     n = lsh_kwargs.pop("n", 3)
     t = _shingled(docs, text_col, n, hashed=True).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -458,14 +477,18 @@ def dedup_near_duplicates(
     )
     clusters = cluster_duplicates(pairs)
     t.unpersist()
-    w_losers = (
+    losers = (
         clusters.groupBy("cluster")
         .agg(F.min("doc_id").alias("keeper"))
         .join(clusters, "cluster")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
-    return docs.join(w_losers, "doc_id", "left_anti")
+    # clusters is a projection over the labels checkpoint — release the
+    # checkpoint(s) under it now that losers is materialized
+    release_all_checkpoints(clusters)
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 def dedup_embedding_cosine(
@@ -494,7 +517,11 @@ def dedup_embedding_cosine(
         .join(clusters, "cluster")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select(F.col("doc_id").alias(doc_id))  # caller's doc-id column name
+        .localCheckpoint(eager=True)
     )
+    from etl_workflows_spark.operators.cache import release_all_checkpoints
+
+    release_all_checkpoints(clusters)
     return docs.join(losers, doc_id, "left_anti")
 
 

@@ -302,3 +302,52 @@ def budget_select(
         out_col="cum_cost",
     )
     return out.filter(F.col("cum_cost") <= budget).drop("__negq")
+
+
+def negative_samples(
+    pairs: DataFrame,
+    n_corpus: int,
+    k: int,
+    query_col: str = "query_id",
+    pos_col: str = "pos_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """k deterministic negatives per (query, positive) pair for
+    contrastive training: negative i of query q is
+    ``md5(salt:q:i) mod n_corpus`` over a dense [0, n_corpus) id space,
+    bumped by one (mod n) if it collides with the positive.
+
+    Same portability contract as every sampler here: a pure function of
+    (query key, salt, i), so any engine regenerates the identical
+    negatives and re-runs never reshuffle them. Embarrassingly parallel —
+    an explode(k) plus codegen arithmetic, no joins, no RNG state.
+    (Dense ids are what ``ordering.global_ordinals`` exists to mint.)
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_corpus < 2:
+        raise ValueError(f"n_corpus must be >= 2, got {n_corpus}")
+    exploded = pairs.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_rank")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col(query_col).cast("string"),
+                    F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    raw = h % F.lit(n_corpus)
+    neg = F.when(
+        raw == F.col(pos_col), (raw + 1) % F.lit(n_corpus)
+    ).otherwise(raw)
+    return exploded.withColumn("neg_id", neg)

@@ -85,3 +85,53 @@ def as_of(dim: DataFrame, ts, key: str | None = None) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Per-row point-in-time join: each fact row picks the dimension
+    version valid at ITS OWN event time (``valid_from <= ts < valid_to``,
+    open rows match everything from valid_from on).
+
+    Plan shape: an equi-join on ``key`` with the validity window as a
+    residual predicate — NOT a range join. SCD2 dims hold a handful of
+    versions per key, so the equi-join fans out version-count× and the
+    residual filters, keeping hash/broadcast join strategies (and their
+    100 TB behavior) available; a pure interval join would forfeit the
+    equi key and degenerate to a nested loop.
+
+    Dim attribute columns must not collide with fact columns
+    (``valid_from``/``valid_to`` are dropped from the output).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"temporal_join supports inner/left joins only, got {how!r}"
+        )
+    overlap = [
+        c
+        for c in dim.columns
+        if c in facts.columns and c not in (key, "valid_from", "valid_to")
+    ]
+    if overlap:
+        raise ValueError(
+            f"dim attribute columns collide with fact columns: {overlap}; "
+            "rename before joining"
+        )
+    f, d = facts.alias("f"), dim.alias("d")
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (F.col("d.valid_from") <= ts)
+        & (F.col("d.valid_to").isNull() | (F.col("d.valid_to") > ts))
+    )
+    out_cols = [F.col(f"f.{c}") for c in facts.columns] + [
+        F.col(f"d.{c}")
+        for c in dim.columns
+        if c not in (key, "valid_from", "valid_to")
+    ]
+    return f.join(d, cond, how).select(*out_cols)

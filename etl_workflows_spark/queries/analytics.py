@@ -1003,6 +1003,51 @@ FROM orders
 """
 
 
+def purchase_state_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row point-in-time join (operators/scd.py temporal_join): each
+    purchase picks the user's browsing state (last view/click interval)
+    valid at the purchase's own timestamp. Equi-join on user_id with the
+    validity window as residual — hash-join strategies stay available,
+    unlike a pure interval join."""
+    from etl_workflows_spark.operators.scd import temporal_join
+
+    ev = table(spark, sf_dir, "events")
+    states = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+            F.lead("ts")
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("valid_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal_join(facts, states, key="user_id", ts_col="ts")
+    return out.select("event_id", "user_id", "state")
+
+
+_TEMPORAL_JOIN_ORACLE = """
+WITH st AS (
+  SELECT user_id, ts AS valid_from, event_type AS state,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events WHERE event_type <> 'purchase'
+),
+f AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, st.state
+FROM f LEFT JOIN st
+  ON st.user_id = f.user_id
+ AND st.valid_from <= f.ts
+ AND (st.valid_to IS NULL OR st.valid_to > f.ts)
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1028,6 +1073,7 @@ QUERIES = {
     "skewed_join_salted": skewed_join_salted,
     "skewed_join_unsalted": skewed_join_unsalted,
     "global_rowids_orders": global_rowids_orders,
+    "purchase_state_temporal_join": purchase_state_temporal_join,
 }
 
 ORACLE_SQL = {
@@ -1051,4 +1097,5 @@ ORACLE_SQL = {
     "skewed_join_salted": _SKEWED_JOIN_ORACLE,
     "skewed_join_unsalted": _SKEWED_JOIN_ORACLE,
     "global_rowids_orders": _GLOBAL_ROWIDS_ORACLE,
+    "purchase_state_temporal_join": _TEMPORAL_JOIN_ORACLE,
 }

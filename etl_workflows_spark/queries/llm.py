@@ -875,6 +875,43 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 deterministic contrastive negatives per (query, positive) pair
+    (sampling.negative_samples — md5(salt:query:i) mod corpus, collision-
+    bumped). Pairs here are synthetic (positive = 13·id+7 mod N); the
+    operator semantics are the deliverable."""
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    pairs = d.select(
+        F.col("doc_id").alias("query_id"),
+        ((F.col("doc_id") * 13 + 7) % F.lit(n)).alias("pos_id"),
+    )
+    return sampling.negative_samples(pairs, n_corpus=n, k=4)
+
+
+_NEGATIVES_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS nc FROM documents),
+p AS (
+  SELECT doc_id AS query_id,
+         (doc_id * 13 + 7) % (SELECT nc FROM n) AS pos_id
+  FROM documents
+),
+e AS (SELECT query_id, pos_id, UNNEST([0, 1, 2, 3]) AS neg_rank FROM p),
+h AS (
+  SELECT query_id, pos_id, neg_rank,
+         CAST(CONCAT('0x', SUBSTR(MD5(
+           'neg:' || CAST(query_id AS VARCHAR) || ':'
+                  || CAST(neg_rank AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT nc FROM n) AS raw
+  FROM e
+)
+SELECT query_id, pos_id, CAST(neg_rank AS INTEGER) AS neg_rank,
+       CASE WHEN raw = pos_id THEN (raw + 1) % (SELECT nc FROM n)
+            ELSE raw END AS neg_id
+FROM h
+"""
+
+
 _BPE_CACHE: dict = {}
 
 
@@ -1244,6 +1281,7 @@ QUERIES = {
     "budget_select_docs": budget_select_docs,
     "bpe_merges_docs": bpe_merges_docs,
     "bpe_encode_docs": bpe_encode_docs,
+    "negative_samples_docs": negative_samples_docs,
 }
 
 ORACLE_SQL = {
@@ -1283,5 +1321,6 @@ ORACLE_SQL = {
     "hybrid_rrf_docs": _HYBRID_ORACLE,
     "leakage_free_split_docs": _LEAKAGE_SPLIT_ORACLE,
     "budget_select_docs": _BUDGET_SELECT_ORACLE,
+    "negative_samples_docs": _NEGATIVES_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

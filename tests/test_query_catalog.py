@@ -21,6 +21,8 @@ ROWS_ONLY = {
     "knn_join_bench_fast",
     "events_ewma",
     "equidepth_histogram_approx",
+    "bpe_merges_docs",
+    "bpe_encode_docs",
 }
 
 

@@ -264,3 +264,27 @@ def test_global_cumsum_exact_on_skewed_values(spark):
     expect = df.withColumn("e", F.sum("c").over(w))
     joined = out.join(expect, ["k", "v", "c"])
     assert joined.filter(F.col("cumsum") != F.col("e")).count() == 0
+
+
+def test_negative_samples_deterministic_and_collision_free(spark):
+    from etl_workflows_spark.operators.sampling import negative_samples
+
+    pairs = spark.createDataFrame(
+        [(q, (q * 3) % 20) for q in range(50)], "query_id long, pos_id long"
+    )
+    out = negative_samples(pairs, n_corpus=20, k=4)
+    rows = out.collect()
+    assert len(rows) == 200  # k per pair
+    assert all(0 <= r["neg_id"] < 20 for r in rows)
+    assert all(r["neg_id"] != r["pos_id"] for r in rows)  # collision bump
+    again = {(r["query_id"], r["neg_rank"]): r["neg_id"]
+             for r in negative_samples(pairs, n_corpus=20, k=4).collect()}
+    first = {(r["query_id"], r["neg_rank"]): r["neg_id"] for r in rows}
+    assert first == again
+    # negatives are roughly uniform over the corpus
+    distinct = len({r["neg_id"] for r in rows})
+    assert distinct >= 15
+    with pytest.raises(ValueError, match="k must"):
+        negative_samples(pairs, n_corpus=20, k=0)
+    with pytest.raises(ValueError, match="n_corpus"):
+        negative_samples(pairs, n_corpus=1, k=2)

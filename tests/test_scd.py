@@ -60,3 +60,55 @@ def test_scd2_null_safe_change_detection(spark):
     assert dim1.count() == 1 and dim1.first()["valid_to"] is None
     dim2 = scd2_apply(dim1, _upd(spark, [(1, "BUILDING", T2)]), "c_custkey", ["segment"])
     assert dim2.count() == 2
+
+
+def test_temporal_join_picks_version_at_fact_time(spark):
+    from etl_workflows_spark.operators.scd import temporal_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "A", "2021-01-01 00:00:00", "2021-02-01 00:00:00"),
+            (1, "B", "2021-02-01 00:00:00", None),
+            (2, "X", "2021-01-15 00:00:00", None),
+        ],
+        "k long, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k",
+        "seg",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2021-01-20 12:00:00"),  # inside A
+            (101, 1, "2021-02-01 00:00:00"),  # boundary → B (half-open)
+            (102, 2, "2021-01-01 00:00:00"),  # before any version
+            (103, 3, "2021-06-01 00:00:00"),  # unknown key
+        ],
+        "fid long, k long, ts string",
+    ).selectExpr("fid", "k", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        r["fid"]: r["seg"]
+        for r in temporal_join(facts, dim, "k", "ts").collect()
+    }
+    assert got == {100: "A", 101: "B", 102: None, 103: None}
+    inner = temporal_join(facts, dim, "k", "ts", how="inner")
+    assert {r["fid"] for r in inner.collect()} == {100, 101}
+
+
+def test_temporal_join_rejects_colliding_columns_and_outer(spark):
+    import pytest as _pytest
+
+    from etl_workflows_spark.operators.scd import temporal_join
+
+    dim = spark.createDataFrame(
+        [(1, "A", None, None)],
+        "k long, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, None, "x")], "fid long, k long, ts timestamp, seg string"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        temporal_join(facts, dim, "k", "ts")
+    with _pytest.raises(ValueError, match="inner/left"):
+        temporal_join(facts.drop("seg"), dim, "k", "ts", how="full")
