@@ -65,6 +65,15 @@ HEADLINE = [
     "attribution_view_purchase",
     "knn_join_bench_fast",
     "user_journey_pattern",
+    # round-4: single-partition-free total-order ops, retrieval,
+    # mixture/selection, temporal join
+    "epoch_shuffle_docs",
+    "budget_select_docs",
+    "bm25_topk_docs",
+    "hybrid_rrf_docs",
+    "blend_sources_docs",
+    "purchase_state_temporal_join",
+    "bpe_encode_docs",
 ]
 
 
