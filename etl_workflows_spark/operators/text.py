@@ -420,3 +420,57 @@ def charlm_score(
     return scored.groupBy(id_col).agg(
         F.avg("logp").alias("mean_logp"), F.count(F.lit(1)).alias("n_bigrams")
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every LINE that occurs in
+    ``min_docs`` or more distinct documents (cookie banners, nav menus,
+    license headers), rebuilding each document from its surviving lines
+    in original order. cf. Raffel et al. 2020 (C4), §2.2 line filters.
+
+    Scale shape: one posexplode, one map-side-combined
+    groupBy(line)→distinct-doc count (line cardinality ≈ corpus lines,
+    duplicates collapse early), one anti-join on the line hash, one
+    groupBy(doc) rebuild via sort_array(collect_list(struct(pos, line)))
+    — order restored without any window. Documents whose every line is
+    boilerplate survive with an empty string (left join back to the
+    corpus), so the operator never drops rows.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "line"
+        ),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
+    )

@@ -875,6 +875,54 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (text.remove_boilerplate_lines):
+    docs re-lined into 10-token blocks (pure codegen — transform over
+    sequence + slice), then every line occurring in ≥ 3 distinct docs is
+    dropped and texts rebuilt in order."""
+    d = table(spark, sf_dir, "documents")
+    a = F.split(F.col("text"), " ")
+    nblocks = F.ceil(F.size(a) / F.lit(10)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblocks - 1),
+        lambda b: F.array_join(F.slice(a, b * 10 + 1, 10), " "),
+    )
+    lined = d.select(
+        "doc_id",
+        F.when(F.size(a) > 0, F.array_join(blocks, "\n"))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    return text.remove_boilerplate_lines(lined, min_docs=3)
+
+
+_BOILERPLATE_ORACLE = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+toks AS (
+  SELECT doc_id, GENERATE_SUBSCRIPTS(a, 1) - 1 AS i, UNNEST(a) AS w FROM t
+),
+lines AS (
+  SELECT doc_id, CAST(FLOOR(i / 10) AS BIGINT) AS pos,
+         STRING_AGG(w, ' ' ORDER BY i) AS line
+  FROM toks GROUP BY doc_id, FLOOR(i / 10)
+),
+f AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= 3
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM f)
+),
+reb AS (
+  SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN reb USING (doc_id)
+"""
+
+
 def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4 deterministic contrastive negatives per (query, positive) pair
     (sampling.negative_samples — md5(salt:query:i) mod corpus, collision-
@@ -1282,6 +1330,7 @@ QUERIES = {
     "bpe_merges_docs": bpe_merges_docs,
     "bpe_encode_docs": bpe_encode_docs,
     "negative_samples_docs": negative_samples_docs,
+    "boilerplate_removal_docs": boilerplate_removal_docs,
 }
 
 ORACLE_SQL = {
@@ -1322,5 +1371,6 @@ ORACLE_SQL = {
     "leakage_free_split_docs": _LEAKAGE_SPLIT_ORACLE,
     "budget_select_docs": _BUDGET_SELECT_ORACLE,
     "negative_samples_docs": _NEGATIVES_ORACLE,
+    "boilerplate_removal_docs": _BOILERPLATE_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

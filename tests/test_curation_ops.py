@@ -53,3 +53,68 @@ def test_bigram_collocations_exact(spark):
     assert r["c_y"] == 4
     # lift = c_xy * nu^2 / (c_x * c_y * nb): nu=11 tokens, nb=8 bigrams
     assert abs(r["lift"] - (4 * 11 * 11) / (4 * 4 * 8)) < 1e-12
+
+
+# --- remove_boilerplate_lines ----------------------------------------------
+
+
+def test_boilerplate_lines_removed_across_docs(spark):
+    from etl_workflows_spark.operators.text import remove_boilerplate_lines
+
+    cookie = "accept all cookies"
+    rows = [
+        (1, f"{cookie}\nunique alpha\nmore alpha"),
+        (2, f"{cookie}\nunique beta"),
+        (3, f"{cookie}\nunique gamma"),
+        (4, "no boilerplate here"),
+        (5, f"{cookie}"),  # whole doc is boilerplate → empty survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert got == {
+        1: "unique alpha\nmore alpha",
+        2: "unique beta",
+        3: "unique gamma",
+        4: "no boilerplate here",
+        5: "",
+    }
+
+
+def test_boilerplate_respects_min_docs_and_counts_docs_not_lines(spark):
+    from etl_workflows_spark.operators.text import remove_boilerplate_lines
+
+    # the repeated line appears 3 times but in only TWO distinct docs —
+    # under min_docs=3 it must survive (C4 counts documents)
+    rows = [(1, "dup\ndup\nown one"), (2, "dup\nown two"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert got[1] == "dup\ndup\nown one"
+    got2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    assert got2 == {1: "own one", 2: "own two", 3: "solo"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(df, min_docs=1)
+
+
+def test_boilerplate_custom_separator_and_order(spark):
+    from etl_workflows_spark.operators.text import remove_boilerplate_lines
+
+    rows = [(1, "keep.z common.a keep"), (2, "z common"), (3, "z common.tail")]
+    # sep='.' exercises regex escaping; order of surviving lines preserved
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(df, min_docs=3, sep=".").collect()
+    }
+    assert got[1] == "keep.a keep"  # middle boilerplate line excised
