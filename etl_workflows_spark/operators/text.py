@@ -474,3 +474,27 @@ def remove_boilerplate_lines(
     return docs.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "q_norm",
+) -> DataFrame:
+    """Per-group quantile rank in [0, 1] (PERCENT_RANK): makes a quality
+    signal comparable ACROSS sources whose raw score distributions differ
+    — "keep the top 20% of every source" instead of a global threshold
+    that silently empties low-scoring sources.
+
+    Ties share a rank (standard PERCENT_RANK), so the output is
+    independent of physical row order. One shuffle on ``group_col``; each
+    group ranks in one task — for a pathologically large single group,
+    rank via the bucketed ``ordering.global_ordinals`` machinery per
+    group instead.
+    """
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(group_col).orderBy(F.col(value_col))
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -875,6 +875,66 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/snapshot.py): v2 synthesized in-query —
+    every 7th doc removed, every 5th edited, 10 new docs — diffed against
+    the corpus by content hash; returns per-doc status."""
+    from etl_workflows_spark.operators.snapshot import corpus_diff
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = d.filter(F.col("doc_id") % 7 != 0)
+    v2 = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        d.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return corpus_diff(d, v2)
+
+
+_CORPUS_DIFF_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM d WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM d WHERE doc_id < 10
+),
+o AS (SELECT doc_id, md5(text) AS ofp FROM d),
+n AS (SELECT doc_id, md5(text) AS nfp FROM v2)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.ofp IS NULL THEN 'added'
+            WHEN n.nfp IS NULL THEN 'removed'
+            WHEN o.ofp <> n.nfp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL JOIN n USING (doc_id)
+"""
+
+
+def quality_quantile_norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile-normalized quality (text.quantile_normalize):
+    n_chars PERCENT_RANKed within each source — cross-source-comparable
+    scores for 'top 20% of every source' mixing rules."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return text.quantile_normalize(d, "n_chars", "source")
+
+
+_QUANTILE_NORM_ORACLE = """
+SELECT doc_id, source, n_chars,
+       PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars) AS q_norm
+FROM documents
+"""
+
+
 def boilerplate_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate line removal (text.remove_boilerplate_lines):
     docs re-lined into 10-token blocks (pure codegen — transform over
@@ -1331,6 +1391,8 @@ QUERIES = {
     "bpe_encode_docs": bpe_encode_docs,
     "negative_samples_docs": negative_samples_docs,
     "boilerplate_removal_docs": boilerplate_removal_docs,
+    "corpus_diff_docs": corpus_diff_docs,
+    "quality_quantile_norm_docs": quality_quantile_norm_docs,
 }
 
 ORACLE_SQL = {
@@ -1372,5 +1434,7 @@ ORACLE_SQL = {
     "budget_select_docs": _BUDGET_SELECT_ORACLE,
     "negative_samples_docs": _NEGATIVES_ORACLE,
     "boilerplate_removal_docs": _BOILERPLATE_ORACLE,
+    "corpus_diff_docs": _CORPUS_DIFF_ORACLE,
+    "quality_quantile_norm_docs": _QUANTILE_NORM_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -118,3 +118,43 @@ def test_boilerplate_custom_separator_and_order(spark):
         for r in remove_boilerplate_lines(df, min_docs=3, sep=".").collect()
     }
     assert got[1] == "keep.a keep"  # middle boilerplate line excised
+
+
+# --- corpus_diff / quantile_normalize --------------------------------------
+
+
+def test_corpus_diff_statuses(spark):
+    from etl_workflows_spark.operators.snapshot import corpus_diff, diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summary = {
+        r["status"]: r["n_docs"]
+        for r in diff_summary(corpus_diff(old, new)).collect()
+    }
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_quantile_normalize_per_group_and_ties(spark):
+    from etl_workflows_spark.operators.text import quantile_normalize
+
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 30), (5, "a", 50),
+        (6, "b", 1000),  # single-row group → rank 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["doc_id"]: r["q_norm"]
+        for r in quantile_normalize(df, "n_chars", "source").collect()
+    }
+    assert got[1] == 0.0 and got[5] == 1.0
+    assert got[3] == got[4] == 0.5  # ties share a rank
+    assert got[6] == 0.0
+    # different groups are ranked independently of each other's scale
+    assert got[2] == 0.25
