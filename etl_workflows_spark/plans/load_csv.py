@@ -44,6 +44,7 @@ def load_csv(
     archive_files_after: bool = True,
     skip_headers: bool = True,
     stage_fixed_copy: bool = False,
+    metrics_out: dict | None = None,
 ) -> str:
     """Run the ingestion pipeline; returns the table name written.
 
@@ -53,6 +54,14 @@ def load_csv(
     ``stage_fixed_copy`` opts into the reference's ``FIXED_<name>`` audit
     artifact (W1) — off by default since in-engine coercion makes the
     staging hop redundant for correctness.
+
+    ``metrics_out``: pass a dict to receive pipeline observability
+    counters — ``rows_loaded`` plus ``nulls_<column>`` (cells the safe
+    casts nullified or that arrived empty) for every non-STRING column.
+    Collected with ``Dataset.observe`` ON the write job itself: zero
+    extra scans, zero extra actions — the accumulator rides the same
+    tasks that load the table (the engine-grade replacement for the
+    reference's log-line row counts).
     """
     csv_path = find_most_recent_csv(spark, bucket, prefix)
     csv_name = os.path.basename(csv_path)
@@ -68,7 +77,28 @@ def load_csv(
 
         write_fixed_copy(cleaned, bucket, csv_name)
 
+    observation = None
+    if metrics_out is not None:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        null_counters = [
+            F.sum(F.col(f["name"]).isNull().cast("long")).alias(
+                f"nulls_{f['name']}"
+            )
+            for f in schema_doc["fields"]
+            if f.get("type", "STRING").upper() != "STRING"
+        ]
+        observation = Observation("load_csv_metrics")
+        cleaned = cleaned.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_loaded"),
+            *null_counters,
+        )
+
     table = write_table(cleaned, destination_table, append=False)
+    if observation is not None:
+        metrics_out.update(observation.get)
 
     if archive_files_after:
         archive_processed(spark, bucket, prefix)

@@ -188,3 +188,46 @@ def test_grouped_demean(spark):
     out = {(r["g"], r["v"]): r["v_demeaned"] for r in grouped_demean(df, "g", "v").collect()}
     assert out[("a", 1.0)] == -1.0 and out[("a", 3.0)] == 1.0
     assert out[("b", 10.0)] == 0.0
+
+
+def test_load_csv_observe_metrics(spark, fixtures_dir, tmp_path):
+    """metrics_out rides the write job via Dataset.observe — no extra
+    scan; counters match the known fixture (406 rows, HORSEPOWER has 6
+    unparseable/empty cells in the reference asset)."""
+    import shutil
+
+    from etl_workflows_spark.plans.load_csv import load_csv
+
+    bucket = tmp_path / "b"
+    bucket.mkdir()
+    src = fixtures_dir / "bucket" / "cars_202109.csv"
+    if not src.exists():
+        src = fixtures_dir / "bucket" / "ARCHIVED" / "cars_202109.csv"
+    shutil.copy(src, bucket / "cars_202109.csv")
+
+    metrics: dict = {}
+    load_csv(
+        spark,
+        str(bucket),
+        "cars_",
+        str(fixtures_dir / "assets" / "cars_schema.yaml"),
+        "obs.cars",
+        archive_files_after=False,
+        metrics_out=metrics,
+    )
+    assert metrics["rows_loaded"] == 406
+    # every non-STRING schema column got a null counter
+    assert {k for k in metrics if k.startswith("nulls_")} >= {
+        "nulls_MPG",
+        "nulls_CYLINDERS",
+        "nulls_WEIGHT",
+    }
+    # cross-check one counter against the written table itself
+    from pyspark.sql import functions as F
+
+    expected_hp_nulls = (
+        spark.table("obs.cars")
+        .agg(F.sum(F.col("HORSEPOWER").isNull().cast("long")))
+        .collect()[0][0]
+    )
+    assert metrics["nulls_HORSEPOWER"] == expected_hp_nulls
