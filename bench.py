@@ -94,6 +94,11 @@ SCALED = [
     "heavy_hitter_tokens",
     "pipeline_doc_curation",
     "decontaminate_overlap",
+    # round-4: the bucketed total-order rewrite, query-term-restricted
+    # BM25, and line-frequency boilerplate removal under 10× data
+    "epoch_shuffle_docs",
+    "bm25_topk_docs",
+    "boilerplate_removal_docs",
 ]
 
 
