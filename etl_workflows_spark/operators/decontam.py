@@ -110,3 +110,31 @@ def decontaminate(
         train, benchmark, id_col, text_col, n, threshold
     ).where("contaminated")
     return train.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def canary_scan(
+    docs: DataFrame,
+    canaries: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring canary detection: which documents contain any of
+    the known canary strings (eval-set markers, deliberately planted
+    leak detectors, secrets patterns rendered literal).
+
+    One codegen scan — each row evaluates a chain of ``contains`` against
+    literal canaries (no join, no regex engine); output is one row per
+    (doc, canary) hit, so a doc holding two canaries reports both.
+    Canary lists are small by construction (they're curated markers);
+    for thousands of patterns switch to the n-gram machinery in
+    ``contamination_report``.
+    """
+    if not canaries:
+        raise ValueError("canaries must be a non-empty list of strings")
+    hits = None
+    for c in canaries:
+        h = docs.filter(F.col(text_col).contains(c)).select(
+            F.col(id_col), F.lit(c).alias("canary")
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    return hits

@@ -636,3 +636,35 @@ def append_fingerprints(
     accepted_docs.select(
         F.md5(F.col(text_col)).alias("fp")
     ).distinct().write.mode("append").insertInto(index_table)
+
+
+def containment_pairs_exact(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional shingle CONTAINMENT |A∩B| / |A| ≥ threshold — the
+    doc-inside-doc detector Jaccard misses: a paragraph quoted whole
+    inside a much longer page has high containment but low Jaccard
+    because the union is dominated by the longer side. cf. Broder 1997
+    (resemblance AND containment).
+
+    Output (doc_a, doc_b, containment) means "doc_a is contained in
+    doc_b"; both directions are emitted when both hold. O(n²) exact form
+    (the oracle-checked ground truth) — at scale generate candidates
+    with the LSH buckets (near_dup_pairs_lsh machinery) and verify
+    containment on candidates only, same split as Jaccard dedup.
+    """
+    t = _shingled(docs, text_col, n, hashed=False)
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / F.size("a.sh").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

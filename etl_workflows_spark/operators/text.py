@@ -498,3 +498,53 @@ def quantile_normalize(
 
     w = _W.partitionBy(group_col).orderBy(F.col(value_col))
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def distribution_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    top: int = 20,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots: per token,
+    the chi-square-style divergence (p - q)² / (p + q) of its relative
+    frequencies, ranked — "which vocabulary moved" when a new crawl or
+    source lands. All-rational arithmetic (counts and two exact
+    divisions; no logs), so the scores are engine-portable.
+
+    Shape: one token-count agg per snapshot (map-side combined), a full
+    outer join on token (absent → frequency 0), one top-k. Nothing
+    scales beyond vocabulary size after the scans.
+    """
+    def _freqs(d: DataFrame, cname: str) -> DataFrame:
+        toks = d.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        ).filter(F.col("token") != "")
+        return toks.groupBy("token").agg(F.count(F.lit(1)).alias(cname))
+
+    o = _freqs(old_docs, "n_old")
+    n = _freqs(new_docs, "n_new")
+    tot_o = old_docs.select(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("t_old")
+    )
+    tot_n = new_docs.select(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("t_new")
+    )
+    j = (
+        o.join(n, "token", "full")
+        .select(
+            "token",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .crossJoin(F.broadcast(tot_o))
+        .crossJoin(F.broadcast(tot_n))
+    )
+    p = F.col("n_old").cast("double") / F.col("t_old").cast("double")
+    q = F.col("n_new").cast("double") / F.col("t_new").cast("double")
+    drift = (p - q) * (p - q) / (p + q)
+    return (
+        j.select("token", "n_old", "n_new", drift.alias("drift"))
+        .orderBy(F.col("drift").desc(), F.col("token"))
+        .limit(top)
+    )

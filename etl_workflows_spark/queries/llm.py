@@ -875,6 +875,96 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment ≥ 0.8 (dedup.containment_pairs_exact):
+    the doc-inside-doc detector Jaccard misses. Exact O(n²) ground truth
+    — candidates come from the LSH buckets at scale."""
+    return dedup.containment_pairs_exact(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+_CONTAINMENT_ORACLE = (
+    _SHINGLES_CTE
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       LEN(LIST_INTERSECT(a.sh, b.sh)) / CAST(LEN(a.sh) AS DOUBLE)
+         AS containment
+FROM s a JOIN s b ON a.doc_id <> b.doc_id
+WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) / CAST(LEN(a.sh) AS DOUBLE) >= 0.8
+"""
+)
+
+
+_CANARIES = ["stream table hash", "row column sort", "window fast query"]
+
+
+def canary_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring canary detection (decontam.canary_scan): one
+    codegen contains-chain scan, one row per (doc, canary) hit."""
+    return decontam.canary_scan(
+        table(spark, sf_dir, "documents"), _CANARIES
+    )
+
+
+_CANARY_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT doc_id, '{c}' AS canary FROM documents "
+    f"WHERE CONTAINS(text, '{c}')"
+    for c in _CANARIES
+)
+
+
+def distribution_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between the two halves of the corpus
+    (text.distribution_drift): chi-square-style (p-q)²/(p+q) per token,
+    all-rational arithmetic, top-20."""
+    d = table(spark, sf_dir, "documents")
+    return text.distribution_drift(
+        d.filter(F.col("doc_id") < 250), d.filter(F.col("doc_id") >= 250)
+    )
+
+
+_DRIFT_ORACLE = """
+WITH o AS (
+  SELECT token, COUNT(*) AS n_old FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents WHERE doc_id < 250
+  ) WHERE token <> '' GROUP BY token
+),
+n AS (
+  SELECT token, COUNT(*) AS n_new FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents WHERE doc_id >= 250
+  ) WHERE token <> '' GROUP BY token
+),
+t_o AS (
+  SELECT SUM(LEN(STRING_SPLIT(text, ' '))) AS t_old
+  FROM documents WHERE doc_id < 250
+),
+t_n AS (
+  SELECT SUM(LEN(STRING_SPLIT(text, ' '))) AS t_new
+  FROM documents WHERE doc_id >= 250
+),
+j AS (
+  SELECT COALESCE(o.token, n.token) AS token,
+         COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+  FROM o FULL JOIN n USING (token)
+),
+sc AS (
+  SELECT token, n_old, n_new,
+         (CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE)
+          - CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE))
+         * (CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE)
+            - CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE))
+         / (CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE)
+            + CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE)) AS drift
+  FROM j CROSS JOIN t_o CROSS JOIN t_n
+)
+SELECT token, n_old, n_new, drift FROM sc
+ORDER BY drift DESC, token LIMIT 20
+"""
+
+
 def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/snapshot.py): v2 synthesized in-query —
     every 7th doc removed, every 5th edited, 10 new docs — diffed against
@@ -1393,6 +1483,9 @@ QUERIES = {
     "boilerplate_removal_docs": boilerplate_removal_docs,
     "corpus_diff_docs": corpus_diff_docs,
     "quality_quantile_norm_docs": quality_quantile_norm_docs,
+    "containment_pairs_docs": containment_pairs_docs,
+    "canary_scan_docs": canary_scan_docs,
+    "distribution_drift_docs": distribution_drift_docs,
 }
 
 ORACLE_SQL = {
@@ -1436,5 +1529,8 @@ ORACLE_SQL = {
     "boilerplate_removal_docs": _BOILERPLATE_ORACLE,
     "corpus_diff_docs": _CORPUS_DIFF_ORACLE,
     "quality_quantile_norm_docs": _QUANTILE_NORM_ORACLE,
+    "containment_pairs_docs": _CONTAINMENT_ORACLE,
+    "canary_scan_docs": _CANARY_ORACLE,
+    "distribution_drift_docs": _DRIFT_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

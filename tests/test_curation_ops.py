@@ -158,3 +158,74 @@ def test_quantile_normalize_per_group_and_ties(spark):
     assert got[6] == 0.0
     # different groups are ranked independently of each other's scale
     assert got[2] == 0.25
+
+
+# --- containment / canary / drift ------------------------------------------
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    from etl_workflows_spark.operators.dedup import (
+        containment_pairs_exact,
+        near_dup_pairs_exact,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs_exact(df, threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0  # short fully inside long
+    assert (2, 1) not in cont  # not symmetric: long is NOT inside short
+    # Jaccard at the same bar misses the pair entirely
+    jac = near_dup_pairs_exact(df, threshold=0.8).collect()
+    assert not any(
+        {r["doc_a"], r["doc_b"]} == {1, 2} for r in jac
+    )
+
+
+def test_canary_scan_hits_and_validation(spark):
+    from etl_workflows_spark.operators.decontam import canary_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "the secret canary CANARY-123 lives here"),
+            (2, "clean document"),
+            (3, "two markers: CANARY-123 and EVAL-MARK-9"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["canary"])
+        for r in canary_scan(df, ["CANARY-123", "EVAL-MARK-9"]).collect()
+    }
+    assert got == {(1, "CANARY-123"), (3, "CANARY-123"), (3, "EVAL-MARK-9")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        canary_scan(df, [])
+
+
+def test_distribution_drift_ranks_moved_tokens(spark):
+    from etl_workflows_spark.operators.text import distribution_drift
+
+    old = spark.createDataFrame(
+        [(i, "stable stable drifted") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, "stable stable newcomer") for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = distribution_drift(old, new, top=3).collect()
+    top_tokens = [r["token"] for r in rows]
+    # the vanished and the new token both outrank the stable one
+    assert set(top_tokens[:2]) == {"drifted", "newcomer"}
+    assert rows[0]["drift"] == rows[1]["drift"]  # symmetric move
+    stable = [r for r in rows if r["token"] == "stable"]
+    assert not stable or stable[0]["drift"] == 0.0
