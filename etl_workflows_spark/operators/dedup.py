@@ -668,3 +668,93 @@ def containment_pairs_exact(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from the prefix filter alone —
+    exposed separately so tests can pin the pruning (candidates must be
+    FAR below n(n-1)/2 when only frequent shingles are shared)."""
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    sorted_sets = (
+        tok.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("f"), F.col("s")))),
+                lambda x: x["s"],
+            ).alias("ss")
+        )
+    )
+    sz = F.size("ss")
+    prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    prefixes = sorted_sets.select(
+        "doc_id", F.explode(F.slice("ss", 1, prefix_len)).alias("s")
+    )
+    a, b = prefixes.alias("pa"), prefixes.alias("pb")
+    return (
+        a.join(b, (F.col("pa.s") == F.col("pb.s"))
+               & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT near-dup pairs (same output as ``near_dup_pairs_exact``)
+    without the O(n²) self-join — prefix filtering, the ppjoin family
+    (Chaudhuri/Ganti/Kaushik ICDE 2006; Xiao et al. WWW 2008).
+
+    Principle: order every document's shingle set by GLOBAL shingle
+    frequency (rarest first; ties by shingle value — any shared total
+    order works). If Jaccard(A,B) ≥ t, the two sets must share a shingle
+    within their first ``|S| - ⌈t·|S|⌉ + 1`` elements — so candidates
+    come from an equi-join on PREFIX shingles only. Prefixes are built
+    from the rarest tokens, so join buckets are small by construction:
+    recall is exactly 1 (it's a theorem, not a probability), unlike LSH.
+
+    Plan: one shingle-frequency agg, one join to attach frequencies, a
+    per-doc sort_array (no window — the order key travels inside the
+    array), prefix explode, equi-join on shingle, distinct candidate
+    pairs, exact-Jaccard verification against the full sets. Shuffles
+    scale with corpus shingles + candidate count, never with n².
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = _shingled(docs, text_col, n, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = _prefix_candidates(sh, threshold)
+    fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    fb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+            F.size("sh_a").alias("__sa"),
+            F.size("sh_b").alias("__sb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard_from_sizes(
+                F.col("__i"), F.col("__sa"), F.col("__sb")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # sh stays persisted behind the returned lazy DataFrame (same
+    # caller-release contract as near_dup_pairs_exact's materialize=True).
+    return verified

@@ -171,6 +171,17 @@ WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
 )
 
 
+def near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs at scale via prefix filtering (ppjoin family
+    — dedup.near_dup_pairs_prefix): candidates from an equi-join on each
+    set's rarest-shingle prefix (recall 1 by theorem, unlike LSH), exact
+    verification. Same oracle as the O(n²) ground truth — identical
+    output, scalable plan."""
+    return dedup.near_dup_pairs_prefix(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — approximate candidate generation, exact
     verification; no SQL oracle (rows-only check). tests/test_llm_ops.py
@@ -1443,6 +1454,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "near_dup_jaccard": near_dup_jaccard,
+    "near_dup_prefix_filter": near_dup_prefix_filter,
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
     "dedup_near_end_to_end": dedup_near_end_to_end,
     "minhash_signatures": minhash_signatures,
@@ -1499,6 +1511,7 @@ ORACLE_SQL = {
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "near_dup_jaccard": _NEAR_DUP_ORACLE,
+    "near_dup_prefix_filter": _NEAR_DUP_ORACLE,
     "minhash_signatures": _MINHASH_ORACLE,
     "simhash_fingerprints": _simhash_oracle(),
     "ann_cosine_topk": _ANN_TOPK_ORACLE,
