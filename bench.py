@@ -43,6 +43,7 @@ HEADLINE = [
     "token_frequencies",
     "dedup_exact",
     "near_dup_minhash_lsh",
+    "near_dup_prefix_filter",
     "ann_cosine_topk",
     "pipeline_doc_curation",
     # round-2 scale paths
@@ -91,6 +92,7 @@ SCALED = [
     "doc_stats",
     "dedup_exact",
     "near_dup_minhash_lsh",
+    "near_dup_prefix_filter",
     "heavy_hitter_tokens",
     "pipeline_doc_curation",
     "decontaminate_overlap",
@@ -123,7 +125,7 @@ def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
     for name in SCALED:
         timings[name] = _time_query(spark, QUERIES[name], scaled_dir, runs=2)
     # Skew-join demo, three legs (broadcast off so the skewed shuffle join
-    # is real; the hot key holds ~1/3 of all events):
+    # is real; the hot key holds ~4/5 of all events):
     #   unsalted + AQE skew-split  — what you'd ship: AQE repairs at runtime
     #   unsalted, AQE skew off     — the naive plan where AQE can't see it
     #   salted,   AQE skew off     — the manual fix for those AQE-blind

@@ -448,13 +448,18 @@ def dedup_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
+    method: str = "lsh",
     **lsh_kwargs,
 ) -> DataFrame:
-    """End-to-end near-dedup: LSH pairs → duplicate clusters → keep the
-    min-doc_id representative of each cluster, drop the rest.
+    """End-to-end near-dedup: candidate pairs → duplicate clusters → keep
+    the min-doc_id representative of each cluster, drop the rest.
 
-    This is the full 100 TB dedup recipe: O(n·bands) candidate
-    generation, exact verification, component clustering, one anti-join.
+    This is the full 100 TB dedup recipe: scalable candidate generation,
+    exact verification, component clustering, one anti-join.
+    ``method='lsh'`` (default) generates candidates with banded MinHash —
+    O(n·bands) shuffle, recall tunable by (k, bands); ``method='prefix'``
+    uses the prefix filter (near_dup_pairs_prefix) — recall EXACTLY 1, so
+    the end-to-end result equals the O(n²) ground-truth dedup.
 
     Owns ALL intermediate storage end-to-end: the persisted shingled
     relation is released once clustering has consumed the pair graph,
@@ -468,13 +473,20 @@ def dedup_near_duplicates(
     """
     from etl_workflows_spark.operators.cache import release_all_checkpoints
 
+    if method not in ("lsh", "prefix"):
+        raise ValueError(f"method must be 'lsh' or 'prefix', got {method!r}")
     n = lsh_kwargs.pop("n", 3)
     t = _shingled(docs, text_col, n, hashed=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    pairs = near_dup_pairs_lsh(
-        docs, threshold, n=n, text_col=text_col, shingled=t, **lsh_kwargs
-    )
+    if method == "prefix":
+        pairs = near_dup_pairs_prefix(
+            docs, threshold, n=n, text_col=text_col, shingled=t
+        )
+    else:
+        pairs = near_dup_pairs_lsh(
+            docs, threshold, n=n, text_col=text_col, shingled=t, **lsh_kwargs
+        )
     clusters = cluster_duplicates(pairs)
     t.unpersist()
     losers = (
@@ -709,6 +721,7 @@ def near_dup_pairs_prefix(
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs (same output as ``near_dup_pairs_exact``)
     without the O(n²) self-join — prefix filtering, the ppjoin family
@@ -730,8 +743,12 @@ def near_dup_pairs_prefix(
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = _shingled(docs, text_col, n, hashed=True).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = (
+        shingled
+        if shingled is not None
+        else _shingled(docs, text_col, n, hashed=True).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     cands = _prefix_candidates(sh, threshold)
     fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -756,5 +773,6 @@ def near_dup_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
     )
     # sh stays persisted behind the returned lazy DataFrame (same
-    # caller-release contract as near_dup_pairs_exact's materialize=True).
+    # caller-release contract as near_dup_pairs_exact's materialize=True);
+    # pass ``shingled`` to own the cache lifecycle yourself.
     return verified

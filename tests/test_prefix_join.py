@@ -63,3 +63,32 @@ def test_prefix_threshold_validation(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="threshold"):
         near_dup_pairs_prefix(docs, threshold=0.0)
+
+
+def test_end_to_end_dedup_prefix_equals_lsh_ground_truth(spark, sf_dir):
+    from etl_workflows_spark.operators.dedup import dedup_near_duplicates
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(300)
+        .localCheckpoint(eager=True)
+    )
+    kept_prefix = {
+        r["doc_id"]
+        for r in dedup_near_duplicates(
+            docs, threshold=0.5, method="prefix"
+        ).collect()
+    }
+    kept_lsh = {
+        r["doc_id"]
+        for r in dedup_near_duplicates(docs, threshold=0.5).collect()
+    }
+    # prefix recall is exactly 1, LSH is approximate — so the prefix
+    # survivor set is the ground truth and LSH can only keep MORE docs
+    # (missed pairs leave extra survivors), never fewer
+    assert kept_prefix <= kept_lsh
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        dedup_near_duplicates(docs, method="bogus")
