@@ -1,0 +1,106 @@
+"""Streaming data-quality firewall: per-micro-batch expectations with
+quarantine routing.
+
+The batch side declares table invariants once (operators/expectations.py)
+and checks them in one scan; a continuously-ingesting pipeline needs the
+same rules applied to every micro-batch, with failing ROWS diverted to a
+quarantine table (for triage/replay) instead of poisoning the destination
+— a data firewall, not a post-hoc report.
+
+``foreachBatch`` is the right Spark shape: one branch-free scan computes
+every rule's violation flag, then the pass/fail split lands in two tables
+inside the same batch function, so a retried batch re-routes identically
+(both sinks are keyed idempotent appends — the same two-layer
+exactly-once design as ``stream_to_table_idempotent``).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.expectations import (
+    Expectation,
+    _violation_expr,
+)
+
+
+def _failure_flags(df: DataFrame, rules: List[Expectation]) -> DataFrame:
+    """Row-level '__failed' list column: names of every rule the row
+    violates (empty array = clean). Row-scoped kinds only — aggregate
+    kinds (unique, row_count_between) have no per-row quarantine meaning."""
+    row_kinds = ("not_null", "between", "isin", "matches")
+    bad = [r for r in rules if r.kind not in row_kinds]
+    if bad:
+        raise ValueError(
+            "quarantine_stream handles row-scoped rules only; got "
+            f"{sorted(r.kind for r in bad)} — check aggregate rules with "
+            "check_expectations on the destination table instead"
+        )
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(_violation_expr(r) == 1, F.lit(r.name))
+                for r in rules
+            ]
+        )
+    )
+    return df.withColumn("__failed", flags)
+
+
+def quarantine_stream(
+    stream_df: DataFrame,
+    rules: List[Expectation],
+    destination_table: str,
+    quarantine_table: str,
+    keys: List[str],
+    checkpoint_dir: str,
+) -> None:
+    """Route each micro-batch's rows by the declared rules: clean rows
+    append (idempotently, keyed) to ``destination_table``; violating rows
+    land in ``quarantine_table`` with a ``failed_rules`` audit column.
+
+    One AvailableNow run; returns when all available input is committed.
+    Retried batches are no-ops on both sinks (checkpoint dedupes sources,
+    keyed anti-join dedupes rows), and a row can never appear in both
+    tables — the split is a single deterministic expression.
+    """
+    from etl_workflows_spark.sinks.writer import (
+        append_if_absent,
+        normalize_table_name,
+    )
+
+    # validate rule kinds BEFORE the stream starts — inside foreachBatch
+    # the error would surface as an opaque StreamingQueryException
+    row_kinds = ("not_null", "between", "isin", "matches")
+    bad = [r for r in rules if r.kind not in row_kinds]
+    if bad:
+        raise ValueError(
+            "quarantine_stream handles row-scoped rules only; got "
+            f"{sorted(r.kind for r in bad)} — check aggregate rules with "
+            "check_expectations on the destination table instead"
+        )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        flagged = _failure_flags(batch_df, rules).dropDuplicates(keys)
+        clean = flagged.filter(F.size("__failed") == 0).drop("__failed")
+        dirty = flagged.filter(F.size("__failed") > 0).withColumn(
+            "failed_rules", F.array_join(F.col("__failed"), ",")
+        ).drop("__failed")
+        append_if_absent(clean, destination_table, keys)
+        append_if_absent(dirty, quarantine_table, keys)
+
+    (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+        .awaitTermination()
+    )
+    spark = stream_df.sparkSession
+    for t in (destination_table, quarantine_table):
+        name = normalize_table_name(t)
+        if spark.catalog.tableExists(name):
+            spark.catalog.refreshTable(name)
