@@ -102,3 +102,68 @@ def holt_forecast(
         )
 
     return df.select(*cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_delta_s: int,
+    key: str | None = None,
+) -> DataFrame:
+    """All (left, right) row pairs whose event times lie within
+    ``max_delta_s`` seconds of each other (optionally also equi-matched
+    on ``key``) — the time-proximity join open-source Spark has no
+    native operator for.
+
+    Naive formulations die at scale: a |Δt| ≤ w predicate alone plans a
+    BroadcastNestedLoopJoin (O(n·m) comparisons). Here the window is
+    discretized: each LEFT row explodes into the w-sized buckets its
+    ±w window can overlap (at most 3), the RIGHT side computes its one
+    home bucket, and the join is an ordinary EQUI-join on (key, bucket)
+    followed by the exact |Δt| filter. Every qualifying pair is found
+    exactly once (via the right row's unique home bucket), hash/SMJ/AQE
+    strategies all apply, and shuffle volume is 3×|left| + |right| —
+    never n·m.
+
+    Column names must not collide between the two sides (epoch-second
+    helper columns are internal). Returns left columns + right columns.
+    """
+    from pyspark.sql import functions as F
+
+    if max_delta_s <= 0:
+        raise ValueError(f"max_delta_s must be > 0, got {max_delta_s}")
+    overlap = [
+        c for c in right.columns if c in left.columns and c != key
+    ]
+    if overlap:
+        raise ValueError(
+            f"column collision between sides: {overlap}; rename first"
+        )
+
+    # exact MICROSECOND arithmetic (unix_timestamp truncates sub-second
+    # components — a pair 600.4s apart must not pass a 600s window);
+    # timestamp_diff is NTZ-safe, matching DuckDB's EPOCH_US semantics
+    def _us(c: str):
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(c).cast("timestamp_ntz"),
+        )
+
+    w_us = int(max_delta_s) * 1_000_000
+    l = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((_us(left_ts) - w_us) / F.lit(w_us)),
+                F.floor((_us(left_ts) + w_us) / F.lit(w_us)),
+            )
+        ),
+    )
+    r = right.withColumn("__bucket", F.floor(_us(right_ts) / F.lit(w_us)))
+    on = ["__bucket"] if key is None else [key, "__bucket"]
+    joined = l.join(r, on)
+    close = F.abs(_us(left_ts) - _us(right_ts)) <= F.lit(w_us)
+    return joined.filter(close).drop("__bucket")

@@ -1048,6 +1048,41 @@ FROM f LEFT JOIN st
 """
 
 
+def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (purchase, click) pairs of the same user within ±600 s
+    (operators/timeseries.py interval_join): the window is discretized
+    into w-sized buckets so the plan is an ordinary equi-join on
+    (user_id, bucket) + exact micros filter — never a nested loop."""
+    from etl_workflows_spark.operators.timeseries import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    out = interval_join(p, c, "p_ts", "c_ts", 600, key="user_id")
+    return out.select(
+        "user_id",
+        "p_id",
+        "c_id",
+        F.timestamp_diff(
+            "MICROSECOND", F.col("c_ts"), F.col("p_ts")
+        ).alias("delta_us"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+       EPOCH_US(p.ts) - EPOCH_US(c.ts) AS delta_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND ABS(EPOCH_US(p.ts) - EPOCH_US(c.ts)) <= 600000000
+"""
+
+
 QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1074,6 +1109,7 @@ QUERIES = {
     "skewed_join_unsalted": skewed_join_unsalted,
     "global_rowids_orders": global_rowids_orders,
     "purchase_state_temporal_join": purchase_state_temporal_join,
+    "purchase_click_interval_join": purchase_click_interval_join,
 }
 
 ORACLE_SQL = {
@@ -1098,4 +1134,5 @@ ORACLE_SQL = {
     "skewed_join_unsalted": _SKEWED_JOIN_ORACLE,
     "global_rowids_orders": _GLOBAL_ROWIDS_ORACLE,
     "purchase_state_temporal_join": _TEMPORAL_JOIN_ORACLE,
+    "purchase_click_interval_join": _INTERVAL_JOIN_ORACLE,
 }

@@ -81,3 +81,78 @@ def test_anomaly_zero_variance_history_yields_null_z(spark):
     rows = [(_h(i), "click", 1.0) for i in range(20)]
     out = hourly_anomaly(_events(spark, rows)).collect()
     assert all(r.zscore is None and not r.is_anomaly for r in out)
+
+
+# --- interval_join ----------------------------------------------------------
+
+
+def test_interval_join_matches_naive_and_no_nested_loop(spark):
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators.timeseries import interval_join
+
+    base = "2024-01-01 00:00:00"
+    left = spark.createDataFrame(
+        [(1, 1, f"2024-01-01 00:0{i}:00.50000{i}") for i in range(6)],
+        "l_id long, k long, l_ts string",
+    ).select("l_id", "k", F.col("l_ts").cast("timestamp").alias("l_ts"))
+    right = spark.createDataFrame(
+        [(10 + i, 1, f"2024-01-01 00:0{i}:30") for i in range(6)]
+        + [(99, 2, base)],  # other key: never matches
+        "r_id long, k long, r_ts string",
+    ).select("r_id", "k", F.col("r_ts").cast("timestamp").alias("r_ts"))
+
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in interval_join(left, right, "l_ts", "r_ts", 90, "k").collect()
+    }
+    naive = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(right, "k")
+        .filter(
+            F.abs(
+                F.col("l_ts").cast("double") - F.col("r_ts").cast("double")
+            )
+            <= 90
+        )
+        .collect()
+    }
+    assert got == naive and got  # non-trivial and identical
+    # bucketed plan: equi-join (hash or sort-merge), NOT a nested loop
+    plan = (
+        interval_join(left, right, "l_ts", "r_ts", 90, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan
+
+
+def test_interval_join_subsecond_exactness_and_validation(spark):
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators.timeseries import interval_join
+
+    # 600.4 s apart: must NOT pass a 600 s window (second-truncation
+    # arithmetic would wrongly admit it)
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00.000000")], "l_id long, l_ts string"
+    ).select("l_id", F.col("l_ts").cast("timestamp").alias("l_ts"))
+    right = spark.createDataFrame(
+        [(2, "2024-01-01 00:10:00.400000"), (3, "2024-01-01 00:09:59.999999")],
+        "r_id long, r_ts string",
+    ).select("r_id", F.col("r_ts").cast("timestamp").alias("r_ts"))
+    got = {
+        r["r_id"]
+        for r in interval_join(left, right, "l_ts", "r_ts", 600).collect()
+    }
+    assert got == {3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_delta_s"):
+        interval_join(left, right, "l_ts", "r_ts", 0)
+    with _pytest.raises(ValueError, match="collision"):
+        interval_join(
+            left, left.withColumnRenamed("l_id", "x"), "l_ts", "l_ts", 10
+        )
