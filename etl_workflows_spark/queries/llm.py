@@ -976,6 +976,47 @@ ORDER BY drift DESC, token LIMIT 20
 """
 
 
+def dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the headline numbers a corpus release ships
+    with — sizes, source/language inventory, duplication rate — in a
+    single scan + one global agg (every metric is algebraic/partial-
+    aggregatable, so the card costs one pass at any corpus size)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(toks).alias("min_tokens"),
+        F.max(toks).alias("max_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+    )
+
+
+_DATASET_CARD_ORACLE = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(LEN(STRING_SPLIT(text, ' '))) AS INTEGER) AS min_tokens,
+       CAST(MAX(LEN(STRING_SPLIT(text, ' '))) AS INTEGER) AS max_tokens,
+       COUNT(DISTINCT MD5(text)) AS n_distinct_texts,
+       1.0 - CAST(COUNT(DISTINCT MD5(text)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT lang)), ',') AS langs
+FROM documents
+"""
+
+
 def corpus_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (operators/snapshot.py): v2 synthesized in-query —
     every 7th doc removed, every 5th edited, 10 new docs — diffed against
@@ -1498,6 +1539,7 @@ QUERIES = {
     "containment_pairs_docs": containment_pairs_docs,
     "canary_scan_docs": canary_scan_docs,
     "distribution_drift_docs": distribution_drift_docs,
+    "dataset_card_docs": dataset_card_docs,
 }
 
 ORACLE_SQL = {
@@ -1545,5 +1587,6 @@ ORACLE_SQL = {
     "containment_pairs_docs": _CONTAINMENT_ORACLE,
     "canary_scan_docs": _CANARY_ORACLE,
     "distribution_drift_docs": _DRIFT_ORACLE,
+    "dataset_card_docs": _DATASET_CARD_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }
