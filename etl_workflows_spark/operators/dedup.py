@@ -686,7 +686,12 @@ def containment_pairs_exact(
 def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from the prefix filter alone —
     exposed separately so tests can pin the pruning (candidates must be
-    FAR below n(n-1)/2 when only frequent shingles are shared)."""
+    FAR below n(n-1)/2 when only frequent shingles are shared).
+
+    Includes ppjoin's LENGTH filter: Jaccard ≥ t forces
+    t·|B| ≤ |A| ≤ |B|/t, so cross-length pairs are dropped inside the
+    candidate join before the (far costlier) set-intersection verify.
+    """
     tok = sh.select("doc_id", F.explode("sh").alias("s"))
     freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
     sorted_sets = (
@@ -702,12 +707,21 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     sz = F.size("ss")
     prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     prefixes = sorted_sets.select(
-        "doc_id", F.explode(F.slice("ss", 1, prefix_len)).alias("s")
+        "doc_id",
+        sz.alias("n"),
+        F.explode(F.slice("ss", 1, prefix_len)).alias("s"),
     )
     a, b = prefixes.alias("pa"), prefixes.alias("pb")
+    # +1 slack: the bound is on INTEGER sizes, so a unit of headroom costs
+    # nothing and makes float-rounding false-drops at exact t·|A| == |B|
+    # boundaries impossible (the exact verify still decides the boundary)
+    length_ok = (
+        F.col("pa.n") * F.lit(float(threshold)) <= F.col("pb.n") + 1
+    ) & (F.col("pb.n") * F.lit(float(threshold)) <= F.col("pa.n") + 1)
     return (
         a.join(b, (F.col("pa.s") == F.col("pb.s"))
-               & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+               & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+               & length_ok)
         .select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
