@@ -218,3 +218,46 @@ def global_cumsum(
         d.withColumn(out_col, F.sum(F.col(val_col)).over(w) + off_expr)
         .drop("__bucket")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    pos_col: str = "pos",
+    salt: str = "interleave",
+) -> DataFrame:
+    """Fair round-robin interleaving of sources: position k·R + s-th spot
+    goes to round-k of source s — so any contiguous training slice sees
+    every source at its fair share instead of a run of one source (the
+    shard-level mixing property batch samplers assume).
+
+    Each row ranks WITHIN its source by the corpus-contract hash (a
+    per-source window — parallel across sources); the global position is
+    then CLOSED-FORM from the per-source counts, no global ordering pass
+    at all: rows before round r = Σ_s min(n_s, r-1), plus the sources
+    earlier in this round that are still active. The counts are one
+    #sources-row collect (bounded constant) folded into a literal
+    expression — the same bounded-driver discipline as the bucketed
+    ordinal rewrites, with zero second data pass.
+    """
+    h = salted_hash(F.col(key_col), salt)
+    w = W.partitionBy(source_col).orderBy(h, F.col(key_col))
+    d = df.withColumn("__round", F.row_number().over(w))
+    counts = sorted(
+        (r[source_col], r["n"])
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rnd = F.col("__round")
+    before_rounds = F.lit(0)
+    same_round = F.lit(0)
+    for src, n in counts:
+        before_rounds = before_rounds + F.least(F.lit(n), rnd - 1)
+        same_round = same_round + F.when(
+            (F.lit(src) < F.col(source_col)) & (F.lit(n) >= rnd), 1
+        ).otherwise(0)
+    return d.withColumn(
+        pos_col, (before_rounds + same_round + 1).cast("int")
+    ).drop("__round")

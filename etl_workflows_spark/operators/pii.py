@@ -68,3 +68,29 @@ def pii_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Counts + redacted text in one pass — the curation-pipeline shape:
     keep the clean text, log the tallies."""
     return redact_pii(pii_counts(df, text_col), text_col)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: every combination
+    of ``quasi_cols`` values shared by FEWER than ``k`` rows re-identifies
+    its members. Returns the violating groups with their sizes — the
+    release gate is ``report.count() == 0``.
+
+    One map-side-combined groupBy on the quasi-identifier tuple; NULLs
+    group together (a NULL combination can re-identify too). Scale: the
+    aggregation carries one row per distinct combination — the quasi-
+    identifier cardinality, not the corpus size.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

@@ -979,6 +979,44 @@ ORDER BY drift DESC, token LIMIT 20
 """
 
 
+def interleave_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fair round-robin source interleaving (ordering.interleave_sources):
+    position k·R+s goes to round k of source s, so any contiguous
+    training slice sees every source — computed closed-form from
+    per-source counts, no global ordering pass."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return ordering.interleave_sources(d)
+
+
+_INTERLEAVE_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('interleave:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnd
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (ORDER BY rnd, source) AS INTEGER) AS pos
+FROM r
+"""
+
+
+def k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit on the (source, lang) quasi-identifier at k=6
+    (operators/pii.py): combinations shared by fewer than 6 documents
+    re-identify their members."""
+    d = table(spark, sf_dir, "documents")
+    return pii.k_anonymity_report(d, ["source", "lang"], k=6)
+
+
+_K_ANON_ORACLE = """
+SELECT source, lang, COUNT(*) AS group_size
+FROM documents GROUP BY source, lang HAVING COUNT(*) < 6
+"""
+
+
 def dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card: the headline numbers a corpus release ships
     with — sizes, source/language inventory, duplication rate — in a
@@ -1543,6 +1581,8 @@ QUERIES = {
     "canary_scan_docs": canary_scan_docs,
     "distribution_drift_docs": distribution_drift_docs,
     "dataset_card_docs": dataset_card_docs,
+    "interleave_sources_docs": interleave_sources_docs,
+    "k_anonymity_docs": k_anonymity_docs,
 }
 
 ORACLE_SQL = {
@@ -1591,5 +1631,7 @@ ORACLE_SQL = {
     "canary_scan_docs": _CANARY_ORACLE,
     "distribution_drift_docs": _DRIFT_ORACLE,
     "dataset_card_docs": _DATASET_CARD_ORACLE,
+    "interleave_sources_docs": _INTERLEAVE_ORACLE,
+    "k_anonymity_docs": _K_ANON_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

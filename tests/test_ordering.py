@@ -105,3 +105,41 @@ def test_hash_prefix_bucket_monotone_with_hash_order(spark):
     buckets = [r["b"] for r in rows]
     assert buckets == sorted(buckets)  # bucket never decreases in hash order
     assert all(0 <= b <= 255 for b in buckets)
+
+
+def test_interleave_sources_round_robin_property(spark):
+    from etl_workflows_spark.operators.ordering import interleave_sources
+
+    # unequal sources: a=6 rows, b=3, c=1 → rounds 2+: c absent; 4+: b absent
+    rows = (
+        [(i, "a") for i in range(6)]
+        + [(10 + i, "b") for i in range(3)]
+        + [(20, "c")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(
+        ((r["pos"], r["source"]) for r in interleave_sources(df).collect())
+    )
+    assert [p for p, _ in out] == list(range(1, 11))  # dense permutation
+    seq = [s for _, s in out]
+    # round 1 holds all three sources, round-robin in source order
+    assert seq[:3] == ["a", "b", "c"]
+    # rounds 2-3: a and b alternate; rounds 4-6: only a remains
+    assert seq[3:7] == ["a", "b", "a", "b"]
+    assert seq[7:] == ["a", "a", "a"]
+    # any prefix of length >= 3 contains every source that still has rows
+    assert set(seq[:3]) == {"a", "b", "c"}
+
+
+def test_interleave_deterministic_and_plan_bounded(spark):
+    from etl_workflows_spark.operators.ordering import interleave_sources
+
+    rows = [(i, ["x", "y", "z"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(6)
+    a = {(r["doc_id"], r["pos"]) for r in interleave_sources(df).collect()}
+    b = {(r["doc_id"], r["pos"]) for r in interleave_sources(df).collect()}
+    assert a == b
+    plan = (
+        interleave_sources(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan, plan  # no global ordering pass

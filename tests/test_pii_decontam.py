@@ -157,3 +157,26 @@ def test_quality_gate_rules(spark):
     assert not rows[2].passes and rows[2].fail_reason == "ok_n_tokens"
     assert not rows[3].passes and rows[3].fail_reason == "ok_stop_ratio"
     assert not rows[4].passes and rows[4].fail_reason == "ok_uniq_ratio"
+
+
+def test_k_anonymity_report(spark):
+    from etl_workflows_spark.operators.pii import k_anonymity_report
+
+    rows = (
+        [(i, "US", "a") for i in range(10)]      # safe group (10 >= 5)
+        + [(100, "FR", "b"), (101, "FR", "b")]   # size 2 → violation
+        + [(200, None, "c")]                     # NULL quasi → size 1
+    )
+    df = spark.createDataFrame(rows, "id long, country string, plan string")
+    viol = {
+        (r["country"], r["plan"]): r["group_size"]
+        for r in k_anonymity_report(df, ["country", "plan"], k=5).collect()
+    }
+    assert viol == {("FR", "b"): 2, (None, "c"): 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymity_report(df, ["country"], k=1)
+    with _pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_report(df, [], k=5)
