@@ -288,6 +288,26 @@ def read_ivf_index(
     return lists, [[float(x) for x in r["centroid"]] for r in rows]
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a PERSISTED IVF index: assign against
+    the frozen centroid sidecar (no retrain — standard IVF maintenance)
+    and append, writing only the touched ``list_id`` partitions. Queries
+    over a re-read index see the union immediately; centroids drift only
+    as far as the data distribution does — re-train when list-size skew
+    says so (``read_ivf_index`` + groupBy('list_id') is the monitor).
+    """
+    spark = new_vectors.sparkSession
+    _, cents = read_ivf_index(spark, path)
+    assigned = ivf_assign(new_vectors, cents, vec_col)
+    assigned.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+
+
 def ann_topk_ivf(
     index: DataFrame,
     centroids: list[list[float]],

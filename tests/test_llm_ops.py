@@ -503,3 +503,45 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], round(r["cos_sim"], 10)) for r in got.collect()] == [
         (r["vec_id"], round(r["cos_sim"], 10)) for r in mem.collect()
     ]
+
+
+def test_ivf_append_extends_persisted_index(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: new vectors assigned against the
+    frozen centroids land in the right partitions; a re-read index serves
+    them, and untouched partitions' files are not rewritten."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    index, cents = similarity.build_ivf_index(first, n_lists=8, iterations=1)
+    path = str(tmp_path / "ivf_inc")
+    similarity.write_ivf_index(index, cents, path)
+
+    def files():
+        out = {}
+        for d in os.listdir(f"{path}/lists"):
+            if d.startswith("list_id="):
+                out[d] = sorted(os.listdir(f"{path}/lists/{d}"))
+        return out
+
+    before = files()
+    similarity.ivf_append(rest, path)
+    after = files()
+    # every pre-existing file survives byte-for-byte-name-identical
+    for d, fs in before.items():
+        assert set(fs) <= set(after.get(d, [])), d
+
+    lists, cents2 = similarity.read_ivf_index(spark, path)
+    assert cents2 == [[float(x) for x in c] for c in cents]  # frozen
+    assert lists.count() == emb.count()
+    # appended vectors share their list with what frozen assignment says
+    expect = similarity.ivf_assign(rest, cents)
+    got = lists.filter(F.col("vec_id") >= 400).select("vec_id", "list_id")
+    exp = expect.select("vec_id", "list_id")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in exp.collect()
+    }
+    # and the index remains queryable end-to-end over the union
+    res = similarity.ann_topk_ivf(lists, cents2, query_vec_id=450, k=5, nprobe=8)
+    assert res.count() == 5
