@@ -242,3 +242,60 @@ def pq_reconstruction_error(
         .collect()[0]
     )
     return float(agg["e"]) / max(int(agg["n"]), 1)
+
+
+def write_pq_index(
+    codes: DataFrame, codebooks: list[list[list[float]]], path: str
+) -> None:
+    """Materialize a PQ index: the code table as parquet (m uint8-sized
+    ints per vector — the 32×-compressed corpus) plus the codebooks as a
+    tiny sidecar. The persisted pair is everything ``pq_adc_topk`` needs;
+    the float vectors never have to be read again."""
+    spark = codes.sparkSession
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        (sub, code, [float(x) for x in cent])
+        for sub, book in enumerate(codebooks)
+        for code, cent in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Open a persisted PQ index → (codes DataFrame, codebooks)."""
+    codes = spark.read.parquet(f"{path}/codes")
+    rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("sub", "code")
+        .collect()
+    )
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        books.setdefault(r["sub"], {})[r["code"]] = [
+            float(x) for x in r["centroid"]
+        ]
+    return codes, [
+        [books[sub][code] for code in sorted(books[sub])]
+        for sub in sorted(books)
+    ]
+
+
+def pq_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally encode new vectors against the FROZEN codebooks and
+    append to the persisted code table — same maintenance contract as
+    ``similarity.ivf_append``: no retrain, existing files untouched,
+    quantization error drifts only as far as the data distribution does."""
+    spark = new_vectors.sparkSession
+    _, books = read_pq_index(spark, path)
+    pq_encode(new_vectors, books, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(f"{path}/codes")

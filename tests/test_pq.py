@@ -80,3 +80,44 @@ def test_adc_scan_plan_is_jvm_only(spark, emb, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert out.count() == 5
+
+
+def test_pq_index_roundtrip_and_append(spark, emb, tmp_path):
+    """Persisted PQ index: codebooks round-trip exactly, appended vectors
+    encode against the frozen books, existing code files untouched, and
+    the ADC scan works off the re-read pair alone."""
+    import os
+
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    books = pq.train_pq_codebooks(first, m=4, k=8, iterations=2)
+    codes = pq.pq_encode(first, books)
+    path = str(tmp_path / "pqidx")
+    pq.write_pq_index(codes, books, path)
+
+    before = sorted(os.listdir(f"{path}/codes"))
+    pq.pq_append(rest, path)
+    after = sorted(os.listdir(f"{path}/codes"))
+    assert set(f for f in before if f.endswith(".parquet")) <= set(after)
+
+    codes2, books2 = pq.read_pq_index(spark, path)
+    assert books2 == [[[float(x) for x in c] for c in b] for b in books]
+    assert codes2.count() == emb.count()
+    # appended rows carry exactly the frozen-book encoding
+    exp = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq.pq_encode(rest, books)
+        .select("vec_id", "codes")
+        .collect()
+    }
+    got = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in codes2.filter(F.col("vec_id") >= 400)
+        .select("vec_id", "codes")
+        .collect()
+    }
+    assert got == exp
+    # end-to-end: ADC top-k over the re-read index
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 450).first()["embedding"]]
+    res = pq.pq_adc_topk(spark, codes2, books2, qv, k=5)
+    assert res.count() == 5
