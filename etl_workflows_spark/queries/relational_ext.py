@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_workflows_spark.queries.base import dec, dsum, table
+from etl_workflows_spark.queries.base import dec, dsum, register_views, table
 
 
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +435,29 @@ FROM g
 """
 
 
+_RCTE_SQL = """
+WITH RECURSIVE chain(part, node, depth) AS (
+  SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+  FROM part WHERE p_partkey <= 500
+  UNION ALL
+  SELECT part, CAST(FLOOR(node / 2) AS BIGINT) AS node, depth + 1 AS depth
+  FROM chain WHERE node > 1
+)
+SELECT part, CAST(MAX(depth) AS INTEGER) AS depth_to_root,
+       CAST(COUNT(*) AS BIGINT) AS n_ancestors
+FROM chain GROUP BY part
+"""
+
+
+def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): ancestor-chain walk over a
+    synthetic binary-tree part hierarchy (parent = key div 2) — the
+    BOM-explosion / org-chart shape. Each part's depth to the root and
+    ancestor count; identical SQL runs on both engines."""
+    register_views(spark, sf_dir, "part")
+    return spark.sql(_RCTE_SQL)
+
+
 QUERIES = {
     "window_range_frame": window_range_frame,
     "window_value_functions": window_value_functions,
@@ -449,6 +472,7 @@ QUERIES = {
     "join_lateral_topn": join_lateral_topn,
     "agg_unpivot": agg_unpivot,
     "agg_covariance": agg_covariance,
+    "recursive_hierarchy": recursive_hierarchy,
 }
 
 ORACLE_SQL = {
@@ -465,4 +489,5 @@ ORACLE_SQL = {
     "join_lateral_topn": _LATERAL_ORACLE,
     "agg_unpivot": _UNPIVOT_ORACLE,
     "agg_covariance": _COVARIANCE_ORACLE,
+    "recursive_hierarchy": _RCTE_SQL,
 }

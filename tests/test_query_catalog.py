@@ -64,3 +64,21 @@ def test_catalog_md_in_sync():
     assert on_disk == gen_catalog.render(), (
         "CATALOG.md is stale — run: python tools/gen_catalog.py"
     )
+
+
+def test_recursive_hierarchy_depths(spark, sf_dir):
+    """WITH RECURSIVE walks the synthetic binary-tree hierarchy: depth of
+    part k is floor(log2(k)) + 1 extra hop for the 0-node edge cases —
+    verify a few known chains explicitly."""
+    from etl_workflows_spark.queries.relational_ext import recursive_hierarchy
+
+    got = {
+        r["part"]: (r["depth_to_root"], r["n_ancestors"])
+        for r in recursive_hierarchy(spark, sf_dir).collect()
+    }
+    assert got[1] == (0, 1)          # root: no hops
+    assert got[2] == (1, 2)          # 2 → 1
+    assert got[5] == (2, 3)          # 5 → 2 → 1
+    assert got[100] == (6, 7)        # 100 → 50 → 25 → 12 → 6 → 3 → 1
+    assert got[127] == (6, 7)        # 127 → 63 → 31 → 15 → 7 → 3 → 1
+    assert got[128] == (7, 8)        # exact power of two: one level deeper
