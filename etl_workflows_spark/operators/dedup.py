@@ -790,3 +790,99 @@ def near_dup_pairs_prefix(
     # caller-release contract as near_dup_pairs_exact's materialize=True);
     # pass ``shingled`` to own the cache lifecycle yourself.
     return verified
+
+
+def cross_split_leakage(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split-leakage AUDIT: eval documents whose shingle Jaccard against
+    ANY train document reaches ``threshold`` — the check you run on an
+    already-built (train, eval) pair to prove the split didn't leak
+    (the constructive counterpart is ``sampling.split_by_group``).
+
+    Returns (eval_id, train_id, jaccard) for every leaking pair.
+    Bipartite form of the prefix-filter join: both sides' shingle sets
+    order by the UNION's global shingle frequencies, candidates come from
+    an equi-join of the two prefix relations (recall 1, same theorem),
+    and only cross-side pairs are verified — no train×train or eval×eval
+    work at all.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_sh = _shingled(
+        train.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col, n, hashed=True,
+    )
+    e_sh = _shingled(
+        eval_docs.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col, n, hashed=True,
+    )
+    both = t_sh.select(F.lit("t").alias("side"), "doc_id", "sh").unionByName(
+        e_sh.select(F.lit("e").alias("side"), "doc_id", "sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tok = both.select("side", "doc_id", F.explode("sh").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    sorted_sets = (
+        tok.join(freq, "s")
+        .groupBy("side", "doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("f"), F.col("s")))),
+                lambda x: x["s"],
+            ).alias("ss")
+        )
+    )
+    sz = F.size("ss")
+    prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    prefixes = sorted_sets.select(
+        "side", "doc_id", sz.alias("n"),
+        F.explode(F.slice("ss", 1, prefix_len)).alias("s"),
+    )
+    ep = prefixes.filter(F.col("side") == "e").alias("pe")
+    tp = prefixes.filter(F.col("side") == "t").alias("pt")
+    length_ok = (
+        F.col("pe.n") * F.lit(float(threshold)) <= F.col("pt.n") + 1
+    ) & (F.col("pt.n") * F.lit(float(threshold)) <= F.col("pe.n") + 1)
+    cands = (
+        ep.join(tp, (F.col("pe.s") == F.col("pt.s")) & length_ok)
+        .select(
+            F.col("pe.doc_id").alias("eval_id"),
+            F.col("pt.doc_id").alias("train_id"),
+        )
+        .distinct()
+    )
+    # verification sets come from the cached union — the raw shingling
+    # never recomputes
+    fe = both.filter(F.col("side") == "e").select(
+        F.col("doc_id").alias("eval_id"), F.col("sh").alias("sh_e")
+    )
+    ft = both.filter(F.col("side") == "t").select(
+        F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_t")
+    )
+    verified = (
+        cands.join(fe, "eval_id")
+        .join(ft, "train_id")
+        .select(
+            "eval_id",
+            "train_id",
+            F.size(F.array_intersect("sh_e", "sh_t")).alias("__i"),
+            F.size("sh_e").alias("__se"),
+            F.size("sh_t").alias("__st"),
+        )
+        .select(
+            "eval_id",
+            "train_id",
+            jaccard_from_sizes(
+                F.col("__i"), F.col("__se"), F.col("__st")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # both stays persisted behind the returned lazy DataFrame (caller-
+    # release contract, as with the other pair generators)
+    return verified

@@ -171,6 +171,35 @@ WHERE LEN(LIST_INTERSECT(a.sh, b.sh))
 )
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (dedup.cross_split_leakage): eval docs
+    (doc_id % 5 == 0) whose Jaccard against ANY train doc reaches 0.8 —
+    bipartite prefix-filter join, recall 1, cross-side pairs only."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.cross_split_leakage(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.8,
+    )
+
+
+_LEAKAGE_AUDIT_ORACLE = (
+    _SHINGLES_CTE
+    + """,
+tr AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+ev AS (SELECT * FROM s WHERE doc_id % 5 = 0)
+SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+       LEN(LIST_INTERSECT(ev.sh, tr.sh))
+         / CAST(LEN(ev.sh) + LEN(tr.sh)
+                - LEN(LIST_INTERSECT(ev.sh, tr.sh)) AS DOUBLE) AS jaccard
+FROM ev JOIN tr
+  ON LEN(LIST_INTERSECT(ev.sh, tr.sh))
+       / CAST(LEN(ev.sh) + LEN(tr.sh)
+              - LEN(LIST_INTERSECT(ev.sh, tr.sh)) AS DOUBLE) >= 0.8
+"""
+)
+
+
 def near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs at scale via prefix filtering (ppjoin family
     — dedup.near_dup_pairs_prefix): candidates from an equi-join on each
@@ -1537,6 +1566,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "near_dup_jaccard": near_dup_jaccard,
     "near_dup_prefix_filter": near_dup_prefix_filter,
+    "split_leakage_audit": split_leakage_audit,
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
     "dedup_near_end_to_end": dedup_near_end_to_end,
     "minhash_signatures": minhash_signatures,
@@ -1597,6 +1627,7 @@ ORACLE_SQL = {
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "near_dup_jaccard": _NEAR_DUP_ORACLE,
     "near_dup_prefix_filter": _NEAR_DUP_ORACLE.replace("0.5", "0.8"),
+    "split_leakage_audit": _LEAKAGE_AUDIT_ORACLE,
     "minhash_signatures": _MINHASH_ORACLE,
     "simhash_fingerprints": _simhash_oracle(),
     "ann_cosine_topk": _ANN_TOPK_ORACLE,

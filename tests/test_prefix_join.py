@@ -92,3 +92,59 @@ def test_end_to_end_dedup_prefix_equals_lsh_ground_truth(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="method"):
         dedup_near_duplicates(docs, method="bogus")
+
+
+def test_cross_split_leakage_detects_planted_leak(spark):
+    from etl_workflows_spark.operators.dedup import cross_split_leakage
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [(1, leak), (2, "totally different train words here okay")]
+        + [(10 + i, f"noise{i} filler{i} words{i} only{i} here{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, leak + " iota"),  # near-dup of train doc 1
+         (101, "clean eval document nothing shared at all")],
+        "doc_id long, text string",
+    )
+    got = cross_split_leakage(train, evald, threshold=0.5)
+    rows = got.collect()
+    assert {(r["eval_id"], r["train_id"]) for r in rows} == {(100, 1)}
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+    # matches the exact bipartite ground truth computed naively
+    from etl_workflows_spark.operators.dedup import _shingled, jaccard_from_sizes
+    from pyspark.sql import functions as F
+
+    ts = _shingled(train, "text", 3, hashed=True)
+    es = _shingled(evald, "text", 3, hashed=True)
+    naive = (
+        es.alias("e").crossJoin(ts.alias("t"))
+        .select(
+            F.col("e.doc_id").alias("eval_id"),
+            F.col("t.doc_id").alias("train_id"),
+            jaccard_from_sizes(
+                F.size(F.array_intersect("e.sh", "t.sh")),
+                F.size("e.sh"),
+                F.size("t.sh"),
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+    assert {(r["eval_id"], r["train_id"]) for r in naive.collect()} == {
+        (r["eval_id"], r["train_id"]) for r in rows
+    }
+
+
+def test_cross_split_leakage_clean_split_is_empty(spark):
+    from etl_workflows_spark.operators.dedup import cross_split_leakage
+
+    train = spark.createDataFrame(
+        [(i, f"tr{i}a tr{i}b tr{i}c tr{i}d tr{i}e") for i in range(15)],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100 + i, f"ev{i}a ev{i}b ev{i}c ev{i}d ev{i}e") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert cross_split_leakage(train, evald, threshold=0.5).count() == 0
