@@ -75,6 +75,8 @@ HEADLINE = [
     "blend_sources_docs",
     "purchase_state_temporal_join",
     "bpe_encode_docs",
+    "purchase_click_interval_join",
+    "split_leakage_audit",
 ]
 
 
@@ -101,6 +103,8 @@ SCALED = [
     "epoch_shuffle_docs",
     "bm25_topk_docs",
     "boilerplate_removal_docs",
+    "purchase_click_interval_join",
+    "split_leakage_audit",
 ]
 
 

@@ -63,7 +63,6 @@ def bm25_topk(
         "query_id string, token string",
     )
 
-    n_docs = docs.count()
     arr = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__arr")
     )
@@ -86,14 +85,17 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
     )
     df_q = tf_q.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
-    # avg doclen: exact integer sum / exact count → one portable division
+    # corpus stats (N, avg doclen) in ONE aggregate riding the same scan
+    # — no separate count() job; exact integer sums → portable divisions
     totals = arr.select(F.size("__arr").alias("len")).agg(
         F.sum("len").cast("double").alias("len_sum"),
-        F.count(F.lit(1)).cast("double").alias("n"),
-    ).select((F.col("len_sum") / F.col("n")).alias("avg_len"))
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    ).select(
+        (F.col("len_sum") / F.col("__n")).alias("avg_len"), "__n"
+    )
 
     idf_ratio = (
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        (F.col("__n") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     ) + F.lit(1.0)
     idf_col = F.log(idf_ratio) if idf == "log" else idf_ratio
