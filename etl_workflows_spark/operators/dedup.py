@@ -691,6 +691,15 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     Includes ppjoin's LENGTH filter: Jaccard ≥ t forces
     t·|B| ≤ |A| ≤ |B|/t, so cross-length pairs are dropped inside the
     candidate join before the (far costlier) set-intersection verify.
+
+    Also includes ppjoin's POSITIONAL filter (Xiao et al. WWW 2008 §4):
+    common tokens appear in the same relative order in both sorted sets,
+    so at the FIRST shared prefix token — 0-based positions (pa, pb) —
+    the total overlap is bounded by min(|A|-pa, |B|-pb); Jaccard ≥ t
+    needs overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉. Every shared token's bound is
+    ≤ the first one's, so keeping pairs where ANY match passes is safe
+    (superset of the streaming ppjoin kept-set, recall still exactly 1),
+    and it prunes BEFORE the distinct shuffle and the verify join.
     """
     tok = sh.select("doc_id", F.explode("sh").alias("s"))
     freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
@@ -709,7 +718,7 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     prefixes = sorted_sets.select(
         "doc_id",
         sz.alias("n"),
-        F.explode(F.slice("ss", 1, prefix_len)).alias("s"),
+        F.posexplode(F.slice("ss", 1, prefix_len)).alias("p", "s"),
     )
     a, b = prefixes.alias("pa"), prefixes.alias("pb")
     # +1 slack: the bound is on INTEGER sizes, so a unit of headroom costs
@@ -718,10 +727,21 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     length_ok = (
         F.col("pa.n") * F.lit(float(threshold)) <= F.col("pb.n") + 1
     ) & (F.col("pb.n") * F.lit(float(threshold)) <= F.col("pa.n") + 1)
+    # overlap needed for Jaccard ≥ t, with the same unit of integer slack
+    alpha = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("pa.n") + F.col("pb.n"))
+    ) - 1
+    positional_ok = (
+        F.least(
+            F.col("pa.n") - F.col("pa.p"), F.col("pb.n") - F.col("pb.p")
+        )
+        >= alpha
+    )
     return (
         a.join(b, (F.col("pa.s") == F.col("pb.s"))
                & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-               & length_ok)
+               & length_ok & positional_ok)
         .select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
@@ -841,15 +861,27 @@ def cross_split_leakage(
     prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     prefixes = sorted_sets.select(
         "side", "doc_id", sz.alias("n"),
-        F.explode(F.slice("ss", 1, prefix_len)).alias("s"),
+        F.posexplode(F.slice("ss", 1, prefix_len)).alias("p", "s"),
     )
     ep = prefixes.filter(F.col("side") == "e").alias("pe")
     tp = prefixes.filter(F.col("side") == "t").alias("pt")
     length_ok = (
         F.col("pe.n") * F.lit(float(threshold)) <= F.col("pt.n") + 1
     ) & (F.col("pt.n") * F.lit(float(threshold)) <= F.col("pe.n") + 1)
+    # ppjoin positional filter, bipartite form — same first-common-token
+    # overlap bound as _prefix_candidates, same +1 integer slack
+    alpha = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("pe.n") + F.col("pt.n"))
+    ) - 1
+    positional_ok = (
+        F.least(
+            F.col("pe.n") - F.col("pe.p"), F.col("pt.n") - F.col("pt.p")
+        )
+        >= alpha
+    )
     cands = (
-        ep.join(tp, (F.col("pe.s") == F.col("pt.s")) & length_ok)
+        ep.join(tp, (F.col("pe.s") == F.col("pt.s")) & length_ok & positional_ok)
         .select(
             F.col("pe.doc_id").alias("eval_id"),
             F.col("pt.doc_id").alias("train_id"),

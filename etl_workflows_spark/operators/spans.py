@@ -1,0 +1,202 @@
+"""Substring-level exact duplicate-span detection and excision.
+
+Document-level dedup (``dedup_exact`` / ``near_dup_pairs_*``) misses the
+dominant failure mode of web corpora: long VERBATIM passages repeated
+inside otherwise-distinct pages (licence blocks, syndicated articles,
+templated boilerplate).  Lee et al. 2021 ("Deduplicating Training Data
+Makes Language Models Better", arXiv:2107.06499) remove duplicated
+substrings of >= 50 tokens with a suffix array — a single-machine
+construction.  The Spark-first equivalent used here: a token span of
+length >= L is duplicated iff every one of its L-token rolling windows
+occurs more than once corpus-wide, so
+
+1. build each document's L-token rolling windows IN-PLAN (one
+   ``transform`` over the token array — no Python, and when hashing no
+   L-token strings ever leave the projection),
+2. one ``groupBy`` over window keys finds windows occurring >= 2 times
+   corpus-wide (map-side partial aggregation soaks up dup-heavy data),
+3. a per-document gaps-and-islands window merges runs of duplicated
+   window STARTS into maximal spans.
+
+Window keys travel as ``xxhash64`` by default (8 bytes instead of an
+L-token string on the shuffle); ``hashed=False`` shuffles the literal
+window text — the spans produced are identical either way (64-bit
+collisions aside), which is what lets DuckDB oracle-check the hashed
+plan with its own string windows.
+
+Scale posture: work is O(total tokens) windows; the only corpus-wide
+shuffle is the window-key aggregation (AQE handles hot boilerplate
+keys); island-merging shuffles by doc_id only.  Nothing is ever
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _window_starts(toks: Column, length: int) -> Column:
+    """1-based start positions of every L-token rolling window,
+    empty (not descending — Spark's sequence(1, 0) pitfall) when the
+    document is shorter than one window."""
+    return F.when(
+        F.size(toks) >= length,
+        F.sequence(F.lit(1), F.size(toks) - length + 1),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def token_windows(
+    docs: DataFrame,
+    length: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, win): every L-token rolling window of every
+    document, pos 1-based.  ``hashed=True`` emits xxhash64(window) so
+    only 8 bytes per window reach the shuffle."""
+    if length < 2:
+        raise ValueError(f"window length must be >= 2, got {length}")
+    toks = F.split(F.col(text_col), " ")
+    mk = lambda i: F.concat_ws(" ", F.slice(toks, i, length))  # noqa: E731
+    body = (lambda i: F.xxhash64(mk(i))) if hashed else mk
+    wins = F.transform(_window_starts(toks, length), body)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(wins).alias("p0", "win"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "win")
+
+
+def _duplicated_hits(w: DataFrame) -> DataFrame:
+    """Occurrences of corpus-wide duplicated windows.  groupBy + leftsemi
+    (not COUNT OVER PARTITION BY win): partial aggregation halves the
+    shuffle and AQE can split the hot boilerplate keys."""
+    dup_keys = (
+        w.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("win")
+    )
+    return w.join(dup_keys, "win", "leftsemi")
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token spans: per document, maximal runs of
+    L-token windows (L = ``min_len``) that each occur >= 2 times
+    corpus-wide.  Returns (doc_id, start_pos, end_pos, n_tokens) with
+    1-based inclusive token positions.
+
+    Maximality via gaps-and-islands: duplicated window starts
+    p, p+1, ..., p+k merge into one span [p, p+k+L-1]; a gap in the
+    start sequence ends the island (the classic pos - ROW_NUMBER()
+    group key — consecutive starts share it, any gap shifts it).
+    """
+    hits = _duplicated_hits(
+        token_windows(docs, min_len, text_col, id_col, hashed)
+    )
+    isl = hits.withColumn(
+        "__grp",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    return (
+        isl.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + min_len - 1).alias("end_pos"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """Remove all-but-one occurrence of every duplicated >= L-token
+    span, Lee et al. 2021 semantics re-expressed relationally:
+
+    - the CANONICAL occurrence of a duplicated window is its globally
+      first (min (doc_id, pos)) — kept;
+    - a token is dropped iff some non-canonical duplicated window
+      covers it AND no canonical occurrence covers it (canonical
+      coverage wins, so the retained copy always survives whole).
+
+    Coverage expands windows to token positions relationally (explode
+    of pos..pos+L-1 — O(duplicated windows × L) rows, never O(n²));
+    the surviving tokens rebuild in order with the sort-free
+    collect/sort_array/transform idiom (no per-doc window sort).
+
+    Returns the input with ``text_col`` replaced by the excised text
+    (documents losing every token keep an empty string).  Deterministic
+    for a fixed corpus.
+    """
+    hits = _duplicated_hits(
+        token_windows(docs, min_len, text_col, id_col, hashed)
+    )
+    firsts = hits.groupBy("win").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__first")
+    )
+    tagged = hits.join(firsts, "win").select(
+        "doc_id",
+        "pos",
+        (
+            (F.col("doc_id") == F.col("__first.doc_id"))
+            & (F.col("pos") == F.col("__first.pos"))
+        ).alias("canonical"),
+    )
+    cover = tagged.select(
+        "doc_id",
+        "canonical",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
+        ).alias("tpos"),
+    )
+    drop = (
+        cover.groupBy("doc_id", "tpos")
+        .agg(F.max(F.col("canonical").cast("int")).alias("__c"))
+        .filter(F.col("__c") == 0)
+        .select("doc_id", "tpos")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
+    kept = toks.join(drop, ["doc_id", "tpos"], "leftanti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("__new_text")
+    )
+    out = (
+        docs.withColumnRenamed(id_col, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .withColumn(
+            text_col, F.coalesce(F.col("__new_text"), F.lit(""))
+        )
+        .drop("__new_text")
+    )
+    # note: a doc whose every token was excised gets "" via the
+    # left-join coalesce, not a dropped row — row count is preserved
+    return out.withColumnRenamed("doc_id", id_col)

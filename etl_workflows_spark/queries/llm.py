@@ -25,6 +25,7 @@ from etl_workflows_spark.operators import (
     retrieval,
     sampling,
     similarity,
+    spans,
     text,
 )
 from etl_workflows_spark.queries.base import table
@@ -1556,6 +1557,92 @@ FROM p WHERE (pos - 1) % 4 = 1
 """
 
 
+def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (operators/spans.py): maximal
+    runs of 8-token windows occurring >= 2 times corpus-wide — the
+    Lee et al. 2021 suffix-array dedup re-expressed as one in-plan
+    rolling-window projection + one window-key agg + gaps-and-islands.
+    Window keys travel hashed; the oracle rebuilds the same spans from
+    literal window text (spans are hash-free, so both agree exactly)."""
+    d = table(spark, sf_dir, "documents")
+    out = spans.duplicated_spans(d, min_len=8)
+    return out.select(
+        "doc_id",
+        F.col("start_pos").cast("int").alias("start_pos"),
+        F.col("end_pos").cast("int").alias("end_pos"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+_DUP_SPANS_ORACLE = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+w AS (
+  SELECT doc_id, gs.pos AS pos,
+         ARRAY_TO_STRING(a[gs.pos : gs.pos + 7], ' ') AS win
+  FROM t, UNNEST(GENERATE_SERIES(1, LEN(a) - 7)) AS gs(pos)
+),
+dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM w SEMI JOIN dup USING (win)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INTEGER) AS start_pos,
+       CAST(MAX(pos) + 7 AS INTEGER) AS end_pos,
+       CAST(MAX(pos) + 8 - MIN(pos) AS INTEGER) AS n_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+def excise_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span EXCISION (spans.excise_duplicate_spans): drop
+    every token covered only by non-canonical duplicated 8-token
+    windows (the globally-first occurrence keeps its copy whole),
+    rebuild texts in order — hash-exact string parity with the oracle's
+    window/positional reconstruction."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return spans.excise_duplicate_spans(d, min_len=8).select(
+        "doc_id", "text"
+    )
+
+
+_EXCISE_SPANS_ORACLE = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+w AS (
+  SELECT doc_id, gs.pos AS pos,
+         ARRAY_TO_STRING(a[gs.pos : gs.pos + 7], ' ') AS win
+  FROM t, UNNEST(GENERATE_SERIES(1, LEN(a) - 7)) AS gs(pos)
+),
+hits AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY win) AS c,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM w
+),
+dup_hits AS (SELECT doc_id, pos, (rn = 1) AS canonical FROM hits WHERE c >= 2),
+cover AS (
+  SELECT doc_id, canonical, pos + d.i AS tpos
+  FROM dup_hits, UNNEST(GENERATE_SERIES(0, 7)) AS d(i)
+),
+dropped AS (
+  SELECT doc_id, tpos FROM cover GROUP BY doc_id, tpos
+  HAVING MAX(CASE WHEN canonical THEN 1 ELSE 0 END) = 0
+),
+toks AS (
+  SELECT doc_id, GENERATE_SUBSCRIPTS(a, 1) AS tpos, UNNEST(a) AS tok FROM t
+),
+kept AS (SELECT doc_id, tpos, tok FROM toks ANTI JOIN dropped USING (doc_id, tpos)),
+rebuilt AS (
+  SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY tpos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.text, '') AS text
+FROM t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -1613,6 +1700,8 @@ QUERIES = {
     "dataset_card_docs": dataset_card_docs,
     "interleave_sources_docs": interleave_sources_docs,
     "k_anonymity_docs": k_anonymity_docs,
+    "duplicated_spans_docs": duplicated_spans_docs,
+    "excise_spans_docs": excise_spans_docs,
 }
 
 ORACLE_SQL = {
@@ -1664,5 +1753,7 @@ ORACLE_SQL = {
     "dataset_card_docs": _DATASET_CARD_ORACLE,
     "interleave_sources_docs": _INTERLEAVE_ORACLE,
     "k_anonymity_docs": _K_ANON_ORACLE,
+    "duplicated_spans_docs": _DUP_SPANS_ORACLE,
+    "excise_spans_docs": _EXCISE_SPANS_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }
