@@ -199,6 +199,44 @@ def near_dup_pairs_exact(
     )
 
 
+def _lsh_bands(t: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows from a hashed shingled
+    relation (doc_id, sh: array<bigint>).
+
+    Signatures via explode + groupBy-min instead of per-array transform
+    lambdas: higher-order lambdas are interpreted row-at-a-time, while
+    the exploded form keeps all k hash computations and the min
+    aggregation inside whole-stage codegen (measured ~2× faster at
+    sf0.1). Scale: map-side partial aggregation collapses each doc's
+    shingles to one k-long row before the shuffle, so the exchange
+    carries one row per doc — same as the array form.
+    """
+    rows_per_band = k // bands
+    ex = t.select("doc_id", F.explode("sh").alias("h"))
+    mins = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(s), F.col("h"))).alias(f"__m{s}") for s in range(k)]
+    )
+    return mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"__m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def near_dup_pairs_lsh(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -241,43 +279,13 @@ def near_dup_pairs_lsh(
     ``shingled`` lets the caller supply (and own) the shingled relation
     — (doc_id, sh: array<bigint>) as produced by hashed ``_shingled``.
     """
-    rows_per_band = k // bands
     if shingled is not None:
         t = shingled
     else:
         t = _shingled(docs, text_col, n, hashed=True)
         if materialize:
             t = t.persist(StorageLevel.MEMORY_AND_DISK)
-    # Signatures via explode + groupBy-min instead of per-array transform
-    # lambdas: higher-order lambdas are interpreted row-at-a-time, while
-    # the exploded form keeps all k hash computations and the min
-    # aggregation inside whole-stage codegen (measured ~2× faster at
-    # sf0.1). Scale: map-side partial aggregation collapses each doc's
-    # shingles to one 16-long row before the shuffle, so the exchange
-    # carries one row per doc — same as the array form.
-    ex = t.select("doc_id", F.explode("sh").alias("h"))
-    mins = ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(s), F.col("h"))).alias(f"__m{s}") for s in range(k)]
-    )
-    banded = mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"__m{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _lsh_bands(t, k, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -648,6 +656,151 @@ def append_fingerprints(
     accepted_docs.select(
         F.md5(F.col(text_col)).alias("fp")
     ).distinct().write.mode("append").insertInto(index_table)
+
+
+def build_near_dup_index(
+    docs: DataFrame,
+    index_name: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    n_buckets: int = 64,
+) -> tuple[str, str]:
+    """Materialize the NEAR-dup twin of ``build_fingerprint_index``: the
+    state an incremental corpus needs to near-dup-check arriving shards
+    without rescanning raw history.
+
+    Two tables (returned as their names):
+
+    * ``{index_name}_bands`` — (doc_id, band, bucket) LSH band rows,
+      BUCKETED on ``bucket`` so a new shard's candidate fetch is an
+      equi-join that reads only matching buckets;
+    * ``{index_name}_sh``   — (doc_id, sh: array<bigint>) hashed shingle
+      sets, bucketed on ``doc_id``, used to verify candidates with EXACT
+      Jaccard (so the index adds no approximation beyond the banding).
+
+    Splitting band rows from shingle payloads keeps the candidate join's
+    shuffle at (id, band, bucket) width — the same design as
+    ``near_dup_pairs_lsh``'s pairs-travel-as-ids rule. Storage is
+    O(corpus shingles), ~the size of the tokenized text, far below the
+    raw corpus with metadata; at 100 TB both tables partition-prune.
+    """
+    from etl_workflows_spark.sinks.writer import write_table
+
+    t = _shingled(docs, text_col, n, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands_tbl = write_table(
+        _lsh_bands(t, k, bands),
+        f"{index_name}_bands",
+        bucket_by=(n_buckets, ["bucket"]),
+    )
+    sh_tbl = write_table(
+        t, f"{index_name}_sh", bucket_by=(n_buckets, ["doc_id"])
+    )
+    t.unpersist()
+    return bands_tbl, sh_tbl
+
+
+def near_dup_incremental(
+    new_docs: DataFrame,
+    index_name: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Drop arriving documents that are near-duplicates of the indexed
+    corpus OR of each other — without rescanning the corpus. The
+    streaming/daily-shard twin of ``dedup_near_duplicates``:
+
+    1. within-batch near-dedup (full LSH + clustering on the shard only);
+    2. shard band rows ⋈ ``{index_name}_bands`` on (band, bucket) →
+       candidate (new, indexed) pairs, ids only;
+    3. exact-Jaccard verify against ``{index_name}_sh`` → survivors.
+
+    Cost is O(|shard| + matching index buckets), never O(|corpus|).
+    (k, bands, n) MUST match the values the index was built with — the
+    band hashes are seed-compatible only with themselves. Callers append
+    survivors via ``append_near_dup_fingerprints`` once downstream
+    writes commit (same retry contract as ``dedup_incremental``).
+    """
+    spark = new_docs.sparkSession
+    batch = dedup_near_duplicates(
+        new_docs, threshold, text_col=text_col, n=n, k=k, bands=bands
+    )
+    t = _shingled(batch, text_col, n, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    new_bands = _lsh_bands(t, k, bands)
+    idx_bands = spark.table(f"{index_name}_bands")
+    cands = (
+        new_bands.alias("nb")
+        .join(
+            idx_bands.alias("ib"),
+            (F.col("nb.band") == F.col("ib.band"))
+            & (F.col("nb.bucket") == F.col("ib.bucket")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("new_id"),
+            F.col("ib.doc_id").alias("old_id"),
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    idx_sh = spark.table(f"{index_name}_sh").select(
+        F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_old")
+    )
+    dup_ids = (
+        cands.join(
+            t.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_new")),
+            "new_id",
+        )
+        .join(idx_sh, "old_id")
+        .select(
+            "new_id",
+            F.size(F.array_intersect("sh_new", "sh_old")).alias("__i"),
+            F.size("sh_new").alias("__sa"),
+            F.size("sh_old").alias("__sb"),
+        )
+        .filter(
+            jaccard_from_sizes(F.col("__i"), F.col("__sa"), F.col("__sb"))
+            >= threshold
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    out = batch.join(dup_ids, "doc_id", "left_anti")
+    # t backs the returned lazy plan (same caller-release contract as
+    # near_dup_pairs_lsh); it is small — one shard, not the corpus
+    return out
+
+
+def append_near_dup_fingerprints(
+    accepted_docs: DataFrame,
+    index_name: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> None:
+    """Register accepted documents in the near-dup index (both tables,
+    idempotent: doc_ids already present are skipped, so a retried append
+    cannot double-register a document)."""
+    spark = accepted_docs.sparkSession
+    existing = spark.table(f"{index_name}_sh").select("doc_id")
+    fresh = accepted_docs.join(existing, "doc_id", "left_anti")
+    t = _shingled(fresh, text_col, n, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _lsh_bands(t, k, bands).write.mode("append").insertInto(
+        f"{index_name}_bands"
+    )
+    t.write.mode("append").insertInto(f"{index_name}_sh")
+    t.unpersist()
+    spark.catalog.refreshTable(f"{index_name}_bands")
+    spark.catalog.refreshTable(f"{index_name}_sh")
 
 
 def containment_pairs_exact(

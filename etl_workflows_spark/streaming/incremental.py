@@ -178,3 +178,72 @@ def stream_to_table_idempotent(
     table = normalize_table_name(destination_table)
     if spark.catalog.tableExists(table):
         spark.catalog.refreshTable(table)
+
+
+def streaming_near_dup_firewall(
+    docs_stream: DataFrame,
+    index_name: str,
+    corpus_table: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> None:
+    """Corpus-ingestion firewall: every arriving micro-batch of documents
+    is NEAR-dup-checked — within the batch and against everything the
+    corpus has ever accepted — before landing; survivors append to
+    ``corpus_table`` and register in the near-dup index so later batches
+    see them. The streaming composition of ``dedup.near_dup_incremental``
+    (per-batch cost O(|batch| + matching index buckets), never
+    O(|corpus|)) with the two-layer exactly-once discipline of
+    ``stream_to_table_idempotent``.
+
+    Retry semantics: checkpoint replays re-deliver the same files; the
+    corpus append is keyed on doc_id (no double-insert) and the index
+    append skips already-registered doc_ids. Index registration happens
+    AFTER the corpus append commits, so a crash between the two re-runs
+    the batch — near-dedup is re-checked, the corpus anti-join no-ops,
+    and the index catches up. The index must exist
+    (``dedup.build_near_dup_index`` over the initial corpus, possibly
+    empty); (n, k, bands) must match the index's build parameters.
+
+    One AvailableNow run; returns when all available input is committed.
+    """
+    from etl_workflows_spark.operators.dedup import (
+        append_near_dup_fingerprints,
+        near_dup_incremental,
+    )
+    from etl_workflows_spark.sinks.writer import (
+        append_if_absent,
+        normalize_table_name,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        survivors = near_dup_incremental(
+            batch_df, index_name, threshold, text_col, n, k, bands
+        ).localCheckpoint(eager=True)
+        # materialized once: the plan below feeds two writes, and a lazy
+        # plan would re-run the whole LSH pipeline for each
+        try:
+            append_if_absent(survivors, corpus_table, ["doc_id"])
+            append_near_dup_fingerprints(
+                survivors, index_name, text_col, n, k, bands
+            )
+        finally:
+            from etl_workflows_spark.operators.cache import release_checkpoint
+
+            release_checkpoint(survivors)
+
+    (
+        docs_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+        .awaitTermination()
+    )
+    spark = docs_stream.sparkSession
+    table = normalize_table_name(corpus_table)
+    if spark.catalog.tableExists(table):
+        spark.catalog.refreshTable(table)
