@@ -1,0 +1,151 @@
+"""Edit-distance similarity join — exact fuzzy matching without O(n²).
+
+Entity resolution's core primitive: all pairs of strings within
+Levenshtein distance ``d`` (typo'd names, OCR'd ids, mis-keyed codes).
+A naive implementation is a cross join with a quadratic verify; the
+scale shape here is the deletion-neighborhood scheme (FastSS,
+Bocek et al. 2007; popularized as SymSpell): every string generates its
+variants with at most ``d`` characters deleted, and
+
+  ed(a, b) <= d  ⟹  del<=d(a) ∩ del<=d(b) ≠ ∅
+
+(an optimal alignment's substitutions delete one char on each side,
+its insertions/deletions one char on one side — so both strings reach
+a common subsequence within d deletions each).  The converse is weaker
+(a shared variant only bounds ed <= 2d), so candidates from the
+variant equi-join are verified with the engine-native ``levenshtein``.
+Recall is exactly 1 — a theorem, not a probability.
+
+Cost: O(len^d) keys per string (len+1 at d=1, ~len²/2 at d=2 — why
+``max_dist`` is capped at 2; beyond that q-gram/PassJoin schemes win),
+one equi-join on short string keys, verify only on candidates.  All
+JVM-side Catalyst expressions (char-array slice/flatten — no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _delete_one(chars: Column) -> Column:
+    """array of char-arrays: ``chars`` with each single position removed.
+    Guarded for empty input — Spark's ``sequence(1, 0)`` is a DESCENDING
+    [1, 0], not empty, and index 0 makes ``slice`` throw."""
+    n = F.size(chars)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat(
+            F.slice(chars, F.lit(1), i - 1), F.slice(chars, i + 1, n)
+        ),
+    )
+
+
+def deletion_variants(s: Column, max_dist: int) -> Column:
+    """Distinct strings reachable from ``s`` by deleting at most
+    ``max_dist`` characters (``s`` itself included)."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    chars = F.split(s, "")
+    one = _delete_one(chars)
+    variants = F.concat(F.array(chars), one)
+    if max_dist == 2:
+        variants = F.concat(variants, F.flatten(F.transform(one, _delete_one)))
+    return F.array_distinct(
+        F.transform(variants, lambda c: F.array_join(c, ""))
+    )
+
+
+def _keyed(df: DataFrame, id_col: str, str_col: str, max_dist: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("s"),
+        F.explode(deletion_variants(F.col(str_col), max_dist)).alias("key"),
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """All (id_a, id_b, dist) pairs with Levenshtein(str_a, str_b) <=
+    ``max_dist``, id_a < id_b.  Exact — deletion-variant candidates are
+    complete, the levenshtein verify is the decision."""
+    k = _keyed(df, id_col, str_col, max_dist)
+    a, b = k.alias("a"), k.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.s").alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Bipartite form: (left_id, right_id, dist) for every cross-side
+    pair within ``max_dist`` — the record-linkage join (match a dirty
+    feed against a master table without a cross join)."""
+    ka = _keyed(left, left_id, left_str, max_dist)
+    kb = _keyed(right, right_id, right_str, max_dist)
+    cands = (
+        ka.alias("a")
+        .join(kb.alias("b"), F.col("a.key") == F.col("b.key"))
+        .select(
+            F.col("a.id").alias("left_id"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.id").alias("right_id"),
+            F.col("b.s").alias("s_b"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("left_id", "right_id", "dist")
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """Entity-resolution keep-one: cluster rows whose ``str_col`` values
+    are within ``max_dist`` of each other (transitively — connected
+    components over the pair graph), keep each cluster's min-id row.
+    The fuzzy twin of ``dedup.dedup_near_duplicates``."""
+    from etl_workflows_spark.operators.dedup import cluster_duplicates
+
+    pairs = fuzzy_self_pairs(df, id_col, str_col, max_dist).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    clusters = cluster_duplicates(pairs)
+    losers = (
+        clusters.groupBy("cluster")
+        .agg(F.min("doc_id").alias("keeper"))
+        .join(clusters, "cluster")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1083,7 +1083,33 @@ FROM events p JOIN events c
 """
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (operators/fuzzy.py): customer
+    pairs whose names are within Levenshtein distance 1 — exact results
+    via the FastSS deletion-variant equi-join (candidates complete by
+    theorem, engine-native levenshtein verify), never a cross join. The
+    oracle IS the O(n²) cross join, so the hash-match proves the
+    pruned join loses nothing."""
+    from etl_workflows_spark.operators import fuzzy
+
+    c = table(spark, sf_dir, "customer")
+    return fuzzy.fuzzy_self_pairs(c, "c_custkey", "c_name", max_dist=1).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+_FUZZY_PAIRS_ORACLE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(LEVENSHTEIN(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
     "cohort_retention": cohort_retention,
@@ -1113,6 +1139,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "fuzzy_name_pairs": _FUZZY_PAIRS_ORACLE,
     "events_rolling_1h": _ROLLING_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
     "cohort_retention": _COHORT_ORACLE,

@@ -1,0 +1,102 @@
+"""Edit-distance similarity join (operators/fuzzy.py): deletion-variant
+candidates must be COMPLETE (pairs equal the naive quadratic
+levenshtein join), the verify exact, and the clustering transitive."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_workflows_spark.operators.fuzzy import (
+    deletion_variants,
+    fuzzy_dedup,
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
+
+NAMES = [
+    (1, "jonathan"),
+    (2, "jonathon"),   # sub → d1 of 1
+    (3, "jonatha"),    # del → d1 of 1, d2 of 2
+    (4, "jjonathan"),  # ins → d1 of 1
+    (5, "smith"),
+    (6, "smyth"),      # sub → d1 of 5
+    (7, "smythe"),     # ins of 6, d2 of 5
+    (8, "completely"),
+    (9, ""),           # empty string edge
+    (10, "a"),         # d1 of 9
+]
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _naive_pairs(rows, d):
+    return sorted(
+        (ia, ib, _lev(sa, sb))
+        for ia, sa in rows
+        for ib, sb in rows
+        if ia < ib and _lev(sa, sb) <= d
+    )
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_self_pairs_match_naive(spark, d):
+    df = spark.createDataFrame(NAMES, ["id", "name"])
+    got = sorted(
+        tuple(r) for r in fuzzy_self_pairs(df, "id", "name", d).collect()
+    )
+    assert got == _naive_pairs(NAMES, d)
+
+
+def test_bipartite_join_matches_naive(spark):
+    left = spark.createDataFrame(NAMES[:5], ["id", "name"])
+    right = spark.createDataFrame(NAMES[3:], ["id", "name"])
+    got = sorted(
+        tuple(r)
+        for r in fuzzy_join(left, right, "id", "name", "id", "name", 1).collect()
+    )
+    want = sorted(
+        (ia, ib, _lev(sa, sb))
+        for ia, sa in NAMES[:5]
+        for ib, sb in NAMES[3:]
+        if _lev(sa, sb) <= 1
+    )
+    assert got == want
+
+
+def test_variant_counts_are_bounded(spark):
+    # d=1 on an n-char string: at most n+1 distinct variants
+    df = spark.createDataFrame([("abcdef",)], ["s"])
+    from pyspark.sql import functions as F
+
+    n = df.select(
+        F.size(deletion_variants(F.col("s"), 1)).alias("n")
+    ).first()["n"]
+    assert n == 7
+
+
+def test_max_dist_validation(spark):
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError):
+        deletion_variants(F.lit("x"), 3)
+
+
+def test_fuzzy_dedup_is_transitive(spark):
+    # chain a-b-c where ed(a,c)=2 > 1: all three must still collapse to
+    # one cluster through the shared middle (connected components)
+    rows = [(1, "abcd"), (2, "abce"), (3, "abcf"), (4, "zzzz")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    kept = sorted(r["id"] for r in fuzzy_dedup(df, "id", "name", 1).collect())
+    assert kept == [1, 4]
