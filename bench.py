@@ -77,6 +77,11 @@ HEADLINE = [
     "bpe_encode_docs",
     "purchase_click_interval_join",
     "split_leakage_audit",
+    # round-4 continuation: substring-span dedup, deletion-variant
+    # fuzzy matching
+    "duplicated_spans_docs",
+    "excise_spans_docs",
+    "fuzzy_name_pairs",
 ]
 
 
@@ -105,6 +110,7 @@ SCALED = [
     "boilerplate_removal_docs",
     "purchase_click_interval_join",
     "split_leakage_audit",
+    "duplicated_spans_docs",
 ]
 
 

@@ -60,6 +60,9 @@ def deletion_variants(s: Column, max_dist: int) -> Column:
 
 
 def _keyed(df: DataFrame, id_col: str, str_col: str, max_dist: int) -> DataFrame:
+    from etl_workflows_spark.operators.parallelism import widen
+
+    df = widen(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.col(str_col).alias("s"),

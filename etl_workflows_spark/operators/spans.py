@@ -58,6 +58,9 @@ def token_windows(
     only 8 bytes per window reach the shuffle."""
     if length < 2:
         raise ValueError(f"window length must be >= 2, got {length}")
+    from etl_workflows_spark.operators.parallelism import widen
+
+    docs = widen(docs)
     toks = F.split(F.col(text_col), " ")
     mk = lambda i: F.concat_ws(" ", F.slice(toks, i, length))  # noqa: E731
     body = (lambda i: F.xxhash64(mk(i))) if hashed else mk
@@ -175,7 +178,9 @@ def excise_duplicate_spans(
         .filter(F.col("__c") == 0)
         .select("doc_id", "tpos")
     )
-    toks = docs.select(
+    from etl_workflows_spark.operators.parallelism import widen
+
+    toks = widen(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
     ).select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
