@@ -1643,7 +1643,28 @@ FROM t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/classifier.py): weak labels
+    from rule heuristics, L-BFGS logistic regression on six in-plan
+    signal features, JVM-side scoring of every document. Rows-only by
+    contract — training is iterative (no SQL twin); separation and
+    sample-trained generalization are pinned in test_classifier.py."""
+    from etl_workflows_spark.operators import classifier
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = classifier.quality_features(d)
+    labeled = classifier.weak_labels(feats)
+    model = classifier.train_quality_model(labeled)
+    scored = classifier.score_quality(model, feats)
+    return scored.select(
+        "doc_id",
+        F.round("quality_prob", 6).alias("quality_prob"),
+        (F.col("quality_prob") >= 0.5).alias("kept"),
+    )
+
+
 QUERIES = {
+    "quality_classifier_docs": quality_classifier_docs,
     "doc_stats": doc_stats,
     "token_counts": token_counts,
     "text_quality": text_quality,
