@@ -753,6 +753,38 @@ SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
 """
 
 
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4): props
+    parses ONCE into variant's shredded binary encoding, typed paths
+    extract without re-tokenizing the JSON string per access — the
+    at-scale shape for repeated extraction from wide semi-structured
+    columns (``get_json_object`` re-parses the string every call; see
+    ``json_extract_events`` for that baseline form)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_VARIANT_AGG_ORACLE = """
+SELECT event_type,
+       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q5_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q5 snowflake without the region filter: revenue per
     (region, nation) — the flagship ``entry()`` query (same plan shape,
@@ -829,6 +861,7 @@ QUERIES = {
     "sessionize": sessionize,
     "asof_last_click": asof_last_click,
     "json_extract_events": json_extract_events,
+    "events_variant_agg": events_variant_agg,
 }
 
 ORACLE_SQL = {
@@ -858,4 +891,5 @@ ORACLE_SQL = {
     "sessionize": _SESSIONIZE_ORACLE,
     "asof_last_click": _ASOF_ORACLE,
     "json_extract_events": _JSON_ORACLE,
+    "events_variant_agg": _VARIANT_AGG_ORACLE,
 }
