@@ -182,6 +182,64 @@ def weighted_sample_k(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """``blend_sources`` with the weights COMPUTED from observed sizes:
+    target proportion w_s ∝ n_s^alpha — temperature sampling (the
+    multilingual-corpus convention: alpha=1 keeps natural proportions,
+    alpha→0 flattens toward uniform, 0.3–0.7 is the usual range). Large
+    sources downsample toward the tempered mixture; the binding source
+    keeps everything (same max-total logic as blend_sources).
+
+    Cross-engine determinism: n^alpha is integerized as
+    floor(n^alpha·1e9) BEFORE normalization, so the weight sum is an
+    exact integer (order-independent) and every later expression is a
+    fixed-association double chain an oracle can mirror. With the
+    default alpha=0.5 the power is sqrt — correctly rounded per IEEE on
+    every engine, making the whole blend bit-reproducible; other alphas
+    keep determinism within one engine (pow's last ulp may differ
+    across engines).
+
+    Same scale posture as blend_sources: one #sources-row agg, two
+    1-row reductions, a broadcast threshold join, a codegen hash filter.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    p = F.sqrt("__n") if alpha == 0.5 else F.pow("__n", F.lit(float(alpha)))
+    sized = counts.withColumn(
+        "__p", F.floor(p * F.lit(1_000_000_000.0)).cast("bigint")
+    )
+    tot = sized.agg(F.sum("__p").alias("__tot"))
+    weighted = sized.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "__n",
+        (F.col("__p").cast("double") / F.col("__tot").cast("double")).alias(
+            "__w"
+        ),
+    )
+    tmin = weighted.agg(F.min(F.col("__n") / F.col("__w")).alias("__T"))
+    thresholds = weighted.crossJoin(F.broadcast(tmin)).select(
+        source_col,
+        F.floor(
+            F.col("__w") * F.col("__T") / F.col("__n") * F.lit(4294967296.0)
+        ).alias("__thr"),
+    )
+    h32 = F.conv(_hash8(F.col(key_col), salt), 16, 10).cast("bigint")
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(h32 < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def blend_sources(
     df: DataFrame,
     weights: dict,

@@ -1482,6 +1482,59 @@ QUALIFY fused_rank <= 10
 )
 
 
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing at alpha=0.5 (sampling.temperature_mix):
+    proportions tempered toward sqrt(n_s) — weights integerized
+    (floor(sqrt(n)·1e9)) before normalization so the oracle reproduces
+    the blend bit-for-bit. The synthetic corpus's sources are uniform
+    (tempering would be the identity), so sources are first tiered into
+    a deliberately skewed 'head' (src0-1) vs aggregated 'tail' grouping:
+    sqrt flattens the 1:9 imbalance to 1:3, the head keeps everything
+    (binding), the tail downsamples — visible, not vacuous."""
+    d = table(spark, sf_dir, "documents")
+    tiered = d.withColumn(
+        "tier",
+        F.when(F.col("source").isin("src0", "src1"), F.lit("head")).otherwise(
+            F.lit("tail")
+        ),
+    )
+    return sampling.temperature_mix(
+        tiered, alpha=0.5, source_col="tier"
+    ).select("doc_id", "tier")
+
+
+_TEMPERATURE_MIX_ORACLE = """
+WITH d0 AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src0', 'src1') THEN 'head' ELSE 'tail' END AS source
+  FROM documents
+),
+c AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM d0 GROUP BY source
+),
+p AS (
+  SELECT source, n,
+         CAST(FLOOR(SQRT(n) * 1000000000.0) AS BIGINT) AS pw
+  FROM c
+),
+t AS (SELECT CAST(SUM(pw) AS BIGINT) AS tot FROM p),
+w AS (
+  SELECT source, n, CAST(pw AS DOUBLE) / CAST(tot AS DOUBLE) AS wt
+  FROM p, t
+),
+m AS (SELECT MIN(n / wt) AS T FROM w),
+f AS (
+  SELECT source,
+         CAST(FLOOR(wt * m.T / n * 4294967296.0) AS BIGINT) AS thr
+  FROM w, m
+)
+SELECT d.doc_id, d.source AS tier
+FROM d0 d JOIN f USING (source)
+WHERE CAST(CONCAT('0x', SUBSTR(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) < f.thr
+"""
+
+
 def blend_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture blend: downsample src0/src1/src2 to 50/30/20 proportions,
     keeping the max total the targets allow (operators/sampling.py
@@ -1705,6 +1758,7 @@ QUERIES = {
     "epoch_shuffle_docs": epoch_shuffle_docs,
     "epoch_shard_docs": epoch_shard_docs,
     "blend_sources_docs": blend_sources_docs,
+    "temperature_mix_docs": temperature_mix_docs,
     "bm25_topk_docs": bm25_topk_docs,
     "hybrid_rrf_docs": hybrid_rrf_docs,
     "leakage_free_split_docs": leakage_free_split_docs,
@@ -1760,6 +1814,7 @@ ORACLE_SQL = {
     "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
     "epoch_shard_docs": _EPOCH_SHARD_ORACLE,
     "blend_sources_docs": _BLEND_ORACLE,
+    "temperature_mix_docs": _TEMPERATURE_MIX_ORACLE,
     "bm25_topk_docs": _BM25_ORACLE,
     "hybrid_rrf_docs": _HYBRID_ORACLE,
     "leakage_free_split_docs": _LEAKAGE_SPLIT_ORACLE,

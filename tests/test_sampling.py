@@ -288,3 +288,52 @@ def test_negative_samples_deterministic_and_collision_free(spark):
         negative_samples(pairs, n_corpus=20, k=0)
     with pytest.raises(ValueError, match="n_corpus"):
         negative_samples(pairs, n_corpus=1, k=2)
+
+
+# --- temperature_mix --------------------------------------------------------
+
+
+def test_temperature_mix_alpha1_keeps_everything(spark):
+    from etl_workflows_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a") for i in range(800)] + [(i + 800, "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=1 → weights proportional to sizes → natural mixture → no-op
+    assert temperature_mix(df, alpha=1.0).count() == 1000
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from etl_workflows_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(3600)] + [
+        (i + 10000, "small") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.5)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # sqrt weights: 60:20 → small is binding (keeps all 400); big keeps
+    # 400·(60/20) = 1200 in expectation
+    assert counts["small"] == 400
+    assert 1000 <= counts["big"] <= 1400, counts
+    # deterministic rerun
+    again = {
+        r["source"]: r["n"]
+        for r in temperature_mix(df, alpha=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == again
+
+
+def test_temperature_mix_validates_alpha(spark):
+    from etl_workflows_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, alpha=1.5)
