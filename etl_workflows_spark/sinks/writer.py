@@ -66,6 +66,7 @@ def write_table(
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
     file_format: str = "parquet",
+    bloom_filter_cols: list[str] | None = None,
 ) -> str:
     """Write ``df`` to a managed table with the requested disposition.
 
@@ -79,7 +80,12 @@ def write_table(
     aggregations on those keys skip their shuffle entirely (both sides
     bucketed the same way ⇒ sort-merge join with zero Exchange);
     ``file_format`` picks the columnar layout (parquet default, orc for
-    ORC-standardized lakes — readers get the same pushdown/pruning).
+    ORC-standardized lakes — readers get the same pushdown/pruning);
+    ``bloom_filter_cols`` writes parquet column bloom filters for
+    point-lookup skipping on HIGH-CARDINALITY keys (ids, hashes) where
+    min-max stats are useless — a row group whose bloom filter rejects
+    the probed value is skipped without decoding. Complements, not
+    replaces, Z-order + min-max manifests (those serve range predicates).
     """
     if file_format not in SUPPORTED_FORMATS:
         raise ValueError(
@@ -100,6 +106,11 @@ def write_table(
         # at 100 TB the scan-time win from smaller files dominates.
         .option("compression", "zstd")
     )
+    if bloom_filter_cols:
+        if file_format != "parquet":
+            raise ValueError("bloom_filter_cols requires file_format='parquet'")
+        for c in bloom_filter_cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if bucket_by:

@@ -44,3 +44,44 @@ def test_unknown_format_rejected(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         write_table(df, "fmtdb.bad_t", file_format="avro")
+
+def test_bloom_filter_cols_written_and_readable(spark, tmp_path):
+    """bloom_filter_cols writes real parquet bloom filters (the files grow
+    by the filter bytes; this pyarrow build does not expose bloom offsets)
+    and the table reads back identically."""
+    import glob as _glob
+    import os as _os
+
+    from etl_workflows_spark.sinks.writer import write_table
+
+    df = spark.range(0, 20000).selectExpr(
+        "id AS k", "md5(CAST(id AS STRING)) AS fp"
+    ).coalesce(1)
+
+    def _table_bytes(name):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .filter("col_name = 'Location'")
+            .first()["data_type"]
+        ).replace("file:", "")
+        files = _glob.glob(f"{loc}/*.parquet")
+        assert files
+        return sum(_os.path.getsize(f) for f in files)
+
+    for t in ("bloom_demo", "plain_demo"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_table(df, "bloom_demo", bloom_filter_cols=["fp"])
+    write_table(df, "plain_demo")
+    # a 20k-NDV bloom filter is tens of KB — far above codec noise
+    assert _table_bytes("bloom_demo") > _table_bytes("plain_demo") + 10_000
+    assert spark.table("bloom_demo").count() == 20000
+    assert (
+        spark.table("bloom_demo")
+        .filter(F.col("fp") == F.md5(F.lit("123")))
+        .count()
+        == 1
+    )
+    with pytest.raises(ValueError, match="parquet"):
+        write_table(df, "bloom_demo", file_format="orc", bloom_filter_cols=["fp"])
+    for t in ("bloom_demo", "plain_demo"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
