@@ -101,15 +101,36 @@ def train_quality_model(labeled: DataFrame, max_iter: int = 50):
 
 
 def score_quality(model, docs_with_features: DataFrame) -> DataFrame:
-    """(input columns…, quality_prob): P(clean) per document — JVM-side
-    transform, one dot product per row."""
-    from pyspark.ml.functions import vector_to_array
+    """(input columns…, quality_prob): P(clean) per document.
 
-    scored = model.transform(docs_with_features)
-    return scored.select(
-        *[c for c in docs_with_features.columns],
-        vector_to_array("probability")[1].alias("quality_prob"),
-    )
+    Scoring deliberately does NOT use ``model.transform``: the fitted
+    parameters (6 weights + intercept + scaler mean/std — a few dozen
+    doubles) are extracted onto the driver and compiled into ONE
+    whole-stage-codegen sigmoid expression. Besides being the faster
+    plan (no ML UDF lambda), this avoids a Spark 4.1 trap:
+    ``LogisticRegressionModel.trainingSummary`` holds the SparkSession,
+    ``ProbabilisticClassificationModel.transform``'s lambda captures
+    the model, and once any ``Observation`` has registered on the
+    session (``Dataset.observe`` metrics) the session stops being
+    Java-serializable — every post-observe model-transform collect then
+    dies with ``NotSerializableException: ObservationManager``. A
+    closed-form column expression ships no closures at all.
+    """
+    scaler = model.stages[1]
+    lr = model.stages[2]
+    mean = scaler.mean.toArray().tolist()
+    std = scaler.std.toArray().tolist()
+    w = lr.coefficients.toArray().tolist()
+    b = float(lr.intercept)
+    margin = F.lit(b)
+    for i, name in enumerate(FEATURES):
+        if std[i] == 0.0:
+            continue  # StandardScaler maps zero-variance features to 0
+        margin = margin + F.lit(w[i]) * (
+            (F.col(name) - F.lit(mean[i])) / F.lit(std[i])
+        )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return docs_with_features.select("*", prob.alias("quality_prob"))
 
 
 def quality_filter(

@@ -91,3 +91,21 @@ def test_empty_doc_is_not_a_crash(spark):
     rows = weak_labels(quality_features(df)).collect()
     assert len(rows) == 2
     assert all(r["label"] == 0.0 for r in rows if r["doc_id"] == 1)
+
+
+def test_scoring_survives_a_session_level_observation(spark, corpus):
+    """Dataset.observe registers an ObservationManager on the session,
+    after which Spark 4.1 cannot Java-serialize the session — and
+    model.transform closures capture it via trainingSummary. The
+    closed-form scorer must be immune."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators.classifier import quality_filter
+
+    obs = Observation("poison")
+    observed = spark.range(10).observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode("overwrite").parquet("/tmp/obs_poison_test")
+    assert obs.get["n"] == 10
+    kept, _ = quality_filter(corpus, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == set(range(len(CLEAN)))
