@@ -173,6 +173,56 @@ def rrf_fuse(
     return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
 
 
+def ranking_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query agreement between two rankers' top-k lists — the eval
+    that tells you whether a cheaper ranker can replace an expensive
+    one, or how much a fusion moved the ordering. Inputs are
+    (query_id, doc_id, rank) relations (``bm25_topk``/``cosine_rank``/
+    ``rrf_fuse`` shapes). Output per query_id:
+
+    * ``overlap_at_k``   — |A∩B| / k (set agreement, order-blind);
+    * ``footrule_nano``  — Spearman's footrule on the intersection,
+      Σ|rank_a - rank_b| normalized by the max displacement ⌊|I|²/2⌋,
+      integerized ×1e9 (exact integer arithmetic end-to-end, so the
+      DuckDB twin matches hash-for-hash); NULL when |I| < 2 (footrule
+      of an empty/singleton intersection is undefined, not 0 — a
+      disjoint pair must not read as "perfectly ordered").
+
+    One inner join on (query_id, doc_id) + one agg; both inputs are
+    top-k relations (tiny) — eval cost never touches the corpus. A
+    query whose lists are fully disjoint still reports (overlap 0,
+    footrule NULL) — queries are taken from ranker ``a``.
+    """
+    ra = a.select(
+        "query_id", F.col(id_col).alias("doc_id"), F.col("rank").alias("rank_a")
+    )
+    rb = b.select(
+        "query_id", F.col(id_col).alias("doc_id"), F.col("rank").alias("rank_b")
+    )
+    joined = ra.join(rb, ["query_id", "doc_id"])
+    inter = F.count(F.lit(1))
+    fr_raw = F.sum(F.abs(F.col("rank_a") - F.col("rank_b")))
+    max_disp = F.floor(inter * inter / 2)
+    stats = joined.groupBy("query_id").agg(
+        (inter.cast("double") / F.lit(float(k))).alias("overlap_at_k"),
+        F.when(
+            inter >= 2,
+            F.floor(fr_raw * F.lit(1_000_000_000) / max_disp).cast("bigint"),
+        ).alias("footrule_nano"),
+    )
+    all_queries = ra.select("query_id").distinct()
+    return all_queries.join(stats, "query_id", "left").select(
+        "query_id",
+        F.coalesce("overlap_at_k", F.lit(0.0)).alias("overlap_at_k"),
+        "footrule_nano",
+    )
+
+
 def cosine_rank(
     embeddings: DataFrame,
     query_vec: List[float],

@@ -1482,6 +1482,79 @@ QUALIFY fused_rank <= 10
 )
 
 
+def ranking_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker-vs-ranker eval (retrieval.ranking_agreement): BM25 top-10
+    vs embedding-cosine top-10 for query 'hash table' — overlap@10 plus
+    integerized Spearman footrule on the intersection. The eval a team
+    runs before swapping retrieval systems; exact integer arithmetic so
+    the DuckDB twin matches hash-for-hash."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(d, [("q1", ["hash", "table"])], k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem_w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id")
+    )
+    sem = (
+        similarity.ann_topk_bruteforce(e, query_vec_id=0, k=10)
+        .select(
+            F.lit("q1").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "cos_sim",
+        )
+        .withColumn("rank", F.row_number().over(sem_w).cast("int"))
+        .select("query_id", "doc_id", "rank")
+    )
+    return retrieval.ranking_agreement(lex, sem, k=10)
+
+
+_AGREEMENT_ORACLE = (
+    "WITH "
+    + _BM25_CORE
+    + f""",
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS rank
+  FROM sc WHERE query_id = 'q1'
+  QUALIFY rank <= 10
+),
+e AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+semc AS (
+  SELECT e.vec_id AS doc_id,
+         {_DOT.format(a='e.v', b='qv.qv')}
+           / ({_NORM.format(a='e.v')} * {_NORM.format(a='qv.qv')}) AS cos_sim
+  FROM e, qv WHERE e.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+  FROM semc QUALIFY rank <= 10
+),
+j AS (
+  SELECT l.query_id, l.rank AS rank_a, s.rank AS rank_b
+  FROM lex l JOIN sem s ON l.doc_id = s.doc_id
+),
+st AS (
+  SELECT query_id, COUNT(*) AS i, SUM(ABS(rank_a - rank_b)) AS fr
+  FROM j GROUP BY query_id
+)
+SELECT q.query_id,
+       COALESCE(CAST(i AS DOUBLE) / 10.0, 0.0) AS overlap_at_k,
+       CASE WHEN i >= 2
+            THEN CAST(FLOOR(fr * 1000000000 / FLOOR(i * i / 2)) AS BIGINT)
+       END AS footrule_nano
+FROM (SELECT DISTINCT query_id FROM lex) q LEFT JOIN st USING (query_id)
+"""
+)
+
+
 def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixing at alpha=0.5 (sampling.temperature_mix):
     proportions tempered toward sqrt(n_s) — weights integerized
@@ -1759,6 +1832,7 @@ QUERIES = {
     "epoch_shard_docs": epoch_shard_docs,
     "blend_sources_docs": blend_sources_docs,
     "temperature_mix_docs": temperature_mix_docs,
+    "ranking_agreement_docs": ranking_agreement_docs,
     "bm25_topk_docs": bm25_topk_docs,
     "hybrid_rrf_docs": hybrid_rrf_docs,
     "leakage_free_split_docs": leakage_free_split_docs,
@@ -1815,6 +1889,7 @@ ORACLE_SQL = {
     "epoch_shard_docs": _EPOCH_SHARD_ORACLE,
     "blend_sources_docs": _BLEND_ORACLE,
     "temperature_mix_docs": _TEMPERATURE_MIX_ORACLE,
+    "ranking_agreement_docs": _AGREEMENT_ORACLE,
     "bm25_topk_docs": _BM25_ORACLE,
     "hybrid_rrf_docs": _HYBRID_ORACLE,
     "leakage_free_split_docs": _LEAKAGE_SPLIT_ORACLE,

@@ -143,3 +143,33 @@ def test_cosine_rank_zero_query_raises(spark):
     )
     with pytest.raises(ValueError, match="zero norm"):
         cosine_rank(emb, [0.0, 0.0], "q")
+
+
+def test_ranking_agreement_semantics(spark):
+    from etl_workflows_spark.operators.retrieval import ranking_agreement
+
+    def ranks(qid, ids):
+        return spark.createDataFrame(
+            [(qid, d, r + 1) for r, d in enumerate(ids)],
+            "query_id string, doc_id long, rank int",
+        )
+
+    # identical lists: overlap 1.0, footrule 0
+    a = ranks("q", [1, 2, 3, 4])
+    got = ranking_agreement(a, ranks("q", [1, 2, 3, 4]), k=4).first()
+    assert got["overlap_at_k"] == 1.0 and got["footrule_nano"] == 0
+
+    # fully reversed: overlap 1.0, footrule = max displacement → 1e9
+    rev = ranks("q", [4, 3, 2, 1])
+    got = ranking_agreement(a, rev, k=4).first()
+    assert got["overlap_at_k"] == 1.0
+    assert got["footrule_nano"] == 1_000_000_000
+
+    # disjoint: overlap 0, footrule NULL (not 0 — undefined, and the
+    # query must still be reported)
+    got = ranking_agreement(a, ranks("q", [9, 8, 7, 6]), k=4).first()
+    assert got["overlap_at_k"] == 0.0 and got["footrule_nano"] is None
+
+    # singleton intersection: footrule undefined
+    got = ranking_agreement(a, ranks("q", [1, 8, 7, 6]), k=4).first()
+    assert got["overlap_at_k"] == 0.25 and got["footrule_nano"] is None
