@@ -131,6 +131,72 @@ def fuzzy_join(
     )
 
 
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    rules: dict[str, str],
+    recency_col: str | None = None,
+) -> DataFrame:
+    """Survivorship: collapse each entity cluster (from ``fuzzy_dedup``
+    clustering, exact-dup groups, CDC key groups …) into ONE record by
+    per-column rules — the step after matching that record-linkage
+    pipelines need.
+
+    ``rules`` maps column → one of:
+
+    * ``'max'`` / ``'min'``        — extreme value in the cluster;
+    * ``'latest'``                 — value from the row with the highest
+      ``recency_col`` (requires it; rows with NULL recency are ignored,
+      ties break by value so the merge is deterministic);
+    * ``'first_non_null'``         — the most recent NON-NULL value when
+      ``recency_col`` is given (falling back to the smallest non-null
+      if every recency is NULL), else simply the smallest non-null;
+    * ``'sum'`` / ``'count'``      — additive merges.
+
+    One groupBy over the cluster key — no window, no self-join; every
+    rule is an algebraic aggregate with map-side partial aggregation.
+    """
+    aggs = []
+    for col, rule in rules.items():
+        if rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "sum":
+            aggs.append(F.sum(col).alias(col))
+        elif rule == "count":
+            aggs.append(F.count(col).alias(col))
+        elif rule == "latest":
+            if recency_col is None:
+                raise ValueError(
+                    f"rule 'latest' for {col!r} needs recency_col"
+                )
+            ord_ = F.when(
+                F.col(recency_col).isNotNull(),
+                F.struct(F.col(recency_col), F.col(col)),
+            )
+            aggs.append(F.max_by(col, ord_).alias(col))
+        elif rule == "first_non_null":
+            if recency_col:
+                ord_ = F.when(
+                    F.col(col).isNotNull() & F.col(recency_col).isNotNull(),
+                    F.struct(F.col(recency_col), F.col(col)),
+                )
+                aggs.append(
+                    F.coalesce(F.max_by(col, ord_), F.min(col)).alias(col)
+                )
+            else:
+                # min/max already skip NULLs — smallest non-null value
+                aggs.append(F.min(col).alias(col))
+        else:
+            raise ValueError(
+                f"unknown survivorship rule {rule!r} for column {col!r}"
+            )
+    return df.groupBy(cluster_col).agg(
+        *aggs, F.count(F.lit(1)).alias("n_members")
+    )
+
+
 def fuzzy_dedup(
     df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
 ) -> DataFrame:

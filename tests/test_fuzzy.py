@@ -100,3 +100,54 @@ def test_fuzzy_dedup_is_transitive(spark):
     df = spark.createDataFrame(rows, ["id", "name"])
     kept = sorted(r["id"] for r in fuzzy_dedup(df, "id", "name", 1).collect())
     assert kept == [1, 4]
+
+
+def test_golden_record_survivorship(spark):
+    from etl_workflows_spark.operators.fuzzy import golden_record
+
+    rows = [
+        # cluster 1: three partial records at different recencies
+        (1, "Jon Doe", None, 100.0, 3),
+        (1, None, "jon@a.com", 50.0, 5),
+        (1, "Jonathan Doe", "old@b.com", 75.0, 1),
+        # cluster 2: single record
+        (2, "Ada", "ada@c.com", 10.0, 7),
+        # cluster 3: every recency NULL → first_non_null falls back
+        (3, None, "z@d.com", 1.0, None),
+        (3, "Zed", None, 2.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster long, name string, email string, spend double, v int"
+    )
+    out = {
+        r["cluster"]: r
+        for r in golden_record(
+            df,
+            "cluster",
+            {
+                "name": "first_non_null",
+                "email": "latest",
+                "spend": "sum",
+            },
+            recency_col="v",
+        ).collect()
+    }
+    g1 = out[1]
+    assert g1["name"] == "Jon Doe"        # non-null with highest v (3)
+    assert g1["email"] == "jon@a.com"     # row with highest v overall (5)
+    assert g1["spend"] == 225.0
+    assert g1["n_members"] == 3
+    assert out[2]["name"] == "Ada" and out[2]["n_members"] == 1
+    g3 = out[3]
+    assert g3["name"] == "Zed"            # all recencies NULL → min fallback
+    assert g3["email"] is None            # 'latest' has no non-NULL recency
+
+
+def test_golden_record_validates_rules(spark):
+    from etl_workflows_spark.operators.fuzzy import golden_record
+
+    df = spark.createDataFrame([(1, "a")], "cluster long, name string")
+    with pytest.raises(ValueError, match="unknown survivorship rule"):
+        golden_record(df, "cluster", {"name": "mode"})
+    with pytest.raises(ValueError, match="recency_col"):
+        golden_record(df, "cluster", {"name": "latest"})

@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "equidepth_histogram_approx",
     "bpe_merges_docs",
     "bpe_encode_docs",
+    "quality_classifier_docs",  # iterative L-BFGS training — no SQL twin
 }
 
 
