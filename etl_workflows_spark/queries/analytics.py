@@ -1108,8 +1108,45 @@ WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
 """
 
 
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (fuzzy.golden_record) demonstrated on exact
+    clusters (nation groups): latest name by the unique c_custkey
+    recency, exact-decimal balance sum, member count — one algebraic
+    agg, deterministic, mirrored by DuckDB's ARG_MAX."""
+    from etl_workflows_spark.operators.fuzzy import golden_record
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    out = golden_record(
+        c,
+        "c_nationkey",
+        {"c_name": "latest", "bal": "sum"},
+        recency_col="c_custkey",
+    )
+    return out.select(
+        "c_nationkey",
+        "c_name",
+        F.col("bal").cast("double").alias("bal_sum"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+_GOLDEN_RECORD_ORACLE = """
+SELECT c_nationkey,
+       ARG_MAX(c_name, c_custkey) AS c_name,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+       COUNT(*) AS n_members
+FROM customer GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "golden_record_customers": golden_record_customers,
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
     "cohort_retention": cohort_retention,
@@ -1140,6 +1177,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "fuzzy_name_pairs": _FUZZY_PAIRS_ORACLE,
+    "golden_record_customers": _GOLDEN_RECORD_ORACLE,
     "events_rolling_1h": _ROLLING_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
     "cohort_retention": _COHORT_ORACLE,
