@@ -62,11 +62,17 @@ def deletion_variants(s: Column, max_dist: int) -> Column:
 def _keyed(df: DataFrame, id_col: str, str_col: str, max_dist: int) -> DataFrame:
     from etl_workflows_spark.operators.parallelism import widen
 
-    df = widen(df)
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.col(str_col).alias("s"),
-        F.explode(deletion_variants(F.col(str_col), max_dist)).alias("key"),
+    # two steps, not one: aliasing str_col to "s" and referencing it in
+    # the explode WITHIN one projection makes Spark resolve the
+    # reference as a lateral column alias when str_col is itself named
+    # "s" — and a Generate over an LCA is a Spark 4.1 INTERNAL_ERROR
+    renamed = widen(df).select(
+        F.col(id_col).alias("id"), F.col(str_col).alias("s")
+    )
+    return renamed.select(
+        "id",
+        "s",
+        F.explode(deletion_variants(F.col("s"), max_dist)).alias("key"),
     )
 
 
