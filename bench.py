@@ -82,6 +82,7 @@ HEADLINE = [
     "duplicated_spans_docs",
     "excise_spans_docs",
     "fuzzy_name_pairs",
+    "pipeline_curation_v2",
 ]
 
 

@@ -60,17 +60,25 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def weak_labels(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def weak_labels(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 15,
+    min_stop_ratio: float = 0.1,
+    min_uniq_ratio: float = 0.4,
+) -> DataFrame:
     """Bootstrap labels from the rule heuristics: 1 = plausibly clean
     (long enough, lexically diverse, stopword-bearing), 0 = junk-like.
     The classifier's job is to SMOOTH these rules — rows the rules get
-    wrong pull probabilities toward the corpus consensus."""
+    wrong pull probabilities toward the corpus consensus. Thresholds
+    are per-corpus knobs: the defaults suit natural English; synthetic
+    or code-heavy corpora sit at much lower stopword density."""
     t = F.col(text_col)
     n_tok = F.greatest(token_count(t), F.lit(1)).cast("double")
     good = (
-        (token_count(t) >= 15)
-        & (stopword_count(t) / n_tok >= 0.1)
-        & (distinct_token_count(t) / n_tok >= 0.4)
+        (token_count(t) >= min_tokens)
+        & (stopword_count(t) / n_tok >= min_stop_ratio)
+        & (distinct_token_count(t) / n_tok >= min_uniq_ratio)
     )
     return docs.select("*", good.cast("double").alias("label"))
 
@@ -138,16 +146,18 @@ def quality_filter(
     threshold: float = 0.5,
     text_col: str = "text",
     sample_fraction: float | None = None,
+    **label_kwargs,
 ):
     """End-to-end model-based filter: weak-label → (optionally sample)
     → train → score ALL docs → keep ``quality_prob >= threshold``.
 
     ``sample_fraction`` trains on a deterministic hash sample — the
     100 TB pattern (the model needs thousands of rows, not billions;
-    scoring is the only full pass). Returns (kept_docs, model).
+    scoring is the only full pass). ``label_kwargs`` pass through to
+    ``weak_labels`` (per-corpus thresholds). Returns (kept_docs, model).
     """
     feats = quality_features(docs, text_col)
-    labeled = weak_labels(feats, text_col)
+    labeled = weak_labels(feats, text_col, **label_kwargs)
     train = labeled
     if sample_fraction is not None:
         train = labeled.filter(

@@ -1683,6 +1683,37 @@ FROM p WHERE (pos - 1) % 4 = 1
 """
 
 
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation composed curation pipeline, chaining this
+    round's operators the way a production job would: substring-level
+    duplicate-span EXCISION (spans.excise_duplicate_spans) → model-based
+    quality filter (classifier.quality_filter — weak labels, L-BFGS,
+    closed-form codegen scoring) → temperature source mixing at
+    alpha=0.5 over a head/tail tiering. Output: per-tier counts and
+    mean quality probability of the surviving corpus. Rows-only by
+    contract (the classifier stage trains iteratively)."""
+    from etl_workflows_spark.operators import classifier, spans
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    excised = spans.excise_duplicate_spans(d, min_len=8)
+    # synthetic corpus: stopword density sits near 0.05, so the
+    # natural-English 0.1 rule would weak-label ~everything junk
+    kept, _model = classifier.quality_filter(
+        excised, threshold=0.5, min_stop_ratio=0.02
+    )
+    tiered = kept.withColumn(
+        "tier",
+        F.when(F.col("source").isin("src0", "src1"), F.lit("head")).otherwise(
+            F.lit("tail")
+        ),
+    )
+    mixed = sampling.temperature_mix(tiered, alpha=0.5, source_col="tier")
+    return mixed.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_prob"), 4).alias("mean_quality"),
+    )
+
+
 def duplicated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate spans (operators/spans.py): maximal
     runs of 8-token windows occurring >= 2 times corpus-wide — the
@@ -1850,6 +1881,7 @@ QUERIES = {
     "interleave_sources_docs": interleave_sources_docs,
     "k_anonymity_docs": k_anonymity_docs,
     "duplicated_spans_docs": duplicated_spans_docs,
+    "pipeline_curation_v2": pipeline_curation_v2,
     "excise_spans_docs": excise_spans_docs,
 }
 

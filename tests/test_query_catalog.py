@@ -24,6 +24,7 @@ ROWS_ONLY = {
     "bpe_merges_docs",
     "bpe_encode_docs",
     "quality_classifier_docs",  # iterative L-BFGS training — no SQL twin
+    "pipeline_curation_v2",  # contains the classifier stage
 }
 
 
