@@ -77,3 +77,36 @@ def attribution_join(
     return joined.select(
         key, "trigger_id", "trigger_ts", "conversion_id", "conversion_ts", "value"
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim_table: str,
+    keys: list[str],
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment against a dimension TABLE (by name,
+    not by captured DataFrame): the dim side's DATA is re-read every
+    micro-batch, and because resolution goes through the catalog each
+    run, dimension updates (a ``merge_into`` upsert, a CDC apply)
+    are visible to the next ``Trigger.AvailableNow`` run over the same
+    checkpoint — the incremental-cron pattern. (Within one long-running
+    query, a file-backed table's FILE LISTING is captured at start;
+    refresh the table or use per-run triggers to pick up new files —
+    this is engine behavior worth encoding, not fighting.)
+
+    Broadcast is requested explicitly: the dim side of a stream-static
+    join should never shuffle the stream (each micro-batch would pay a
+    full exchange); if the dimension outgrows broadcast, restructure to
+    a stream-stream join or pre-key the stream.
+
+    ``how='left'`` (default) keeps unmatched events with NULL dim
+    columns — an enrichment must not drop facts because a dimension row
+    is late. Returns a streaming DataFrame; compose with any sink.
+    """
+    spark = events.sparkSession
+    dim = spark.table(dim_table)
+    if dim_cols is not None:
+        dim = dim.select(*keys, *dim_cols)
+    return events.join(F.broadcast(dim), keys, how)
