@@ -173,6 +173,98 @@ def rrf_fuse(
     return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
 
 
+def prf_expansion_terms(
+    docs: DataFrame,
+    query: Tuple[str, Sequence[str]],
+    k_docs: int = 10,
+    n_terms: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (RM1 family, Lavrenko &
+    Croft 2001 shape): run the query, take the top ``k_docs`` results
+    as pseudo-relevant, and score candidate terms by how concentrated
+    they are in that feedback set versus the corpus —
+    ``(tf in feedback) · ln(N / df)``. Returns the top ``n_terms``
+    (term, weight_micro) NOT already in the query.
+
+    ``min_df`` drops hapax noise; weights are micro-integerized so the
+    term ranking is deterministic. Scale: the feedback set is k rows
+    (semi-join restricts the tokenize pass to it), and the df lookup
+    touches only the feedback set's vocabulary.
+    """
+    qid, terms = query
+    spark = docs.sparkSession
+    top = bm25_topk(docs, [query], k=k_docs, id_col=id_col, text_col=text_col)
+    fb_ids = top.select(F.col(id_col))
+    fb_toks = (
+        docs.join(fb_ids, id_col, "leftsemi")
+        .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    )
+    fb_tf = fb_toks.groupBy("token").agg(F.count(F.lit(1)).alias("fb_tf"))
+    # corpus df restricted to the feedback vocabulary (broadcast semi)
+    vocab = fb_tf.select("token")
+    corpus_df = (
+        docs.select(
+            id_col,
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("token"),
+        )
+        .join(F.broadcast(vocab), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.count()
+    qset = spark.createDataFrame([(t,) for t in terms], "token string")
+    scored = (
+        fb_tf.join(corpus_df, "token")
+        .join(F.broadcast(qset), "token", "leftanti")
+        .filter(F.col("df") >= min_df)
+        .select(
+            "token",
+            F.round(
+                F.col("fb_tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+        .orderBy(F.col("weight_micro").desc(), "token")
+        .limit(n_terms)
+    )
+    return scored.select(F.lit(qid).alias("query_id"), "token", "weight_micro")
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    query: Tuple[str, Sequence[str]],
+    k: int = 10,
+    k_docs: int = 10,
+    n_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-pass BM25 with pseudo-relevance feedback: pass 1 ranks, the
+    feedback set nominates expansion terms, pass 2 re-ranks with the
+    expanded query. The expansion term list (<= n_terms rows — bounded
+    by construction, the benign-collect class) travels to the driver to
+    re-enter bm25_topk's literal-terms API."""
+    qid, terms = query
+    exp = [
+        r["token"]
+        for r in prf_expansion_terms(
+            docs, query, k_docs, n_terms, id_col=id_col, text_col=text_col
+        ).collect()
+    ]
+    expanded = list(terms) + exp
+    return bm25_topk(
+        docs, [(qid, expanded)], k=k, id_col=id_col, text_col=text_col
+    )
+
+
 def ranking_agreement(
     a: DataFrame,
     b: DataFrame,

@@ -173,3 +173,40 @@ def test_ranking_agreement_semantics(spark):
     # singleton intersection: footrule undefined
     got = ranking_agreement(a, ranks("q", [1, 8, 7, 6]), k=4).first()
     assert got["overlap_at_k"] == 0.25 and got["footrule_nano"] is None
+
+
+def test_prf_expansion_recovers_cooccurring_vocabulary(spark):
+    from etl_workflows_spark.operators.retrieval import (
+        bm25_prf_topk,
+        bm25_topk,
+        prf_expansion_terms,
+    )
+
+    # topic docs pair 'kernel' with 'scheduler'; the probe doc mentions
+    # only 'scheduler' — invisible to the literal query, reachable after
+    # expansion
+    rows = (
+        [(i, "the kernel scheduler uses a scheduler queue for task rotation")
+         for i in range(6)]
+        + [(100, "a scheduler assigns slots to jobs with strict fairness")]
+        + [(200 + i, "gardening tips for growing tomatoes in cold climates")
+           for i in range(6)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ("q", ["kernel"])
+
+    exp = prf_expansion_terms(docs, q, k_docs=5, n_terms=5)
+    terms = [r["token"] for r in exp.collect()]
+    assert "scheduler" in terms
+    assert all(t != "kernel" for t in terms)  # never re-suggests the query
+
+    base_ids = {
+        r["doc_id"] for r in bm25_topk(docs, [q], k=10).collect()
+    }
+    prf_ids = {
+        r["doc_id"]
+        for r in bm25_prf_topk(docs, q, k=10, k_docs=5, n_terms=5).collect()
+    }
+    assert 100 not in base_ids  # literal query cannot see the probe doc
+    assert 100 in prf_ids       # expansion can
+    assert not {i for i in prf_ids if i >= 200}  # off-topic stays out
