@@ -335,6 +335,94 @@ def decode_wav_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_bandwidth_hz", T.DoubleType()),
+        T.StructField("rolloff85_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_spectral_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL spectral features for PCM WAV, numpy-only (no librosa in the
+    container — none needed for these): zero-crossing rate, magnitude-
+    weighted spectral centroid and bandwidth, and the 85% energy rolloff
+    frequency, from one rfft over the (channel-averaged) signal.
+
+    Same execution contract as ``decode_wav_stats``: Arrow-batched
+    ``mapInPandas`` kernel, bytes stay on executors, corrupt or
+    non-16-bit files yield a null-features row instead of failing the
+    stage. Feature definitions are the standard MIR ones (e.g. librosa's
+    docs); at 100 TB the per-file FFT is embarrassingly parallel and the
+    output is 4 doubles per file.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                row = {
+                    "media_id": mid,
+                    "zcr": None,
+                    "spectral_centroid_hz": None,
+                    "spectral_bandwidth_hz": None,
+                    "rolloff85_hz": None,
+                }
+                try:
+                    with wave.open(io.BytesIO(bytes(content))) as w:
+                        if w.getsampwidth() == 2 and w.getnframes() > 1:
+                            sr = w.getframerate()
+                            nch = w.getnchannels()
+                            x = np.frombuffer(
+                                w.readframes(w.getnframes()), dtype="<i2"
+                            ).astype(np.float64)
+                            if nch > 1:
+                                x = x.reshape(-1, nch).mean(axis=1)
+                            zcr = float(
+                                np.mean(np.abs(np.diff(np.signbit(x))))
+                            )
+                            mag = np.abs(np.fft.rfft(x))
+                            freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                            tot = mag.sum()
+                            if tot > 0:
+                                centroid = float((freqs * mag).sum() / tot)
+                                bw = float(
+                                    np.sqrt(
+                                        (((freqs - centroid) ** 2) * mag).sum()
+                                        / tot
+                                    )
+                                )
+                                cum = np.cumsum(mag)
+                                roll = float(
+                                    freqs[
+                                        np.searchsorted(cum, 0.85 * cum[-1])
+                                    ]
+                                )
+                            else:  # digital silence
+                                centroid = bw = roll = 0.0
+                            row.update(
+                                zcr=zcr,
+                                spectral_centroid_hz=centroid,
+                                spectral_bandwidth_hz=bw,
+                                rolloff85_hz=roll,
+                            )
+                except Exception:
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in SPECTRAL_SCHEMA])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        kernel, schema=SPECTRAL_SCHEMA
+    )
+
+
 _RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("origin", T.StringType(), False),

@@ -217,3 +217,66 @@ def test_real_image_resize(spark, tmp_path):
     assert (r["width"], r["height"], r["nChannels"]) == (2, 1, 3)
     # BGR layout: red pixel -> 00 00 FF, blue pixel -> FF 00 00
     assert bytes(r["data"]) == b"\x00\x00\xff\xff\x00\x00"
+
+
+def test_audio_spectral_features_on_known_tones(spark, tmp_path):
+    """A pure sine's spectral centroid sits at its frequency, bandwidth
+    near zero; white-ish noise centers far higher with wide bandwidth.
+    ZCR of an f-Hz tone is ~2f/sr sign flips per sample."""
+    import math
+    import struct
+    import wave as wave_mod
+
+    from etl_workflows_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    d = tmp_path / "swavs"
+    d.mkdir()
+
+    def tone(path, sr, freq, n):
+        with wave_mod.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                b"".join(
+                    struct.pack(
+                        "<h",
+                        int(10000 * math.sin(2 * math.pi * freq * i / sr)),
+                    )
+                    for i in range(n)
+                )
+            )
+
+    def noise(path, sr, n):
+        # deterministic LCG noise — no random module state
+        with wave_mod.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            x = 12345
+            frames = []
+            for _ in range(n):
+                x = (1103515245 * x + 12345) % (2**31)
+                frames.append(struct.pack("<h", (x % 20000) - 10000))
+            w.writeframes(b"".join(frames))
+
+    tone(d / "a.wav", sr=8000, freq=440, n=8000)
+    noise(d / "b.wav", sr=8000, n=8000)
+    (d / "c.wav").write_bytes(b"not a wav at all")
+
+    rows = [
+        (i, "audio", (d / name).read_bytes())
+        for i, name in enumerate(sorted(p.name for p in d.iterdir()))
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "kind", "content"])
+    out = {r["media_id"]: r for r in audio_spectral_features(media).collect()}
+    a, b, c = out[0], out[1], out[2]
+    assert abs(a["spectral_centroid_hz"] - 440) < 15
+    assert a["spectral_bandwidth_hz"] < 100
+    assert abs(a["zcr"] - 2 * 440 / 8000) < 0.01
+    assert b["spectral_centroid_hz"] > 1000      # noise centers high
+    assert b["spectral_bandwidth_hz"] > 500      # and spreads wide
+    assert b["rolloff85_hz"] > a["rolloff85_hz"]
+    assert c["zcr"] is None                       # corrupt → null row
