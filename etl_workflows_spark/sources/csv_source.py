@@ -40,6 +40,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ENCODING = "ISO-8859-1"
@@ -92,6 +93,69 @@ def make_tokenizer(n_fields: int):
             yield pd.DataFrame(rows, columns=cols, dtype=object)
 
     return tokenize, out_schema
+
+
+def make_auditing_tokenizer(n_fields: int):
+    """The tokenizer's AUDIT twin: same dialect, but arity-violating
+    lines are kept with their raw text in a ``__reject_line`` column
+    (clean rows carry NULL there) instead of vanishing. The reference's
+    contract is the silent drop (main.py:101-103) and ``read_raw_csv``
+    preserves it; this exists for the operational question the silent
+    drop cannot answer — WHAT was dropped, and did the rate spike.
+
+    Tokenizes line-at-a-time (the raw line must stay paired with its
+    parse), so it is the slower path — use for quarantine jobs and
+    drop-rate monitors, not the hot load."""
+    out_schema = T.StructType(
+        [T.StructField(f"c{i}", T.StringType(), True) for i in range(n_fields)]
+        + [T.StructField("__reject_line", T.StringType(), True)]
+    )
+    cols = [f"c{i}" for i in range(n_fields)] + ["__reject_line"]
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for s in pdf["line"]:
+                if s is None:
+                    continue
+                parsed = next(
+                    csv.reader(
+                        [s],
+                        delimiter=";",
+                        quoting=csv.QUOTE_NONE,
+                        escapechar="\\",
+                    ),
+                    [],
+                )
+                if len(parsed) == n_fields:
+                    rows.append(parsed + [None])
+                else:
+                    rows.append([None] * n_fields + [s])
+            yield pd.DataFrame(rows, columns=cols, dtype=object)
+
+    return tokenize, out_schema
+
+
+def read_raw_csv_audited(
+    spark: SparkSession,
+    path: str,
+    n_fields: int,
+    skip_header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, rejects): clean equals ``read_raw_csv``'s output exactly;
+    rejects is one ``line`` column of the arity-violating raw lines.
+    Both derive from ONE audited relation — persist it upstream if both
+    sides will be consumed, or accept the double scan."""
+    lines = read_lines(spark, path, skip_header=skip_header)
+    tokenize, out_schema = make_auditing_tokenizer(n_fields)
+    audited = lines.mapInPandas(tokenize, schema=out_schema)
+    clean = audited.filter(F.col("__reject_line").isNull()).drop(
+        "__reject_line"
+    )
+    rejects = audited.filter(F.col("__reject_line").isNotNull()).select(
+        F.col("__reject_line").alias("line")
+    )
+    return clean, rejects
 
 
 def read_lines(

@@ -145,3 +145,21 @@ def test_archive_overwrites_redelivered_name(spark, tmp_path):
     assert archived == ["cars_1.csv"]
     assert not (b / "cars_1.csv").exists()
     assert (b / "ARCHIVED" / "cars_1.csv").read_text() == "new"
+
+
+def test_audited_read_quarantines_arity_violations(spark, fixtures_dir):
+    """read_raw_csv_audited: clean side byte-identical to read_raw_csv,
+    reject side carries exactly the arity-violating raw lines."""
+    from etl_workflows_spark.sources.csv_source import (
+        read_raw_csv,
+        read_raw_csv_audited,
+    )
+
+    path = str(fixtures_dir / "dirty_cars.csv")
+    clean, rejects = read_raw_csv_audited(spark, path, 4)
+    silent = read_raw_csv(spark, path, 4)
+    assert sorted(map(tuple, clean.collect())) == sorted(
+        map(tuple, silent.collect())
+    )
+    got = sorted(r["line"] for r in rejects.collect())
+    assert got == ["e;9;3.5", "f;1;2;3;extra"]  # F2 rows e (3) and f (5)
