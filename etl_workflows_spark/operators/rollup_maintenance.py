@@ -65,3 +65,56 @@ def merge_rollup(
     merged.localCheckpoint(eager=True).write.mode("overwrite").format(
         "parquet"
     ).saveAsTable(rollup_table)
+
+
+def rollup_apply_changes(
+    spark: SparkSession,
+    rollup_table: str,
+    changes: DataFrame,
+    op_col: str = "op",
+) -> None:
+    """IVM with RETRACTIONS: maintain the rollup from a change feed
+    (op ∈ {I, D} rows of the fact schema — the ``sinks/cdc.py`` feed
+    shape) instead of an append-only slice. Deletes SUBTRACT: each
+    change aggregates with sign ±1, merges like any partial, and groups
+    whose count reaches zero drop out of the materialization.
+
+    Only invertible aggregates survive retraction (count, sum, avg =
+    sum/count — anything a signed partial can express). min/max are NOT
+    maintainable this way (deleting the current minimum needs the full
+    group history) — that is a property of IVM, not this module; keep
+    non-invertible aggregates on full-recompute or sketch paths.
+
+    An update travels as (D old-row, I new-row) — exactly what a CDC
+    decoder emits.
+    """
+    bad = changes.filter(~F.col(op_col).isin("I", "D")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"unknown change op {bad[0][op_col]!r}: rollup changes must "
+            "be I (insert) or D (delete); updates travel as D+I"
+        )
+    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+    signed = changes.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.sum(sign).alias("n_events"),
+        F.sum(
+            sign.cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )
+    merge_rollup(spark, rollup_table, signed)
+    # groups fully retracted: count 0 ⇒ no remaining fact rows back them
+    zero = spark.table(rollup_table).filter(F.col("n_events") == 0)
+    if zero.limit(1).collect():
+        kept = (
+            spark.table(rollup_table)
+            .filter(F.col("n_events") != 0)
+            .localCheckpoint(eager=True)
+        )
+        kept.write.mode("overwrite").format("parquet").saveAsTable(
+            rollup_table
+        )

@@ -135,6 +135,48 @@ def test_incremental_rollup_maintenance(spark, sf_dir):
     assert got == full
 
 
+def test_rollup_retractions_match_recompute(spark, sf_dir):
+    """IVM with deletes: insert everything, retract a slice as D-ops —
+    the maintained rollup must equal a recompute over the surviving
+    facts, and fully-retracted groups must disappear."""
+    from etl_workflows_spark.operators.rollup_maintenance import (
+        hourly_rollup_delta,
+        merge_rollup,
+        rollup_apply_changes,
+    )
+    from etl_workflows_spark.queries.base import table
+
+    ev = table(spark, sf_dir, "events")
+    split_ts = ev.agg(F.expr("min(ts) + INTERVAL 5 DAYS")).first()[0]
+    doomed = ev.filter(F.col("ts") <= split_ts)
+    surviving = ev.filter(F.col("ts") > split_ts)
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ivm")
+    spark.sql("DROP TABLE IF EXISTS ivm.rollup_r")
+    merge_rollup(spark, "ivm.rollup_r", hourly_rollup_delta(ev))
+    rollup_apply_changes(
+        spark, "ivm.rollup_r", doomed.withColumn("op", F.lit("D"))
+    )
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.table("ivm.rollup_r").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in hourly_rollup_delta(surviving).collect()
+    }
+    assert got == want  # incl. absence of fully-retracted groups
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown change op"):
+        rollup_apply_changes(
+            spark, "ivm.rollup_r", ev.limit(1).withColumn("op", F.lit("U"))
+        )
+    spark.sql("DROP TABLE IF EXISTS ivm.rollup_r")
+
+
 def test_dedup_embedding_cosine(spark):
     """Semantic dedup: high-cosine embedding pairs collapse to one doc."""
     from etl_workflows_spark.operators.dedup import dedup_embedding_cosine
