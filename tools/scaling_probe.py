@@ -62,6 +62,24 @@ def main() -> None:
         print(
             f"| {n:,} | {pairs:,} | {wall:.1f} s | {1000 * wall / n:.2f} s |"
         )
+    # Substring-span dedup on the same dup-heavy replicas: rotations
+    # preserve long verbatim runs, so duplicated-window density GROWS
+    # with the replica count — the op's worst case, like the cliques
+    # are for LSH.
+    print()
+    print("| docs | dup spans | wall | per-1k docs |")
+    print("|------|-----------|------|-------------|")
+    from etl_workflows_spark.operators.spans import duplicated_spans
+
+    for copies in (1, 4, 16):
+        docs = replicate(base, copies)
+        n = docs.count()
+        t0 = time.perf_counter()
+        spans = duplicated_spans(docs, min_len=8).count()
+        wall = time.perf_counter() - t0
+        print(
+            f"| {n:,} | {spans:,} | {wall:.1f} s | {1000 * wall / n:.2f} s |"
+        )
     spark.stop()
 
 
