@@ -836,6 +836,104 @@ def containment_pairs_exact(
 
 
 
+def containment_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Scale path for directional CONTAINMENT (same output as
+    ``containment_pairs_exact``, recall exactly 1) — the one-sided
+    prefix filter: |A∩B| ≥ ⌈t·|A|⌉ forces A's prefix of size
+    |A| - ⌈t·|A|⌉ + 1 (rarest-first global order) to intersect B, so
+    candidates come from an equi-join of A-PREFIX shingles against B's
+    FULL shingle postings — never |A|×|B| work. Containment has no
+    upper length filter (a tiny doc sits inside a huge one — that is
+    the point), but the positional bound still applies: at the first
+    shared token (0-based positions pa in A's order, pb in B's), the
+    intersection is ≤ min(|A|-pa, |B|-pb), so pairs that cannot reach
+    ⌈t·|A|⌉ drop before the distinct shuffle and the verify.
+
+    Both directions are emitted, like the exact twin (one candidate
+    pass covers both: a shared prefix token of the CONTAINED side is
+    required, and either side may be the contained one).
+
+    ``hashed=False`` (default) matches the exact twin / oracle
+    bit-for-bit; flip to True at corpus scale so shingles travel as
+    8-byte ints (64-bit collisions then bound the error, as in the
+    Jaccard LSH path)."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = _shingled(docs, text_col, n, hashed=hashed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    sorted_sets = (
+        tok.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("f"), F.col("s")))),
+                lambda x: x["s"],
+            ).alias("ss")
+        )
+    )
+    sz = F.size("ss")
+    prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    prefixes = sorted_sets.select(
+        "doc_id",
+        sz.alias("n"),
+        F.posexplode(F.slice("ss", 1, prefix_len)).alias("p", "s"),
+    )
+    # full postings WITH positions in the same global order (for the
+    # positional bound on the containing side)
+    full = sorted_sets.select(
+        "doc_id",
+        sz.alias("n"),
+        F.posexplode("ss").alias("p", "s"),
+    )
+    a, b = prefixes.alias("pa"), full.alias("pb")
+    # overlap needed: ceil(t·|A|), one unit of integer slack (cf.
+    # _prefix_candidates) — the exact verify decides boundaries
+    alpha = F.ceil(F.lit(float(threshold)) * F.col("pa.n")) - 1
+    positional_ok = (
+        F.least(
+            F.col("pa.n") - F.col("pa.p"), F.col("pb.n") - F.col("pb.p")
+        )
+        >= alpha
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") != F.col("pb.doc_id"))
+            & positional_ok,
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    fb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size("sh_a").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from the prefix filter alone —
     exposed separately so tests can pin the pruning (candidates must be

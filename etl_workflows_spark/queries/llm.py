@@ -922,8 +922,18 @@ def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional shingle containment ≥ 0.8 (dedup.containment_pairs_exact):
     the doc-inside-doc detector Jaccard misses. Exact O(n²) ground truth
-    — candidates come from the LSH buckets at scale."""
+    — ``containment_pairs_prefix`` is the recall-1 scale path."""
     return dedup.containment_pairs_exact(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def containment_pairs_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment SCALE path (dedup.containment_pairs_prefix): one-sided
+    prefix filter + positional bound instead of the O(n²) self-join —
+    recall exactly 1 by the subset-intersection theorem, so the oracle
+    is the SAME quadratic SQL as the exact twin's, hash-for-hash."""
+    return dedup.containment_pairs_prefix(
         table(spark, sf_dir, "documents"), threshold=0.8
     )
 
@@ -1875,6 +1885,7 @@ QUERIES = {
     "corpus_diff_docs": corpus_diff_docs,
     "quality_quantile_norm_docs": quality_quantile_norm_docs,
     "containment_pairs_docs": containment_pairs_docs,
+    "containment_pairs_prefix": containment_pairs_prefix_docs,
     "canary_scan_docs": canary_scan_docs,
     "distribution_drift_docs": distribution_drift_docs,
     "dataset_card_docs": dataset_card_docs,
@@ -1931,6 +1942,7 @@ ORACLE_SQL = {
     "corpus_diff_docs": _CORPUS_DIFF_ORACLE,
     "quality_quantile_norm_docs": _QUANTILE_NORM_ORACLE,
     "containment_pairs_docs": _CONTAINMENT_ORACLE,
+    "containment_pairs_prefix": _CONTAINMENT_ORACLE,
     "canary_scan_docs": _CANARY_ORACLE,
     "distribution_drift_docs": _DRIFT_ORACLE,
     "dataset_card_docs": _DATASET_CARD_ORACLE,

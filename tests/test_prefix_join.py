@@ -148,3 +148,39 @@ def test_cross_split_leakage_clean_split_is_empty(spark):
         "doc_id long, text string",
     )
     assert cross_split_leakage(train, evald, threshold=0.5).count() == 0
+
+
+def test_containment_prefix_equals_exact(spark, sf_dir):
+    from etl_workflows_spark.operators.dedup import (
+        containment_pairs_exact,
+        containment_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.8):
+        exact = {
+            (r["doc_a"], r["doc_b"], round(r["containment"], 9))
+            for r in containment_pairs_exact(docs, t).collect()
+        }
+        fast = {
+            (r["doc_a"], r["doc_b"], round(r["containment"], 9))
+            for r in containment_pairs_prefix(docs, t).collect()
+        }
+        assert fast == exact
+        assert len(exact) > 0  # planted near-dups contain each other
+
+
+def test_containment_prefix_finds_doc_inside_doc(spark):
+    from etl_workflows_spark.operators.dedup import containment_pairs_prefix
+
+    inner = "a quick brown fox jumped over the extremely lazy sleeping dog"
+    outer = ("intro paragraph words here then " + inner
+             + " and a long closing that dilutes jaccard far below half")
+    rows = [(1, inner), (2, outer), (3, "entirely unrelated content words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs_prefix(df, 0.9).collect()
+    }
+    assert (1, 2) in got       # inner ⊂ outer
+    assert (2, 1) not in got   # not symmetric
