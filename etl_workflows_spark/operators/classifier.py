@@ -146,6 +146,7 @@ def quality_filter(
     threshold: float = 0.5,
     text_col: str = "text",
     sample_fraction: float | None = None,
+    max_iter: int = 50,
     **label_kwargs,
 ):
     """End-to-end model-based filter: weak-label → (optionally sample)
@@ -163,6 +164,6 @@ def quality_filter(
         train = labeled.filter(
             F.pmod(F.xxhash64("doc_id"), 1000) < int(sample_fraction * 1000)
         )
-    model = train_quality_model(train)
+    model = train_quality_model(train, max_iter=max_iter)
     scored = score_quality(model, feats)
     return scored.filter(F.col("quality_prob") >= threshold), model

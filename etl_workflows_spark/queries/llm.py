@@ -1705,11 +1705,18 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_workflows_spark.operators import classifier, spans
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    excised = spans.excise_duplicate_spans(d, min_len=8)
-    # synthetic corpus: stopword density sits near 0.05, so the
-    # natural-English 0.1 rule would weak-label ~everything junk
+    # materialize the excised corpus ONCE: training makes many passes
+    # (sampling, scaler stats, one treeAggregate per L-BFGS iteration)
+    # and each would otherwise re-run the whole span-excision DAG
+    excised = spans.excise_duplicate_spans(d, min_len=8).localCheckpoint(
+        eager=True
+    )
+    # min_stop_ratio=0.02: synthetic corpus stopword density sits near
+    # 0.05, so the natural-English 0.1 rule would weak-label ~all junk;
+    # sample-train / full-score is the 100 TB pattern
     kept, _model = classifier.quality_filter(
-        excised, threshold=0.5, min_stop_ratio=0.02
+        excised, threshold=0.5, min_stop_ratio=0.02,
+        sample_fraction=0.5, max_iter=15,
     )
     tiered = kept.withColumn(
         "tier",
