@@ -1144,9 +1144,125 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+def outlier_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per event_type, flag values more than
+    3 MAD (median absolute deviation) from the median — the robust
+    z-score that survives the very outliers it hunts (stddev-based
+    flags inflate their own threshold). Exact interpolated medians
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, verified
+    bitwise in agg_median); two grouped medians + one broadcast join
+    back — no window over the fact."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", F.abs(F.col("value") - F.col("med")).alias("absdev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("absdev") > 3 * F.col("mad"))
+        .select("event_type", "event_id", "value", "med", "mad")
+    )
+
+
+_OUTLIER_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value,
+         ABS(e.value - m.med) AS absdev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, QUANTILE_CONT(absdev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value, d.med, m.mad
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.absdev > 3 * m.mad
+"""
+
+
+def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed leading-digit
+    frequencies vs the Benford expectation P(d)=log10(1+1/d), with the
+    per-digit chi-square contribution — the classic fabricated-numbers
+    screen. Expected probabilities are LITERALS (12 decimals), so both
+    engines compute identical arithmetic from identical counts."""
+    benford = {
+        1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+        4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+        7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+    }
+    bmap = F.create_map(
+        *[F.lit(x) for d, p in benford.items() for x in (d, p)]
+    )
+    o = table(spark, sf_dir, "orders")
+    # leading digit via string, not floor(x/10^floor(log10 x)) — log10
+    # of exact powers of ten lands a hair under the integer in some
+    # libm builds and misclassifies 1000.00 as digit 9
+    digits = o.select(
+        F.substring(
+            F.regexp_replace(
+                F.abs(F.col("o_totalprice")).cast("string"), r"[^1-9]", ""
+            ),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    ).filter(F.col("digit").isNotNull())
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = digits.count()
+    return (
+        counts.withColumn("expected_p", F.element_at(bmap, F.col("digit")))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 9).alias("observed_p"),
+            F.round("expected_p", 9).alias("expected_p"),
+            F.round(
+                F.pow(
+                    F.col("n") - F.lit(float(total)) * F.col("expected_p"), 2
+                )
+                / (F.lit(float(total)) * F.col("expected_p")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+_BENFORD_ORACLE = """
+WITH b(digit, expected_p) AS (
+  VALUES (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+         (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+         (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)
+),
+d AS (
+  SELECT CAST(SUBSTR(REGEXP_REPLACE(CAST(ABS(o_totalprice) AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit IS NOT NULL GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+SELECT c.digit, c.n,
+       ROUND(c.n / t.total, 9) AS observed_p,
+       ROUND(b.expected_p, 9) AS expected_p,
+       ROUND(POW(c.n - t.total * b.expected_p, 2) / (t.total * b.expected_p), 6) AS chi2_term
+FROM c JOIN b USING (digit), t
+"""
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "golden_record_customers": golden_record_customers,
+    "outlier_mad_events": outlier_mad_events,
+    "benford_audit_orders": benford_audit_orders,
     "events_rolling_1h": events_rolling_1h,
     "tfidf_top_terms": tfidf_top_terms,
     "cohort_retention": cohort_retention,
@@ -1178,6 +1294,8 @@ QUERIES = {
 ORACLE_SQL = {
     "fuzzy_name_pairs": _FUZZY_PAIRS_ORACLE,
     "golden_record_customers": _GOLDEN_RECORD_ORACLE,
+    "outlier_mad_events": _OUTLIER_MAD_ORACLE,
+    "benford_audit_orders": _BENFORD_ORACLE,
     "events_rolling_1h": _ROLLING_ORACLE,
     "tfidf_top_terms": _TFIDF_ORACLE,
     "cohort_retention": _COHORT_ORACLE,
