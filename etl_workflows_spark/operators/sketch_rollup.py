@@ -68,3 +68,45 @@ def estimate_range(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_est"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def audience_overlap(
+    sketches: DataFrame,
+    dim_col: str,
+    seg_a,
+    seg_b,
+) -> DataFrame:
+    """Estimated distinct-key OVERLAP between two segments from their
+    HLL sketches alone — inclusion-exclusion over mergeable unions:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL cannot intersect directly
+    (only union is lossless), so the estimate's error grows as the true
+    overlap shrinks relative to the union — the returned ``overlap_est``
+    is clamped at 0 and ships with both side estimates so callers can
+    judge the ratio. One pass over sketch rows; raw data never re-read —
+    the audience-overlap question (users in BOTH segments) answered at
+    rollup cost."""
+    fa = sketches.filter(F.col(dim_col) == seg_a)
+    fb = sketches.filter(F.col(dim_col) == seg_b)
+    both = fa.unionByName(fb)
+    a = fa.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_a")
+    )
+    b = fb.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_b")
+    )
+    u = both.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_union")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("overlap_est"),
+        )
+    )

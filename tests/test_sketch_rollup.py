@@ -77,3 +77,28 @@ def test_sketches_survive_parquet_and_incremental_append(spark, sf_dir, tmp_path
     ]
     exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
     assert abs(est - exact) <= max(5, 0.08 * exact)
+
+
+def test_audience_overlap_from_sketches(spark, sf_dir):
+    """Inclusion-exclusion overlap from HLL sketches tracks the exact
+    cross-segment user overlap within sketch error; raw events are only
+    read to build the rollup and to compute the ground truth."""
+    from etl_workflows_spark.operators.sketch_rollup import (
+        audience_overlap,
+        daily_distinct_sketches,
+    )
+    from etl_workflows_spark.queries.base import table
+
+    ev = table(spark, sf_dir, "events")
+    sk = daily_distinct_sketches(ev, dims=["event_type"])
+    got = audience_overlap(sk, "event_type", "click", "purchase").first()
+
+    click = ev.filter("event_type = 'click'").select("user_id").distinct()
+    purch = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    true_overlap = click.join(purch, "user_id").count()
+    # inclusion-exclusion compounds three ~1.6% estimates — allow 10%
+    # of the union as the error budget
+    union_true = click.union(purch).distinct().count()
+    assert abs(got["overlap_est"] - true_overlap) <= max(3, 0.1 * union_true)
+    assert got["est_a"] > 0 and got["est_b"] > 0
+    assert got["overlap_est"] >= 0
