@@ -1,0 +1,203 @@
+"""Link-graph analytics for corpus curation: fixed-point PageRank.
+
+Why this exists in a training-data engine: link-based authority is a
+classic corpus-quality signal (a page's crawl priority / quality prior in
+web-scale dataset construction — cf. the public PageRank formulation,
+Page et al. 1999, and its use as a quality feature in C4/CCNet-style
+pipelines). The operator takes ANY edge DataFrame, so the same code
+scores URL link graphs, citation graphs, or the behavioral browse graph
+derived from the events table.
+
+Determinism contract: every rank is a fixed-point BIGINT (``scale`` =
+1e12 by default) and every per-iteration update uses only integer
+addition and integer (floor) division. Integer sums are
+order-independent, so Spark's nondeterministic shuffle/combine order and
+DuckDB's sequential order produce BIT-IDENTICAL ranks — the operator is
+exact-oracle-checkable despite being iterative float-free math:
+
+    r0[u]    = scale div N
+    dangling = sum of r[u] over nodes with no out-edge
+    inflow[v] = sum over distinct edges (u,v) of (r[u] div deg[u])
+    r'[v]    = (tele_num * scale) div (100 * N)
+               + (damp_num * (inflow[v] + dangling div N)) div 100
+
+with damp_num = round(damping * 100), tele_num = 100 - damp_num. The
+floor divisions bleed a few units of mass per iteration (total mass
+drifts < iterations * (N + 100) units out of 1e12) — an accepted,
+deterministic quantization, not an error term that compounds: ranks stay
+within ~1e-9 relative of the float fixpoint at default scale.
+
+Scale posture (100 TB graph): each iteration is ONE shuffle — the
+edges ⋈ ranks join is keyed on src (co-partitionable with a bucketed
+edge layout so only ranks move), the inflow groupBy on dst. Rank state
+is localCheckpoint'ed per iteration to cut the lineage chain (same
+discipline as dedup.cluster_duplicates). The dangling term is a single
+scalar aggregate per iteration (one row to the driver — the benign
+collect class VERDICT r3 cleared). Degrees are computed once, outside
+the loop.
+
+No reference counterpart (net-new per SURVEY.md §2.7's mandate); the
+composition entry lives in queries/analytics.py (link_graph_pagerank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Fixed-point PageRank over a (src, dst) edge list.
+
+    Returns (node, rank) with rank a BIGINT in units of 1/scale.
+    Edges are deduplicated first (simple-graph semantics: out-degree is
+    the count of DISTINCT successors). Nodes appearing only as
+    destinations still receive rank; nodes with no out-edges contribute
+    their mass uniformly to everyone (standard dangling-node fix).
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    damp_num = round(damping * 100)
+    if not 0 <= damp_num <= 100:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    tele_num = 100 - damp_num
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # cut the (possibly deep) upstream lineage once; e is read every iteration
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+
+    r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    base = (tele_num * scale) // (100 * n)
+    for _ in range(iterations):
+        dang_row = (
+            r.join(deg, r["node"] == deg["src"], "left_anti")
+            .agg(F.sum("rank").alias("d"))
+            .collect()[0]["d"]
+        )
+        dang_share = (dang_row or 0) // n
+        inflow = (
+            e.join(r, e["src"] == r["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inflow, 0) + {dang_share})) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """The DuckDB twin of :func:`pagerank`, generated for a fixed
+    iteration count: one CTE pair (dangling scalar + rank relation) per
+    iteration, all-integer arithmetic, bit-identical to the Spark result.
+
+    ``edges_sql`` must select two columns aliased ``src`` and ``dst``
+    (duplicates allowed — deduped here, mirroring the operator).
+    """
+    damp_num = round(damping * 100)
+    tele_num = 100 - damp_num
+    parts = [
+        f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes),",
+    ]
+    for i in range(iterations):
+        p, c = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM {p} "
+            f"WHERE node NOT IN (SELECT src FROM deg)),"
+        )
+        parts.append(
+            f"{c} AS (SELECT n.node, CAST("
+            f"({tele_num} * {scale}) // (100 * (SELECT n FROM nn)) + "
+            f"({damp_num} * (COALESCE(i.inflow, 0) + "
+            f"(SELECT dang FROM d{i}) // (SELECT n FROM nn))) // 100 "
+            f"AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(r.rank // dg.deg) AS inflow "
+            f"FROM edges e JOIN {p} r ON e.src = r.node "
+            f"JOIN deg dg ON e.src = dg.src GROUP BY e.dst"
+            f") i ON n.node = i.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, rank FROM r{iterations}")
+    return "\n".join(parts)
+
+
+def browse_graph(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    page_expr: str = "cast(get_json_object(props, '$.k') as bigint)",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Behavioral link graph from an event log: one edge per consecutive
+    (page → next page) transition within a user's timeline. The page id
+    defaults to the ``props.k`` JSON attribute of the synthetic events
+    table; pass any SQL expression for real schemas (url, screen id...).
+
+    Scale: one window shuffle keyed on user (the natural partitioning of
+    an event log); self-loops kept — PageRank dedups and they carry real
+    revisit signal for degree.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pages = events.select(
+        F.col(user_col), F.col(ts_col), F.col(tiebreak_col),
+        F.expr(page_expr).alias("__page"),
+    ).filter(F.col("__page").isNotNull())
+    return (
+        pages.withColumn("__prev", F.lag("__page").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.col("__prev").alias("src"), F.col("__page").alias("dst"))
+    )
+
+
+BROWSE_EDGES_SQL = """
+SELECT prev AS src, page AS dst FROM (
+  SELECT LAG(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         page
+  FROM (SELECT user_id, ts, event_id,
+               CAST(props->>'$.k' AS BIGINT) AS page
+        FROM events WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL)
+) WHERE prev IS NOT NULL
+"""

@@ -1258,6 +1258,30 @@ FROM c JOIN b USING (digit), t
 """
 
 
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-link-graph authority: PageRank (5 iterations, d=0.85)
+    over the props.k browse graph — the link-based corpus-quality prior a
+    web-scale curation pipeline attaches to each page before sampling.
+
+    Exact-oracle-checkable despite being iterative: ranks are fixed-point
+    BIGINTs updated with order-independent integer arithmetic
+    (operators/graph.py), so Spark and DuckDB agree bit-for-bit.
+    """
+    from etl_workflows_spark.operators import graph
+
+    ev = table(spark, sf_dir, "events")
+    return graph.pagerank(graph.browse_graph(ev), iterations=5)
+
+
+def _pagerank_oracle() -> str:
+    from etl_workflows_spark.operators import graph
+
+    return graph.pagerank_oracle_sql(graph.BROWSE_EDGES_SQL, iterations=5)
+
+
+_PAGERANK_ORACLE = _pagerank_oracle()
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "golden_record_customers": golden_record_customers,
@@ -1289,6 +1313,7 @@ QUERIES = {
     "global_rowids_orders": global_rowids_orders,
     "purchase_state_temporal_join": purchase_state_temporal_join,
     "purchase_click_interval_join": purchase_click_interval_join,
+    "link_graph_pagerank": link_graph_pagerank,
 }
 
 ORACLE_SQL = {
@@ -1318,4 +1343,5 @@ ORACLE_SQL = {
     "global_rowids_orders": _GLOBAL_ROWIDS_ORACLE,
     "purchase_state_temporal_join": _TEMPORAL_JOIN_ORACLE,
     "purchase_click_interval_join": _INTERVAL_JOIN_ORACLE,
+    "link_graph_pagerank": _PAGERANK_ORACLE,
 }
