@@ -1,0 +1,212 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Public method (Xie et al., "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023): fit bag-of-hashed-ngrams unigram
+models over a small TARGET corpus (the distribution you want more of —
+e.g. curated English prose) and over the RAW corpus, then weight every
+raw document by its log-likelihood ratio
+
+    w(doc) = Σ_grams  [ log p_target(bucket(gram)) - log p_raw(bucket(gram)) ]
+
+and keep the highest-weight documents up to a token budget. Hashing
+grams into a small bucket space makes the model a fixed-size table
+instead of an unbounded vocabulary.
+
+Determinism contract (same discipline as operators/graph.py): the
+per-BUCKET log-ratio is computed once from exact integer counts —
+``ln((cnt_p+1)·(Nq+V) / ((cnt_q+1)·(Np+V)))`` with add-one smoothing,
+one IEEE double division of two exactly-representable integer products,
+one ``ln`` — then FLOORED to a fixed-point BIGINT (``scale`` units per
+nat). Per-document weights are integer SUMS of those fixed-point
+entries, so Spark's shuffle order and DuckDB's sequential order agree
+bit-for-bit. (The only cross-engine float op is ``ln`` on an identical
+double; at the default 1e6 scale a last-ulp ``ln`` discrepancy lands on
+a floor boundary with probability ~1e-10 per bucket.) Integer products
+stay exact below 2^53 — fine until corpus gram counts approach 10^15
+per bucket; shrink ``scale`` or pre-divide counts beyond that.
+
+Scale posture (100 TB): the model is ≤ 16^hex_chars buckets (4096 at
+the default), built with two map-side-combined groupBys and broadcast
+everywhere after; the per-doc weighting is explode → broadcast-join →
+one groupBy on doc_id. No driver-side loops; the only collects are the
+two scalar gram totals and the ≤4096-row model table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 10**6
+
+
+def _gram_expr(text_col: str) -> str:
+    """SQL expression: array of whitespace unigrams + space-joined
+    bigrams (empty bigram list for single-token docs — NOT a descending
+    sequence, which is what a bare sequence(1, 0) would produce)."""
+    toks = f"split({text_col}, ' ')"
+    bigrams = (
+        f"if(size({toks}) < 2, array(), "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))))"
+    )
+    return f"concat({toks}, {bigrams})"
+
+
+def _bucket_counts(docs: DataFrame, text_col: str, hex_chars: int) -> DataFrame:
+    """(bucket, cnt): hashed-gram frequencies; bucket = first hex_chars
+    of md5(gram) — engine-portable (identical lowercase hex in Spark and
+    DuckDB), uniform enough for a smoothed unigram model."""
+    return (
+        docs.select(F.explode(F.expr(_gram_expr(text_col))).alias("gram"))
+        .select(F.substring(F.md5("gram"), 1, hex_chars).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_model(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    hex_chars: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """The importance model: (bucket, llr_fp) with llr_fp the fixed-point
+    smoothed log-ratio log(p_target/p_raw) in units of 1/scale nats.
+    ≤ 16^hex_chars rows — broadcast it."""
+    v = 16**hex_chars
+    p = _bucket_counts(target, text_col, hex_chars).withColumnRenamed("cnt", "cnt_p")
+    q = _bucket_counts(corpus, text_col, hex_chars).withColumnRenamed("cnt", "cnt_q")
+    np_ = p.agg(F.sum("cnt_p")).collect()[0][0] or 0
+    nq = q.agg(F.sum("cnt_q")).collect()[0][0] or 0
+    return (
+        p.join(q, "bucket", "full")
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("cnt_p"), F.lit(0)) + 1) * F.lit(nq + v)
+                    ).cast("double")
+                    / (
+                        (F.coalesce(F.col("cnt_q"), F.lit(0)) + 1) * F.lit(np_ + v)
+                    ).cast("double")
+                )
+                * F.lit(scale)
+            )
+            .cast("long")
+            .alias("llr_fp"),
+        )
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """(id, weight_fp, n_grams) for every corpus document: weight_fp is
+    the integer-summed fixed-point log-likelihood ratio (higher ⇒ more
+    target-like), n_grams the gram count (for per-gram normalization
+    downstream). Documents with no grams keep weight 0."""
+    model = dsir_model(corpus, target, text_col, hex_chars, scale)
+    grams = corpus.select(
+        F.col(id_col), F.explode(F.expr(_gram_expr(text_col))).alias("gram")
+    ).select(id_col, F.substring(F.md5("gram"), 1, hex_chars).alias("bucket"))
+    scored = (
+        grams.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("llr_fp").alias("weight_fp"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("weight_fp", F.lit(0)).cast("long").alias("weight_fp"),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        )
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """The ``budget`` most-target-like documents: (id, weight_fp),
+    ordered deterministically by (weight desc, id). Plans as
+    TakeOrderedAndProject — no global sort materializes."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    w = dsir_weights(corpus, target, id_col, text_col, hex_chars, scale)
+    return (
+        w.orderBy(F.col("weight_fp").desc(), F.col(id_col))
+        .limit(budget)
+        .select(id_col, "weight_fp")
+    )
+
+
+def dsir_oracle_sql(
+    corpus_sql: str,
+    target_sql: str,
+    hex_chars: int = 3,
+    scale: int = DEFAULT_SCALE,
+    select_budget: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` (or :func:`dsir_select` when
+    ``select_budget`` is given). ``corpus_sql``/``target_sql`` must
+    select (doc_id, text)."""
+    v = 16**hex_chars
+    # RANGE is end-exclusive in DuckDB, so single-token docs get an empty
+    # bigram list for free (the Spark side needs an explicit guard because
+    # sequence() is end-inclusive and descends when stop < start)
+    grams = (
+        "SELECT doc_id, UNNEST(toks || "
+        "LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1])"
+        ") AS gram FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM {src})"
+    )
+    body = f"""
+WITH corpus AS ({corpus_sql}),
+target AS ({target_sql}),
+cg AS (SELECT doc_id, SUBSTR(MD5(gram), 1, {hex_chars}) AS bucket
+       FROM ({grams.format(src='corpus')})),
+tg AS (SELECT SUBSTR(MD5(gram), 1, {hex_chars}) AS bucket
+       FROM ({grams.format(src='target')})),
+p AS (SELECT bucket, COUNT(*) AS cnt_p FROM tg GROUP BY bucket),
+q AS (SELECT bucket, COUNT(*) AS cnt_q FROM cg GROUP BY bucket),
+np AS (SELECT COALESCE(SUM(cnt_p), 0) AS n FROM p),
+nq AS (SELECT COALESCE(SUM(cnt_q), 0) AS n FROM q),
+model AS (
+  SELECT COALESCE(p.bucket, q.bucket) AS bucket,
+         CAST(FLOOR(LN(
+           CAST((COALESCE(cnt_p, 0) + 1) * ((SELECT n FROM nq) + {v}) AS DOUBLE)
+           / CAST((COALESCE(cnt_q, 0) + 1) * ((SELECT n FROM np) + {v}) AS DOUBLE)
+         ) * {scale}) AS BIGINT) AS llr_fp
+  FROM p FULL JOIN q ON p.bucket = q.bucket),
+scored AS (
+  SELECT cg.doc_id, SUM(llr_fp) AS weight_fp, COUNT(*) AS n_grams
+  FROM cg JOIN model USING (bucket) GROUP BY cg.doc_id),
+weights AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(weight_fp, 0) AS BIGINT) AS weight_fp,
+         CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams
+  FROM corpus c LEFT JOIN scored ON c.doc_id = scored.doc_id)
+"""
+    if select_budget is None:
+        return body + "SELECT doc_id, weight_fp, n_grams FROM weights"
+    return body + (
+        "SELECT doc_id, weight_fp FROM weights "
+        f"ORDER BY weight_fp DESC, doc_id LIMIT {select_budget}"
+    )

@@ -1837,7 +1837,44 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) for every document
+    against an English-prose target (lang='en'): fixed-point hashed
+    n-gram log-likelihood ratios, exact-oracle-checkable because the
+    per-bucket log is floored to integer BEFORE the per-doc sum
+    (operators/dsir.py)."""
+    from etl_workflows_spark.operators import dsir
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 most-target-like documents by DSIR weight (deterministic
+    weight-desc, doc_id tiebreak; plans as TakeOrderedAndProject)."""
+    from etl_workflows_spark.operators import dsir
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir.dsir_select(docs, docs.filter(F.col("lang") == "en"), budget=100)
+
+
+def _dsir_oracles() -> tuple[str, str]:
+    from etl_workflows_spark.operators import dsir
+
+    corpus = "SELECT doc_id, text FROM documents"
+    target = "SELECT doc_id, text FROM documents WHERE lang = 'en'"
+    return (
+        dsir.dsir_oracle_sql(corpus, target),
+        dsir.dsir_oracle_sql(corpus, target, select_budget=100),
+    )
+
+
+_DSIR_WEIGHTS_ORACLE, _DSIR_SELECT_ORACLE = _dsir_oracles()
+
+
 QUERIES = {
+    "dsir_weights_docs": dsir_weights_docs,
+    "dsir_select_docs": dsir_select_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -1957,5 +1994,7 @@ ORACLE_SQL = {
     "k_anonymity_docs": _K_ANON_ORACLE,
     "duplicated_spans_docs": _DUP_SPANS_ORACLE,
     "excise_spans_docs": _EXCISE_SPANS_ORACLE,
+    "dsir_weights_docs": _DSIR_WEIGHTS_ORACLE,
+    "dsir_select_docs": _DSIR_SELECT_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }
