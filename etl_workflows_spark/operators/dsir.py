@@ -58,7 +58,9 @@ def _bucket_counts(docs: DataFrame, text_col: str, hex_chars: int) -> DataFrame:
     of md5(gram) — engine-portable (identical lowercase hex in Spark and
     DuckDB), uniform enough for a smoothed unigram model."""
     return (
-        docs.select(F.explode(F.expr(_gram_expr(text_col))).alias("gram"))
+        docs.select(
+            F.explode(F.expr(_gram_expr(f"coalesce({text_col}, '')"))).alias("gram")
+        )
         .select(F.substring(F.md5("gram"), 1, hex_chars).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -112,26 +114,24 @@ def dsir_weights(
     """(id, weight_fp, n_grams) for every corpus document: weight_fp is
     the integer-summed fixed-point log-likelihood ratio (higher ⇒ more
     target-like), n_grams the gram count (for per-gram normalization
-    downstream). Documents with no grams keep weight 0."""
+    downstream).
+
+    NULL text is treated as '' — split('') still yields one (empty)
+    gram, so EVERY document reaches the aggregate and no restore join is
+    needed afterward: the whole weighting is explode → broadcast-join →
+    one doc_id groupBy (plan-audited: zero sort-merge joins on the
+    corpus side)."""
     model = dsir_model(corpus, target, text_col, hex_chars, scale)
+    safe_text = f"coalesce({text_col}, '')"
     grams = corpus.select(
-        F.col(id_col), F.explode(F.expr(_gram_expr(text_col))).alias("gram")
+        F.col(id_col), F.explode(F.expr(_gram_expr(safe_text))).alias("gram")
     ).select(id_col, F.substring(F.md5("gram"), 1, hex_chars).alias("bucket"))
-    scored = (
+    return (
         grams.join(F.broadcast(model), "bucket")
         .groupBy(id_col)
         .agg(
-            F.sum("llr_fp").alias("weight_fp"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-    )
-    return (
-        corpus.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("weight_fp", F.lit(0)).cast("long").alias("weight_fp"),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.sum("llr_fp").cast("long").alias("weight_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
         )
     )
 
@@ -175,7 +175,8 @@ def dsir_oracle_sql(
     grams = (
         "SELECT doc_id, UNNEST(toks || "
         "LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1])"
-        ") AS gram FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM {src})"
+        ") AS gram FROM (SELECT doc_id, "
+        "STRING_SPLIT(COALESCE(text, ''), ' ') AS toks FROM {src})"
     )
     body = f"""
 WITH corpus AS ({corpus_sql}),
@@ -195,14 +196,11 @@ model AS (
            / CAST((COALESCE(cnt_q, 0) + 1) * ((SELECT n FROM np) + {v}) AS DOUBLE)
          ) * {scale}) AS BIGINT) AS llr_fp
   FROM p FULL JOIN q ON p.bucket = q.bucket),
-scored AS (
-  SELECT cg.doc_id, SUM(llr_fp) AS weight_fp, COUNT(*) AS n_grams
-  FROM cg JOIN model USING (bucket) GROUP BY cg.doc_id),
 weights AS (
-  SELECT c.doc_id,
-         CAST(COALESCE(weight_fp, 0) AS BIGINT) AS weight_fp,
-         CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams
-  FROM corpus c LEFT JOIN scored ON c.doc_id = scored.doc_id)
+  SELECT cg.doc_id,
+         CAST(SUM(llr_fp) AS BIGINT) AS weight_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM cg JOIN model USING (bucket) GROUP BY cg.doc_id)
 """
     if select_budget is None:
         return body + "SELECT doc_id, weight_fp, n_grams FROM weights"
