@@ -610,10 +610,80 @@ def build_fingerprint_index(
     return write_table(fps, table_name, bucket_by=(n_buckets, ["fp"]))
 
 
+_BLOOM_META_IDX = -1
+
+
+def build_bloom_sidecar(
+    docs: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> str:
+    """Bloom sidecar for a fingerprint index: a packed-word table over
+    md5(text) (operators/bloom.py) plus one metadata row (word_idx = -1,
+    word = m_bits*256 + k) that makes the filter SELF-DESCRIBING — the
+    probe reads its own m/k, so build and probe can never disagree on
+    the hash geometry. ~m_bits/32 rows: broadcastable at any corpus size
+    you'd pick m for."""
+    from etl_workflows_spark.operators import bloom
+    from etl_workflows_spark.sinks.writer import write_table
+
+    if m_bits % 256 != 0 or k >= 256:
+        raise ValueError("m_bits must be a multiple of 256 and k < 256")
+    words = bloom.bloom_build(
+        docs.select(F.md5(F.col(text_col)).alias("fp")), "fp", m_bits, k
+    )
+    spark = docs.sparkSession
+    meta = spark.createDataFrame(
+        [(_BLOOM_META_IDX, m_bits * 256 + k)], "word_idx long, word long"
+    )
+    return write_table(words.unionByName(meta), table_name)
+
+
+def append_bloom_sidecar(
+    accepted_docs: DataFrame, table_name: str, text_col: str = "text"
+) -> None:
+    """Fold newly accepted fingerprints into the sidecar: bit_or-merge
+    the new batch's words into the existing table (an overwrite of a
+    filter-sized table, not a corpus scan)."""
+    from etl_workflows_spark.operators import bloom
+
+    spark = accepted_docs.sparkSession
+    existing = spark.table(table_name)
+    m_bits, k = _bloom_sidecar_params(existing)
+    new_words = bloom.bloom_build(
+        accepted_docs.select(F.md5(F.col(text_col)).alias("fp")), "fp", m_bits, k
+    )
+    merged = (
+        existing.filter(F.col("word_idx") != _BLOOM_META_IDX)
+        .unionByName(new_words)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .unionByName(
+            spark.createDataFrame(
+                [(_BLOOM_META_IDX, m_bits * 256 + k)], "word_idx long, word long"
+            )
+        )
+    )
+    merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+        table_name
+    )
+
+
+def _bloom_sidecar_params(sidecar: DataFrame) -> tuple[int, int]:
+    meta = sidecar.filter(F.col("word_idx") == _BLOOM_META_IDX).collect()
+    if len(meta) != 1:
+        raise ValueError("bloom sidecar is missing its metadata row")
+    packed = meta[0]["word"]
+    return packed // 256, packed % 256
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     index_table: str,
     text_col: str = "text",
+    bloom_table: str | None = None,
 ) -> DataFrame:
     """Drop arriving documents whose text already exists in the corpus —
     WITHOUT rescanning the corpus. One anti-join of the (small) new batch
@@ -626,13 +696,33 @@ def dedup_incremental(
     (``append_fingerprints``) to keep it current — the two steps are
     separate so a failed downstream write can be retried without having
     poisoned the index.
+
+    With ``bloom_table`` (a :func:`build_bloom_sidecar` sidecar), rows
+    the filter proves absent skip the index anti-join entirely — only
+    the "maybe seen" minority touches the index. Bloom filters have no
+    false negatives, so the result is IDENTICAL with or without the
+    sidecar (asserted in test_bloom_sidecar_equivalence); the sidecar
+    only changes how much of the index the probe reads.
     """
     spark = new_docs.sparkSession
     index = spark.table(index_table)
     fresh = new_docs.withColumn("__fp", F.md5(F.col(text_col)))
-    survivors = fresh.join(
-        index, fresh["__fp"] == index["fp"], "left_anti"
-    )
+    if bloom_table is not None:
+        from etl_workflows_spark.operators import bloom
+
+        sidecar = spark.table(bloom_table)
+        m_bits, k = _bloom_sidecar_params(sidecar)
+        words = sidecar.filter(F.col("word_idx") != _BLOOM_META_IDX)
+        tagged = bloom.bloom_probe(fresh, words, "__fp", m_bits, k)
+        definitely_new = tagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
+        maybe = tagged.filter(F.col("bloom_maybe")).drop("bloom_maybe")
+        survivors = definitely_new.unionByName(
+            maybe.join(index, maybe["__fp"] == index["fp"], "left_anti")
+        )
+    else:
+        survivors = fresh.join(
+            index, fresh["__fp"] == index["fp"], "left_anti"
+        )
     # Within-batch dedup reuses the already-computed __fp in a SINGLE
     # plan branch (a keeper self-join would execute the md5 + index
     # anti-join twice): one window pass over one shuffle on __fp.

@@ -1872,9 +1872,40 @@ def _dsir_oracles() -> tuple[str, str]:
 _DSIR_WEIGHTS_ORACLE, _DSIR_SELECT_ORACLE = _dsir_oracles()
 
 
+def bloom_firewall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup firewall: build a 64 Kbit filter over the
+    resident corpus's text fingerprints (doc_id%10 < 8), probe the
+    arriving shard (doc_id%10 >= 8). bloom_maybe=false is a GUARANTEED
+    new document (skips the exact index); true goes to the exact check.
+    Probe is k=5 broadcast joins — the arriving shard is never shuffled."""
+    from etl_workflows_spark.operators import bloom
+
+    docs = table(spark, sf_dir, "documents")
+    built = bloom.bloom_build(
+        docs.filter("doc_id % 10 < 8").selectExpr("md5(text) AS key"), "key"
+    )
+    probe = docs.filter("doc_id % 10 >= 8").selectExpr(
+        "doc_id", "md5(text) AS key"
+    )
+    return bloom.bloom_probe(probe, built, "key")
+
+
+def _bloom_oracle() -> str:
+    from etl_workflows_spark.operators import bloom
+
+    return bloom.bloom_oracle_sql(
+        "SELECT MD5(text) AS key FROM documents WHERE doc_id % 10 < 8",
+        "SELECT doc_id, MD5(text) AS key FROM documents WHERE doc_id % 10 >= 8",
+    )
+
+
+_BLOOM_FIREWALL_ORACLE = _bloom_oracle()
+
+
 QUERIES = {
     "dsir_weights_docs": dsir_weights_docs,
     "dsir_select_docs": dsir_select_docs,
+    "bloom_firewall_docs": bloom_firewall_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -1996,5 +2027,6 @@ ORACLE_SQL = {
     "excise_spans_docs": _EXCISE_SPANS_ORACLE,
     "dsir_weights_docs": _DSIR_WEIGHTS_ORACLE,
     "dsir_select_docs": _DSIR_SELECT_ORACLE,
+    "bloom_firewall_docs": _BLOOM_FIREWALL_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }
