@@ -83,6 +83,11 @@ HEADLINE = [
     "excise_spans_docs",
     "fuzzy_name_pairs",
     "pipeline_curation_v2",
+    # round-4 continuation: link authority, importance resampling,
+    # bloom dedup firewall
+    "link_graph_pagerank",
+    "dsir_weights_docs",
+    "bloom_firewall_docs",
 ]
 
 
@@ -112,6 +117,8 @@ SCALED = [
     "purchase_click_interval_join",
     "split_leakage_audit",
     "duplicated_spans_docs",
+    "dsir_weights_docs",
+    "bloom_firewall_docs",
 ]
 
 

@@ -135,6 +135,122 @@ def merge_mg_summaries(a: DataFrame, b: DataFrame, col: str, k: int) -> DataFram
     )
 
 
+def _cms_pos_expr(key_expr: str, r: int, w: int) -> str:
+    """Spark SQL: row-r counter index of the key in [0, w). Same
+    md5-prefix construction as operators/bloom.py — portable bit-for-bit
+    to DuckDB (``('0x' || ...)::BIGINT``)."""
+    return (
+        f"cast(conv(substr(md5(concat('cms', '{r}', ':', {key_expr})), 1, 12), "
+        f"16, 10) as bigint) % {w}"
+    )
+
+
+def _cms_pos_sql(key_expr: str, r: int, w: int) -> str:
+    return (
+        f"('0x' || SUBSTR(MD5(CONCAT('cms', '{r}', ':', {key_expr})), 1, 12))"
+        f"::BIGINT % {w}"
+    )
+
+
+def cms_build(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key column:
+    d hash rows × w counters as a DataFrame (row, pos, cnt) — ≤ d·w rows
+    regardless of input cardinality, built with one explode + one
+    groupBy whose key space is the sketch geometry, never the data's.
+
+    Guarantees (classic): estimate ≥ true always; estimate ≤ true +
+    ε·n with probability ≥ 1-δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Sketches
+    with the same (w, d) merge by counter addition (:func:`cms_merge`) —
+    the shard/epoch rollup story. Deterministic md5 positions make the
+    sketch itself exact-oracle-checkable."""
+    if w < 2 or d < 1:
+        raise ValueError(f"need w >= 2 and d >= 1, got w={w} d={d}")
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        F.expr(_cms_pos_expr(col, r, w)).alias("pos"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rp")
+    )
+    return (
+        rows.select("rp.row", "rp.pos")
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two same-geometry sketches: counter-wise addition."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    w: int = 1024,
+    d: int = 4,
+    out_col: str = "est_freq",
+) -> DataFrame:
+    """Point-frequency estimates: for each key, MIN over the d rows of
+    its counter (missing counter ⇒ 0 ⇒ key definitely unseen). d
+    broadcast joins against the ≤ d·w-row sketch — the probed side never
+    shuffles (same firewall shape as bloom_probe)."""
+    out = keys
+    est = None
+    for r in range(d):
+        s = sketch.filter(F.col("row") == r).select(
+            F.col("pos").alias(f"__pos{r}"), F.col("cnt").alias(f"__cnt{r}")
+        )
+        out = out.withColumn(f"__pos{r}", F.expr(_cms_pos_expr(col, r, w)))
+        out = out.join(F.broadcast(s), f"__pos{r}", "left")
+        c = F.coalesce(F.col(f"__cnt{r}"), F.lit(0))
+        est = c if est is None else F.least(est, c)
+    drop = [c for r in range(d) for c in (f"__pos{r}", f"__cnt{r}")]
+    return out.withColumn(out_col, est.cast("long")).drop(*drop)
+
+
+def cms_oracle_sql(
+    build_sql: str,
+    probe_sql: str,
+    key_expr: str = "key",
+    w: int = 1024,
+    d: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cms_build` + :func:`cms_estimate`:
+    ``build_sql`` selects the counted keys, ``probe_sql`` the probe rows
+    (any columns + the key); returns probe rows + est_freq."""
+    pos_union = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cms_pos_sql(key_expr, r, w)} AS pos FROM build"
+        for r in range(d)
+    )
+    joins, ests = [], []
+    for r in range(d):
+        p = _cms_pos_sql(key_expr, r, w)
+        joins.append(
+            f"LEFT JOIN sketch s{r} ON s{r}.row = {r} AND s{r}.pos = ({p})"
+        )
+        ests.append(f"COALESCE(s{r}.cnt, 0)")
+    return f"""
+WITH build AS ({build_sql}),
+probe AS ({probe_sql}),
+positions AS ({pos_union}),
+sketch AS (SELECT row, pos, COUNT(*) AS cnt FROM positions GROUP BY 1, 2)
+SELECT probe.*, CAST(LEAST({", ".join(ests)}) AS BIGINT) AS est_freq
+FROM probe {" ".join(joins)}
+"""
+
+
 def streaming_heavy_hitters(
     stream: DataFrame,
     col: str,

@@ -1872,6 +1872,29 @@ def _dsir_oracles() -> tuple[str, str]:
 _DSIR_WEIGHTS_ORACLE, _DSIR_SELECT_ORACLE = _dsir_oracles()
 
 
+def cms_token_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch token frequencies: build a 4×1024 sketch over
+    every token occurrence, then point-estimate each distinct token.
+    One-sided error (est ≥ true, excess ≤ εn w.h.p.); the sketch is
+    deterministic, so even the estimates hash-match the DuckDB twin.
+    The probe side is d broadcast joins — never shuffled."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(text.tokens(F.col("text"))).alias("token")
+    )
+    sketch = frequency.cms_build(toks, "token")
+    return frequency.cms_estimate(toks.distinct(), sketch, "token")
+
+
+def _cms_oracle() -> str:
+    tok = "SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents"
+    return frequency.cms_oracle_sql(
+        tok, f"SELECT DISTINCT token FROM ({tok})", key_expr="token"
+    )
+
+
+_CMS_TOKEN_FREQ_ORACLE = _cms_oracle()
+
+
 def bloom_firewall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup firewall: build a 64 Kbit filter over the
     resident corpus's text fingerprints (doc_id%10 < 8), probe the
@@ -1906,6 +1929,7 @@ QUERIES = {
     "dsir_weights_docs": dsir_weights_docs,
     "dsir_select_docs": dsir_select_docs,
     "bloom_firewall_docs": bloom_firewall_docs,
+    "cms_token_freq_docs": cms_token_freq_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -2028,5 +2052,6 @@ ORACLE_SQL = {
     "dsir_weights_docs": _DSIR_WEIGHTS_ORACLE,
     "dsir_select_docs": _DSIR_SELECT_ORACLE,
     "bloom_firewall_docs": _BLOOM_FIREWALL_ORACLE,
+    "cms_token_freq_docs": _CMS_TOKEN_FREQ_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -88,3 +88,74 @@ def test_heavy_hitters_tags_via_broadcast_join_not_isin_literal(spark):
     assert "__cand IN (" not in plan and "v IN (" not in plan
     got = {r["v"] for r in result.collect()}
     assert got == {i for i in range(7)}
+
+
+def test_cms_estimates_are_one_sided_and_tight(spark):
+    """est >= true always (CMS never undercounts); with w much larger
+    than the key space, collisions are rare so most estimates are exact."""
+    import random
+
+    from etl_workflows_spark.operators import frequency
+
+    rng = random.Random(3)
+    vals = [f"k{rng.randrange(50)}" for _ in range(5000)]
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], ["key"])
+    sketch = frequency.cms_build(df, "key", w=2048, d=4)
+    est = {
+        r["key"]: r["est_freq"]
+        for r in frequency.cms_estimate(
+            df.distinct(), sketch, "key", w=2048, d=4
+        ).collect()
+    }
+    assert all(est[k] >= c for k, c in true.items())
+    # total overcount bounded well inside eps*n at this geometry
+    assert sum(est[k] - c for k, c in true.items()) <= 0.01 * len(vals)
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    from etl_workflows_spark.operators import frequency
+
+    a = spark.createDataFrame([(f"a{i % 7}",) for i in range(100)], ["key"])
+    b = spark.createDataFrame([(f"b{i % 5}",) for i in range(80)], ["key"])
+    merged = sorted(
+        map(
+            tuple,
+            frequency.cms_merge(
+                frequency.cms_build(a, "key", w=64, d=3),
+                frequency.cms_build(b, "key", w=64, d=3),
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(tuple, frequency.cms_build(a.unionByName(b), "key", w=64, d=3).collect())
+    )
+    assert merged == direct
+
+
+def test_cms_unseen_key_and_probe_plan(spark):
+    from etl_workflows_spark.operators import frequency
+
+    df = spark.createDataFrame([("x",), ("y",)], ["key"])
+    sketch = frequency.cms_build(df, "key", w=1024, d=4).localCheckpoint()
+    probe = spark.createDataFrame([("never-seen",)], ["key"])
+    est_df = frequency.cms_estimate(probe, sketch, "key", w=1024, d=4)
+    assert est_df.collect()[0]["est_freq"] in (0, 1, 2)  # almost surely 0
+    plan = est_df._jdf.queryExecution().executedPlan().toString()
+    # 4 joins (AQE may render initial+final plan, so count >= 4)
+    assert plan.count("BroadcastHashJoin") >= 4  # probe side never shuffles
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_validation(spark):
+    import pytest
+
+    from etl_workflows_spark.operators import frequency
+
+    df = spark.createDataFrame([("x",)], ["key"])
+    with pytest.raises(ValueError):
+        frequency.cms_build(df, "key", w=1)
+    with pytest.raises(ValueError):
+        frequency.cms_build(df, "key", d=0)
