@@ -251,6 +251,42 @@ FROM probe {" ".join(joins)}
 """
 
 
+def streaming_cms(
+    stream: DataFrame,
+    col: str,
+    state_table: str,
+    checkpoint_dir: str,
+    w: int = 1024,
+    d: int = 4,
+):
+    """Maintain a Count-Min sketch over an unbounded stream: each
+    micro-batch's sketch is counter-added into the state table (≤ d·w
+    rows forever — the table IS the sketch). Because CMS merge is exact
+    (addition), the maintained sketch equals the batch sketch over the
+    full prefix: est_freq answers are IDENTICAL to a from-scratch build,
+    which test_streaming_cms_equals_batch asserts across micro-batch
+    boundaries. AvailableNow trigger + checkpoint ⇒ each file counts
+    exactly once."""
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        summary = cms_build(batch_df, col, w, d)
+        if spark.catalog.tableExists(state_table):
+            merged = cms_merge(spark.table(state_table), summary)
+        else:
+            merged = summary
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            state_table
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_heavy_hitters(
     stream: DataFrame,
     col: str,

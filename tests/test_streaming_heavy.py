@@ -110,3 +110,54 @@ def test_streaming_ewma_matches_batch_across_microbatches(spark, tmp_path):
     assert set(streamed) == set(batch)
     for k, v in batch.items():
         assert abs(streamed[k] - v) < 1e-9, k
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path):
+    """The maintained CMS after N micro-batches is IDENTICAL to a
+    from-scratch batch sketch over all the data (merge is exact
+    counter addition), so estimates agree exactly too."""
+    from etl_workflows_spark.operators.frequency import (
+        cms_build,
+        cms_estimate,
+        streaming_cms,
+    )
+
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    rows = [(f"tok{j % 17}",) for j in range(900)]
+    df = spark.createDataFrame(rows, "tok string")
+    for i in range(3):
+        df.filter((F.hash("tok") % 3 + 3) % 3 == i).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+    spark.sql("CREATE DATABASE IF NOT EXISTS hhdb")
+    spark.sql("DROP TABLE IF EXISTS hhdb.cms_state")
+
+    stream = spark.readStream.schema("tok string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "part*"))
+    q = streaming_cms(stream, "tok", "hhdb.cms_state", str(tmp_path / "cms_ck"),
+                      w=256, d=3)
+    q.awaitTermination(180)
+
+    maintained = sorted(map(tuple, spark.table("hhdb.cms_state").collect()))
+    scratch = sorted(map(tuple, cms_build(df, "tok", w=256, d=3).collect()))
+    assert maintained == scratch
+
+    est = {
+        r["tok"]: r["est_freq"]
+        for r in cms_estimate(
+            df.distinct(), spark.table("hhdb.cms_state"), "tok", w=256, d=3
+        ).collect()
+    }
+    exact = {
+        r["tok"]: r["n"]
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[t] >= c for t, c in exact.items())
+
+    # rerun with no new files: checkpoint makes the sink a no-op
+    q2 = streaming_cms(stream, "tok", "hhdb.cms_state", str(tmp_path / "cms_ck"),
+                       w=256, d=3)
+    q2.awaitTermination(180)
+    assert sorted(map(tuple, spark.table("hhdb.cms_state").collect())) == scratch
