@@ -88,6 +88,8 @@ HEADLINE = [
     "link_graph_pagerank",
     "dsir_weights_docs",
     "bloom_firewall_docs",
+    "cms_token_freq_docs",
+    "pipeline_curation_v3",
 ]
 
 

@@ -1872,6 +1872,63 @@ def _dsir_oracles() -> tuple[str, str]:
 _DSIR_WEIGHTS_ORACLE, _DSIR_SELECT_ORACLE = _dsir_oracles()
 
 
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation composed curation pipeline — and unlike v2,
+    EXACTLY oracle-checkable end-to-end (every stage is deterministic):
+    exact dedup (min-doc_id keeper) → Gopher-style quality gate
+    (passes only) → DSIR selection of the 150 most English-target-like
+    survivors → provenance columns restored. The shape a production
+    pretraining-corpus job takes: each stage is one of this repo's
+    first-class operators, composed without materialization barriers."""
+    from etl_workflows_spark.operators import dsir
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    kept = dedup.drop_exact_duplicates(docs)
+    gated = kept.join(
+        text.quality_gate(kept).filter("passes").select("doc_id"), "doc_id"
+    )
+    sel = dsir.dsir_select(gated, gated.filter(F.col("lang") == "en"), budget=150)
+    return sel.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "weight_fp", "lang", "source"
+    )
+
+
+def _curation_v3_oracle() -> str:
+    from etl_workflows_spark.operators import dsir
+
+    stats = (
+        "SELECT doc_id, text, lang, "
+        "LENGTH(text) AS n_chars, "
+        "LEN(STRING_SPLIT(text, ' ')) AS n_tok, "
+        "LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_uniq, "
+        "LEN(LIST_FILTER(STRING_SPLIT(text, ' '), "
+        f"x -> LIST_CONTAINS({_STOPWORD_LIST}, x))) AS n_stop "
+        "FROM documents WHERE doc_id IN "
+        "(SELECT MIN(doc_id) FROM documents GROUP BY MD5(text))"
+    )
+    gate = (
+        "n_tok >= 10 AND n_tok <= 100000 "
+        "AND (n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE) >= 2.0 "
+        "AND (n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE) <= 12.0 "
+        "AND n_stop / CAST(n_tok AS DOUBLE) >= 0.01 "
+        "AND n_uniq / CAST(n_tok AS DOUBLE) >= 0.2"
+    )
+    gated = f"SELECT doc_id, text, lang FROM ({stats}) WHERE {gate}"
+    dsir_sql = dsir.dsir_oracle_sql(
+        gated, f"SELECT doc_id, text FROM ({gated}) WHERE lang = 'en'",
+        select_budget=150,
+    )
+    return (
+        f"SELECT w.doc_id, w.weight_fp, d.lang, d.source "
+        f"FROM ({dsir_sql}) w JOIN documents d USING (doc_id)"
+    )
+
+
+_CURATION_V3_ORACLE = _curation_v3_oracle()
+
+
 def cms_token_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-sketch token frequencies: build a 4×1024 sketch over
     every token occurrence, then point-estimate each distinct token.
@@ -1930,6 +1987,7 @@ QUERIES = {
     "dsir_select_docs": dsir_select_docs,
     "bloom_firewall_docs": bloom_firewall_docs,
     "cms_token_freq_docs": cms_token_freq_docs,
+    "pipeline_curation_v3": pipeline_curation_v3,
     "quality_classifier_docs": quality_classifier_docs,
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -2053,5 +2111,6 @@ ORACLE_SQL = {
     "dsir_select_docs": _DSIR_SELECT_ORACLE,
     "bloom_firewall_docs": _BLOOM_FIREWALL_ORACLE,
     "cms_token_freq_docs": _CMS_TOKEN_FREQ_ORACLE,
+    "pipeline_curation_v3": _CURATION_V3_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

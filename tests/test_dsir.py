@@ -78,3 +78,31 @@ def test_catalog_weights_separate_languages(spark, sf_dir):
     }
     assert means["en"] > means["zh"]
     assert means["en"] > means["de"]
+
+
+def test_pipeline_curation_v3_stages_compose(spark, sf_dir):
+    """End-to-end pipeline: output is exactly the DSIR top-150 of the
+    deduped+gated survivors, all selected docs pass the gate, and no
+    exact-duplicate text survives selection."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.queries.base import table
+    from etl_workflows_spark.queries.llm import pipeline_curation_v3
+
+    out = pipeline_curation_v3(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 150
+    assert out.columns == ["doc_id", "weight_fp", "lang", "source"]
+    ids = [r["doc_id"] for r in rows]
+    docs = table(spark, sf_dir, "documents")
+    sel_docs = docs.join(
+        spark.createDataFrame([(i,) for i in ids], ["doc_id"]), "doc_id"
+    )
+    # no two selected docs share a text
+    assert sel_docs.select("text").distinct().count() == 150
+    # en-target selection must ENRICH English vs the corpus base rate
+    # (the synthetic corpus shares vocabulary across langs, so the
+    # signal is enrichment, not exclusivity)
+    n_en = sel_docs.filter(F.col("lang") == "en").count()
+    base_rate = docs.filter(F.col("lang") == "en").count() / docs.count()
+    assert n_en / 150 > base_rate + 0.05
