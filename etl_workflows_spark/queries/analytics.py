@@ -1258,6 +1258,132 @@ FROM c JOIN b USING (digit), t
 """
 
 
+def seasonal_decompose_hourly(ev: DataFrame, period: int = 24) -> DataFrame:
+    """Classical seasonal decomposition of the gap-filled hourly count
+    series: trend = centered ``period``-hour moving average, seasonal =
+    per-hour-of-day mean deviation from trend, resid = n - trend -
+    seasonal. The moving-average decomposition every monitoring stack
+    runs before alerting on a daily-cyclic series.
+
+    Determinism (same discipline as ``hourly_anomaly``): every divided
+    quantity is an INTEGER window/group sum — trend = s/period only
+    where the centered window is complete (m == period), seasonal =
+    A/c - S/(period·c) from integer sums A, S — so both engines evaluate
+    identical IEEE expressions on identical operands and agree
+    bit-for-bit, no rounding needed. Seasonal is uncentered (the mean
+    over hours-of-day is NOT subtracted — that would need a float sum
+    whose order differs across engines); trend+seasonal+resid still
+    reconstructs n exactly where defined.
+
+    Scale: one shuffle to the hourly grid, one window pass per type, one
+    24-row-per-type seasonal aggregate broadcast back.
+    """
+    half = period // 2
+    filled = _hourly_filled(ev)
+    base = filled.select(
+        "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-half, period - half - 1)
+    )
+    n = F.col("n_events")
+    stats = base.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.sum(n).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    complete = F.col("m") == period
+    t1 = stats.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.when(complete, F.col("s") / period).alias("trend"),
+        F.col("s").alias("s"),
+        complete.alias("ok"),
+        F.hour("hour").alias("hod"),
+    )
+    seas = (
+        t1.filter("ok")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum("n_events").alias("a"),
+            F.sum("s").alias("ss"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            (
+                F.col("a") / F.col("c")
+                - F.col("ss") / (F.lit(period) * F.col("c"))
+            ).alias("seasonal"),
+        )
+    )
+    return (
+        t1.join(F.broadcast(seas), ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            "trend",
+            "seasonal",
+            F.when(
+                F.col("ok") & F.col("seasonal").isNotNull(),
+                F.col("n_events") - F.col("trend") - F.col("seasonal"),
+            ).alias("resid"),
+        )
+    )
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend / daily-seasonal / residual split of the events table's
+    hourly counts (see ``seasonal_decompose_hourly``)."""
+    return seasonal_decompose_hourly(table(spark, sf_dir, "events"))
+
+
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+           FROM hourly GROUP BY 1),
+spine AS (SELECT event_type,
+                 UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds),
+base AS (
+  SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS n_events
+  FROM spine s LEFT JOIN hourly h
+    ON s.event_type = h.event_type AND s.hour = h.hour),
+stats AS (
+  SELECT event_type, hour, n_events,
+         SUM(n_events) OVER (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS s,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS m
+  FROM base),
+t1 AS (
+  SELECT event_type, hour, n_events,
+         CASE WHEN m = 24 THEN s / 24 END AS trend,
+         s, (m = 24) AS ok,
+         CAST(EXTRACT(HOUR FROM hour) AS INTEGER) AS hod
+  FROM stats),
+seas AS (
+  SELECT event_type, hod,
+         SUM(n_events) / COUNT(*) - SUM(s) / (24 * COUNT(*)) AS seasonal
+  FROM t1 WHERE ok GROUP BY 1, 2)
+SELECT t1.event_type, t1.hour, t1.n_events, t1.trend, seas.seasonal,
+       CASE WHEN t1.ok AND seas.seasonal IS NOT NULL
+            THEN t1.n_events - t1.trend - seas.seasonal END AS resid
+FROM t1 LEFT JOIN seas
+  ON t1.event_type = seas.event_type AND t1.hod = seas.hod
+"""
+
+
 def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-link-graph authority: PageRank (5 iterations, d=0.85)
     over the props.k browse graph — the link-based corpus-quality prior a
@@ -1314,6 +1440,7 @@ QUERIES = {
     "purchase_state_temporal_join": purchase_state_temporal_join,
     "purchase_click_interval_join": purchase_click_interval_join,
     "link_graph_pagerank": link_graph_pagerank,
+    "events_seasonal_decompose": events_seasonal_decompose,
 }
 
 ORACLE_SQL = {
@@ -1344,4 +1471,5 @@ ORACLE_SQL = {
     "purchase_state_temporal_join": _TEMPORAL_JOIN_ORACLE,
     "purchase_click_interval_join": _INTERVAL_JOIN_ORACLE,
     "link_graph_pagerank": _PAGERANK_ORACLE,
+    "events_seasonal_decompose": _SEASONAL_ORACLE,
 }

@@ -156,3 +156,35 @@ def test_interval_join_subsecond_exactness_and_validation(spark):
         interval_join(
             left, left.withColumnRenamed("l_id", "x"), "l_ts", "l_ts", 10
         )
+
+
+def test_seasonal_decompose_reconstructs_and_is_periodic(spark, sf_dir):
+    """trend+seasonal+resid == n wherever defined; seasonal depends only
+    on (event_type, hour-of-day); trend is NULL at the series edges
+    (incomplete centered window)."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.queries.analytics import events_seasonal_decompose
+
+    out = events_seasonal_decompose(spark, sf_dir)
+    full = out.filter(F.col("resid").isNotNull())
+    assert full.count() > 0
+    bad = full.filter(
+        F.abs(F.col("n_events") - (F.col("trend") + F.col("seasonal") + F.col("resid")))
+        > 1e-9
+    ).count()
+    assert bad == 0
+    # seasonal constant per (event_type, hod)
+    per_hod = (
+        out.withColumn("hod", F.hour("hour"))
+        .filter(F.col("seasonal").isNotNull())
+        .groupBy("event_type", "hod")
+        .agg(F.countDistinct("seasonal").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert per_hod == 0
+    # first hours of each series lack a complete centered window
+    first = out.groupBy("event_type").agg(F.min("hour").alias("h"))
+    edge = out.join(first, (out["event_type"] == first["event_type"]) & (out["hour"] == first["h"]))
+    assert edge.filter(edge["trend"].isNotNull()).count() == 0
