@@ -1384,6 +1384,97 @@ FROM t1 LEFT JOIN seas
 """
 
 
+def forecast_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: hold out each event type's last
+    24 gap-filled hours, forecast each as the count 24 hours earlier,
+    and score MAE plus the MASE-style ratio against the naive-1
+    (previous-hour) forecast — the baseline every fancier model must
+    beat, and the exact-arithmetic twin of the iterative ``holt_forecast``
+    (whose float recursion is rows-only by contract).
+
+    Exactness: errors are integer differences; MAE = integer sum / 24;
+    the ratio divides two such rationals — identical IEEE ops in both
+    engines. Series too short for a full holdout+lag drop out via the
+    lag being NULL (mirrored in the oracle).
+    """
+    filled = _hourly_filled(table(spark, sf_dir, "events"))
+    base = filled.select(
+        "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    lagged = base.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.lag("n_events", 24).over(w).alias("pred_seasonal"),
+        F.lag("n_events", 1).over(w).alias("pred_naive"),
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("hour").desc())
+        ).alias("rn_desc"),
+    )
+    test = lagged.filter(
+        (F.col("rn_desc") <= 24)
+        & F.col("pred_seasonal").isNotNull()
+        & F.col("pred_naive").isNotNull()
+    )
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.abs(F.col("n_events") - F.col("pred_seasonal"))).alias("ae_s"),
+            F.sum(F.abs(F.col("n_events") - F.col("pred_naive"))).alias("ae_n"),
+        )
+        .select(
+            "event_type",
+            "n_test",
+            (F.col("ae_s") / F.col("n_test")).alias("mae_seasonal"),
+            (F.col("ae_n") / F.col("n_test")).alias("mae_naive"),
+            F.when(
+                F.col("ae_n") > 0, F.col("ae_s") / F.col("ae_n")
+            ).alias("mase_ratio"),
+        )
+    )
+
+
+_FORECAST_BACKTEST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+           FROM hourly GROUP BY 1),
+spine AS (SELECT event_type,
+                 UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds),
+base AS (
+  SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS n_events
+  FROM spine s LEFT JOIN hourly h
+    ON s.event_type = h.event_type AND s.hour = h.hour),
+lagged AS (
+  SELECT event_type, hour, n_events,
+         LAG(n_events, 24) OVER (PARTITION BY event_type ORDER BY hour)
+           AS pred_seasonal,
+         LAG(n_events, 1) OVER (PARTITION BY event_type ORDER BY hour)
+           AS pred_naive,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour DESC)
+           AS rn_desc
+  FROM base),
+test AS (
+  SELECT * FROM lagged
+  WHERE rn_desc <= 24 AND pred_seasonal IS NOT NULL
+    AND pred_naive IS NOT NULL)
+SELECT event_type,
+       COUNT(*) AS n_test,
+       SUM(ABS(n_events - pred_seasonal)) / COUNT(*) AS mae_seasonal,
+       SUM(ABS(n_events - pred_naive)) / COUNT(*) AS mae_naive,
+       CASE WHEN SUM(ABS(n_events - pred_naive)) > 0
+            THEN SUM(ABS(n_events - pred_seasonal))
+                 / CAST(SUM(ABS(n_events - pred_naive)) AS DOUBLE) END
+         AS mase_ratio
+FROM test GROUP BY event_type
+"""
+
+
 def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-link-graph authority: PageRank (5 iterations, d=0.85)
     over the props.k browse graph — the link-based corpus-quality prior a
@@ -1441,6 +1532,7 @@ QUERIES = {
     "purchase_click_interval_join": purchase_click_interval_join,
     "link_graph_pagerank": link_graph_pagerank,
     "events_seasonal_decompose": events_seasonal_decompose,
+    "forecast_backtest_events": forecast_backtest_events,
 }
 
 ORACLE_SQL = {
@@ -1472,4 +1564,5 @@ ORACLE_SQL = {
     "purchase_click_interval_join": _INTERVAL_JOIN_ORACLE,
     "link_graph_pagerank": _PAGERANK_ORACLE,
     "events_seasonal_decompose": _SEASONAL_ORACLE,
+    "forecast_backtest_events": _FORECAST_BACKTEST_ORACLE,
 }

@@ -188,3 +188,19 @@ def test_seasonal_decompose_reconstructs_and_is_periodic(spark, sf_dir):
     first = out.groupBy("event_type").agg(F.min("hour").alias("h"))
     edge = out.join(first, (out["event_type"] == first["event_type"]) & (out["hour"] == first["h"]))
     assert edge.filter(edge["trend"].isNotNull()).count() == 0
+
+
+def test_forecast_backtest_metrics_semantics(spark, sf_dir):
+    """Each type scores exactly 24 held-out hours; MAE values are
+    non-negative; the MASE-style ratio equals mae_seasonal/mae_naive."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.queries.analytics import forecast_backtest_events
+
+    out = forecast_backtest_events(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_test"] == 24
+        assert r["mae_seasonal"] >= 0 and r["mae_naive"] >= 0
+        if r["mase_ratio"] is not None:
+            assert abs(r["mase_ratio"] - r["mae_seasonal"] / r["mae_naive"]) < 1e-12
