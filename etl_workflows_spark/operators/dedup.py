@@ -558,34 +558,36 @@ def near_dup_pairs_simhash(
     radius, pass a bigger ``max_hamming`` knowing recall is then
     approximate, or extend the banding to max_hamming+1 bands.
     """
-    fp = simhash_fingerprints(docs, text_col)
-    halves = fp.select(
-        "doc_id",
-        "simhash",
-        (F.col("simhash") % 256).alias("lo"),
-        F.shiftright("simhash", 8).alias("hi"),
-    )
-    a = halves.alias("a")
-    b = halves.alias("b")
-    cand = (
-        a.join(
+    fp = simhash_fingerprints(docs, text_col).localCheckpoint(eager=True)
+    # One banded EQUI-join per half, unioned. An OR of the two equalities
+    # in a single join condition has no equi-key, so Catalyst plans a
+    # BroadcastNestedLoopJoin — O(n²) comparisons; per-band equi-joins
+    # are hash/SMJ-able and shuffle only on the 8-bit band value (the
+    # standard LSH-banding plan shape, same as _lsh_bands).
+    bands = [
+        (F.col("simhash") % 256).alias("band"),
+        F.shiftright("simhash", 8).alias("band"),
+    ]
+    cand = None
+    for band in bands:
+        h = fp.select("doc_id", "simhash", band)
+        a, b = h.alias("a"), h.alias("b")
+        c = a.join(
             b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                (F.col("a.lo") == F.col("b.lo"))
-                | (F.col("a.hi") == F.col("b.hi"))
-            ),
-        )
-        .select(
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        cand = c if cand is None else cand.unionByName(c)
+    return (
+        cand.filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 # --- incremental dedup against a historical index --------------------------

@@ -1475,6 +1475,22 @@ FROM test GROUP BY event_type
 """
 
 
+def holt_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast of each event type's
+    hourly counts (operators/timeseries.py:holt_forecast). Rows-only by
+    contract: the level/trend recursion is inherently sequential float
+    state (its exact-arithmetic backtest twin is
+    ``forecast_backtest_events``); correctness is pinned by
+    test_timeseries_stateful's exact-linear-trend property."""
+    from etl_workflows_spark.operators.timeseries import holt_forecast
+
+    filled = _hourly_filled(table(spark, sf_dir, "events"))
+    base = filled.select(
+        "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+    return holt_forecast(base, ["event_type"], "hour", "n_events", horizon=24)
+
+
 def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-link-graph authority: PageRank (5 iterations, d=0.85)
     over the props.k browse graph — the link-based corpus-quality prior a
@@ -1533,6 +1549,7 @@ QUERIES = {
     "link_graph_pagerank": link_graph_pagerank,
     "events_seasonal_decompose": events_seasonal_decompose,
     "forecast_backtest_events": forecast_backtest_events,
+    "holt_forecast_events": holt_forecast_events,
 }
 
 ORACLE_SQL = {

@@ -1872,6 +1872,34 @@ def _dsir_oracles() -> tuple[str, str]:
 _DSIR_WEIGHTS_ORACLE, _DSIR_SELECT_ORACLE = _dsir_oracles()
 
 
+def near_dup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 1 (exact recall at
+    this radius by the 2-band pigeonhole; operators/dedup.py
+    near_dup_pairs_simhash). Banded per-half equi-joins — never a
+    nested-loop O(n²) candidate pass — with the md5-deterministic
+    fingerprint making even the pair set oracle-checkable."""
+    return dedup.near_dup_pairs_simhash(
+        table(spark, sf_dir, "documents"), max_hamming=1
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, simhash, simhash % 256 AS lo, simhash // 256 AS hi
+  FROM ({_simhash_oracle()})
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM h a JOIN h b
+  ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 1
+"""
+
+
+_SIMHASH_PAIRS_ORACLE = _simhash_pairs_oracle()
+
+
 def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third-generation composed curation pipeline — and unlike v2,
     EXACTLY oracle-checkable end-to-end (every stage is deterministic):
@@ -1988,6 +2016,7 @@ QUERIES = {
     "bloom_firewall_docs": bloom_firewall_docs,
     "cms_token_freq_docs": cms_token_freq_docs,
     "pipeline_curation_v3": pipeline_curation_v3,
+    "near_dup_simhash_docs": near_dup_simhash_docs,
     "quality_classifier_docs": quality_classifier_docs,
     "doc_stats": doc_stats,
     "token_counts": token_counts,
@@ -2112,5 +2141,6 @@ ORACLE_SQL = {
     "bloom_firewall_docs": _BLOOM_FIREWALL_ORACLE,
     "cms_token_freq_docs": _CMS_TOKEN_FREQ_ORACLE,
     "pipeline_curation_v3": _CURATION_V3_ORACLE,
+    "near_dup_simhash_docs": _SIMHASH_PAIRS_ORACLE,
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

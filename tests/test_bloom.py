@@ -126,3 +126,27 @@ def test_validation(spark):
         bloom.bloom_build(_keys(spark, ["a"]), "key", k=0)
     with pytest.raises(ValueError):
         bloom.bloom_build(_keys(spark, ["a"]), "key", m_bits=8)
+
+
+def test_simhash_pairs_no_nested_loop_join(spark):
+    """Scale contract: banded candidate generation must be equi-joins
+    (hash/SMJ-able), never a BroadcastNestedLoopJoin from an OR of band
+    equalities."""
+    from etl_workflows_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared common words here") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.near_dup_pairs_simhash(docs, max_hamming=1)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exact-recall sanity at radius 1: identical docs always pair
+    dup = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "zz yy xx ww vv uu tt")],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           dedup.near_dup_pairs_simhash(dup, max_hamming=0).collect()}
+    assert (1, 2) in got
