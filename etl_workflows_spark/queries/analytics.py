@@ -1491,6 +1491,31 @@ def holt_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(base, ["event_type"], "hour", "n_events", horizon=24)
 
 
+def skewed_sum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation on the hot-key events projection
+    (operators/skew.py:two_phase_agg): partial sums per (key, salt) then
+    a final sum — the manual fix for single-key reducer overload in
+    AQE-blind shapes. Summed quantity is integer cents, so the salted
+    regrouping is exactly the plain GROUP BY (integer addition is
+    order-independent) and the entry is oracle-checked."""
+    from etl_workflows_spark.operators.skew import two_phase_agg
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 != 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("cust_id"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return two_phase_agg(ev, "cust_id", "v_cents")
+
+
+_TWO_PHASE_ORACLE = """
+SELECT CASE WHEN user_id % 5 != 0 THEN 1 ELSE user_id END AS cust_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_cents
+FROM events GROUP BY 1
+"""
+
+
 def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-link-graph authority: PageRank (5 iterations, d=0.85)
     over the props.k browse graph — the link-based corpus-quality prior a
@@ -1550,6 +1575,7 @@ QUERIES = {
     "events_seasonal_decompose": events_seasonal_decompose,
     "forecast_backtest_events": forecast_backtest_events,
     "holt_forecast_events": holt_forecast_events,
+    "skewed_sum_two_phase": skewed_sum_two_phase,
 }
 
 ORACLE_SQL = {
@@ -1582,4 +1608,5 @@ ORACLE_SQL = {
     "link_graph_pagerank": _PAGERANK_ORACLE,
     "events_seasonal_decompose": _SEASONAL_ORACLE,
     "forecast_backtest_events": _FORECAST_BACKTEST_ORACLE,
+    "skewed_sum_two_phase": _TWO_PHASE_ORACLE,
 }
