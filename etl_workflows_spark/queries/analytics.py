@@ -1516,6 +1516,21 @@ FROM events GROUP BY 1
 """
 
 
+def audience_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-segment audience overlap WITHOUT rescanning raw events:
+    inclusion-exclusion over mergeable per-day HLL sketches
+    (operators/sketch_rollup.py). Rows-only by contract (HLL estimates);
+    the error bound vs exact overlap is asserted in test_sketch_rollup."""
+    from etl_workflows_spark.operators.sketch_rollup import (
+        audience_overlap,
+        daily_distinct_sketches,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sk = daily_distinct_sketches(ev, dims=["event_type"])
+    return audience_overlap(sk, "event_type", "click", "purchase")
+
+
 def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-link-graph authority: PageRank (5 iterations, d=0.85)
     over the props.k browse graph — the link-based corpus-quality prior a
@@ -1576,6 +1591,7 @@ QUERIES = {
     "forecast_backtest_events": forecast_backtest_events,
     "holt_forecast_events": holt_forecast_events,
     "skewed_sum_two_phase": skewed_sum_two_phase,
+    "audience_overlap_events": audience_overlap_events,
 }
 
 ORACLE_SQL = {
