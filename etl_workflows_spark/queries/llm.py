@@ -1900,6 +1900,61 @@ WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 1
 _SIMHASH_PAIRS_ORACLE = _simhash_pairs_oracle()
 
 
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image near-dup path exercised from the driver catalog: each
+    embedding vector becomes a deterministic 8×8 grayscale grid (byte
+    per component, affine-scaled), then pHash (32×32 DCT low-band) and
+    banded Hamming pairing (operators/multimodal.py) find the near-dup
+    grids. Rows-only by contract — pixel packing is an Arrow-batched
+    kernel, which is the point: the entry proves the binary-column
+    plumbing (schema, batch shape, banding) end-to-end on parquet-borne
+    data with no image files in the loop."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_workflows_spark.operators import multimodal
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    schema = T.StructType(
+        [
+            T.StructField("origin", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("nChannels", T.IntegerType(), False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+
+    def to_grids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                a = np.asarray(vec, dtype=np.float64)
+                g = np.clip(a * 127 + 128, 0, 255).astype(np.uint8)
+                rows.append((str(vid), 8, 8, 1, g.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["origin", "width", "height", "nChannels", "data"]
+            )
+
+    # every tenth vector also appears as a lightly perturbed twin (the
+    # "re-encode" case a perceptual hash exists to catch) — without
+    # planted near-dups the random vectors correctly produce zero pairs
+    # and the pairing path would go unexercised
+    base = emb.select("vec_id", "embedding")
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02).alias("embedding"),
+    )
+    grids = base.unionByName(twins).mapInPandas(to_grids, schema=schema)
+    hashes = multimodal.image_phash(grids)
+    return multimodal.image_near_dup_pairs(hashes, max_hamming=3)
+
+
 def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third-generation composed curation pipeline — and unlike v2,
     EXACTLY oracle-checkable end-to-end (every stage is deterministic):
@@ -2017,6 +2072,7 @@ QUERIES = {
     "cms_token_freq_docs": cms_token_freq_docs,
     "pipeline_curation_v3": pipeline_curation_v3,
     "near_dup_simhash_docs": near_dup_simhash_docs,
+    "multimodal_phash_pairs": multimodal_phash_pairs,
     "quality_classifier_docs": quality_classifier_docs,
     "doc_stats": doc_stats,
     "token_counts": token_counts,

@@ -280,3 +280,18 @@ def test_audio_spectral_features_on_known_tones(spark, tmp_path):
     assert b["spectral_bandwidth_hz"] > 500      # and spreads wide
     assert b["rolloff85_hz"] > a["rolloff85_hz"]
     assert c["zcr"] is None                       # corrupt → null row
+
+
+def test_multimodal_phash_pairs_catalog_entry(spark, sf_dir):
+    """The catalog entry's planted perturbed twins must pair with their
+    originals (pHash robustness to small affine changes), and random
+    cross-vector pairs must stay rare."""
+    from etl_workflows_spark.queries.llm import multimodal_phash_pairs
+
+    pairs = multimodal_phash_pairs(spark, sf_dir).collect()
+    got = {(r[0], r[1]) for r in pairs}
+    # most planted twins (vec_id v and v+1_000_000) are recovered
+    planted = {p for p in got if abs(int(p[0]) - int(p[1])) == 1_000_000}
+    assert len(planted) >= 40
+    # and near-dup pairs are dominated by the planted ones, not noise
+    assert len(planted) >= len(got) * 0.8
