@@ -121,6 +121,9 @@ SCALED = [
     "duplicated_spans_docs",
     "dsir_weights_docs",
     "bloom_firewall_docs",
+    "pipeline_curation_v3",
+    "events_seasonal_decompose",
+    "link_graph_pagerank",
 ]
 
 
