@@ -117,6 +117,127 @@ def pagerank(
     return r
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Weighted PageRank: a node's outflow splits proportionally to
+    integer edge weights (e.g. transition counts) instead of uniformly —
+    contribution over edge (u,v,w) is ``(r[u] * w) div W[u]`` with W[u]
+    the node's total out-weight. Same fixed-point determinism contract
+    as :func:`pagerank` (products r·w stay exact below 2^63 for weights
+    up to ~9·10^6 at the default scale; parallel edges are pre-summed).
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    damp_num = round(damping * 100)
+    if not 0 <= damp_num <= 100:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    tele_num = 100 - damp_num
+
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    wtot = e.groupBy("src").agg(F.sum("w").alias("wt")).localCheckpoint(eager=True)
+
+    r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    base = (tele_num * scale) // (100 * n)
+    for _ in range(iterations):
+        dang_row = (
+            r.join(wtot, r["node"] == wtot["src"], "left_anti")
+            .agg(F.sum("rank").alias("d"))
+            .collect()[0]["d"]
+        )
+        dang_share = (dang_row or 0) // n
+        inflow = (
+            e.join(r, e["src"] == r["node"])
+            .join(wtot, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) div wt").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inflow, 0) + {dang_share})) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+def pagerank_weighted_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB twin of :func:`pagerank_weighted`. ``edges_sql`` must
+    select (src, dst, weight); parallel edges are pre-summed here too."""
+    damp_num = round(damping * 100)
+    tele_num = 100 - damp_num
+    parts = [
+        f"WITH edges AS (SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS w "
+        f"FROM ({edges_sql}) WHERE weight > 0 GROUP BY src, dst),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "wtot AS (SELECT src, SUM(w) AS wt FROM edges GROUP BY src),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        f"r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes),",
+    ]
+    for i in range(iterations):
+        p, c = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM {p} "
+            f"WHERE node NOT IN (SELECT src FROM wtot)),"
+        )
+        parts.append(
+            f"{c} AS (SELECT n.node, CAST("
+            f"({tele_num} * {scale}) // (100 * (SELECT n FROM nn)) + "
+            f"({damp_num} * (COALESCE(i.inflow, 0) + "
+            f"(SELECT dang FROM d{i}) // (SELECT n FROM nn))) // 100 "
+            f"AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM((r.rank * e.w) // t.wt) AS inflow "
+            f"FROM edges e JOIN {p} r ON e.src = r.node "
+            f"JOIN wtot t ON e.src = t.src GROUP BY e.dst"
+            f") i ON n.node = i.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, rank FROM r{iterations}")
+    return "\n".join(parts)
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 5,

@@ -1546,6 +1546,35 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.browse_graph(ev), iterations=5)
 
 
+def link_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the browse graph: outflow splits by
+    transition COUNT (revisit frequency carries signal the simple-graph
+    variant discards). Fixed-point integer arithmetic — exact-oracle-
+    checked like the unweighted twin."""
+    from etl_workflows_spark.operators import graph
+
+    ev = table(spark, sf_dir, "events")
+    weighted = (
+        graph.browse_graph(ev)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return graph.pagerank_weighted(weighted, iterations=5)
+
+
+def _pagerank_weighted_oracle() -> str:
+    from etl_workflows_spark.operators import graph
+
+    edges = (
+        "SELECT src, dst, COUNT(*) AS weight FROM "
+        f"({graph.BROWSE_EDGES_SQL}) GROUP BY src, dst"
+    )
+    return graph.pagerank_weighted_oracle_sql(edges, iterations=5)
+
+
+_PAGERANK_WEIGHTED_ORACLE = _pagerank_weighted_oracle()
+
+
 def _pagerank_oracle() -> str:
     from etl_workflows_spark.operators import graph
 
@@ -1592,6 +1621,7 @@ QUERIES = {
     "holt_forecast_events": holt_forecast_events,
     "skewed_sum_two_phase": skewed_sum_two_phase,
     "audience_overlap_events": audience_overlap_events,
+    "link_graph_pagerank_weighted": link_graph_pagerank_weighted,
 }
 
 ORACLE_SQL = {
@@ -1625,4 +1655,5 @@ ORACLE_SQL = {
     "events_seasonal_decompose": _SEASONAL_ORACLE,
     "forecast_backtest_events": _FORECAST_BACKTEST_ORACLE,
     "skewed_sum_two_phase": _TWO_PHASE_ORACLE,
+    "link_graph_pagerank_weighted": _PAGERANK_WEIGHTED_ORACLE,
 }

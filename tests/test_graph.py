@@ -91,3 +91,56 @@ def test_browse_graph_edges_follow_user_timelines(spark):
     ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "props"])
     got = {(r["src"], r["dst"]) for r in graph.browse_graph(ev).collect()}
     assert got == {(5, 7), (7, 5)}
+
+
+def _py_pagerank_weighted(edges, iterations=5, damp_num=85, scale=graph.DEFAULT_SCALE):
+    """Sequential reference with pagerank_weighted's integer semantics."""
+    agg = {}
+    for u, v, w in edges:
+        if w > 0:
+            agg[(u, v)] = agg.get((u, v), 0) + w
+    nodes = sorted({u for u, _ in agg} | {v for _, v in agg})
+    n = len(nodes)
+    wtot = {}
+    for (u, _), w in agg.items():
+        wtot[u] = wtot.get(u, 0) + w
+    tele_num = 100 - damp_num
+    r = {u: scale // n for u in nodes}
+    base = (tele_num * scale) // (100 * n)
+    for _ in range(iterations):
+        dang = sum(r[u] for u in nodes if u not in wtot) // n
+        inflow = {u: 0 for u in nodes}
+        for (u, v), w in agg.items():
+            inflow[v] += (r[u] * w) // wtot[u]
+        r = {u: base + (damp_num * (inflow[u] + dang)) // 100 for u in nodes}
+    return r
+
+
+def test_pagerank_weighted_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(13)
+    edges = [
+        (rng.randrange(20), rng.randrange(20), rng.randrange(1, 9))
+        for _ in range(90)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {r["node"]: r["rank"] for r in graph.pagerank_weighted(df).collect()}
+    assert got == _py_pagerank_weighted(edges)
+
+
+def test_pagerank_weighted_heavy_edge_dominates(spark):
+    # 0 sends 9/10 of its outflow to 1, 1/10 to 2
+    df = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)], ["src", "dst", "weight"]
+    )
+    got = {r["node"]: r["rank"] for r in graph.pagerank_weighted(df).collect()}
+    assert got[1] > got[2]
+    # uniform weights reduce to the unweighted operator exactly
+    uni_w = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 0, 1)], ["src", "dst", "weight"]
+    )
+    uni = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    a = {r["node"]: r["rank"] for r in graph.pagerank_weighted(uni_w).collect()}
+    b = {r["node"]: r["rank"] for r in graph.pagerank(uni).collect()}
+    assert a == b
