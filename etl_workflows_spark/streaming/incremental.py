@@ -247,3 +247,63 @@ def streaming_near_dup_firewall(
     table = normalize_table_name(corpus_table)
     if spark.catalog.tableExists(table):
         spark.catalog.refreshTable(table)
+
+
+def streaming_exact_dedup_firewall(
+    docs_stream: DataFrame,
+    index_table: str,
+    corpus_table: str,
+    checkpoint_dir: str,
+    bloom_table: str | None = None,
+    text_col: str = "text",
+) -> None:
+    """EXACT-dup twin of ``streaming_near_dup_firewall``: each arriving
+    micro-batch is fingerprint-checked against everything ever accepted
+    (``dedup.dedup_incremental``), survivors land in ``corpus_table`` and
+    register in the fingerprint index — and, when ``bloom_table`` names a
+    ``dedup.build_bloom_sidecar`` table, the Bloom fast path proves most
+    arrivals new WITHOUT touching the index (identical results either
+    way; the sidecar is folded forward after each accepted batch).
+
+    Retry semantics match the near-dup firewall: corpus append is keyed
+    on doc_id, index/sidecar updates happen after the corpus commit, and
+    a replayed batch no-ops end-to-end. The bloom sidecar may overcount
+    after a crash-replay (bit_or of the same batch twice is idempotent —
+    set bits stay set — so even that is harmless).
+
+    One AvailableNow run; returns when all available input is committed.
+    """
+    from etl_workflows_spark.operators.dedup import (
+        append_bloom_sidecar,
+        append_fingerprints,
+        dedup_incremental,
+    )
+    from etl_workflows_spark.operators.cache import release_checkpoint
+    from etl_workflows_spark.sinks.writer import (
+        append_if_absent,
+        normalize_table_name,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        survivors = dedup_incremental(
+            batch_df, index_table, text_col, bloom_table=bloom_table
+        ).localCheckpoint(eager=True)
+        try:
+            append_if_absent(survivors, corpus_table, ["doc_id"])
+            append_fingerprints(survivors, index_table, text_col)
+            if bloom_table is not None:
+                append_bloom_sidecar(survivors, bloom_table, text_col)
+        finally:
+            release_checkpoint(survivors)
+
+    (
+        docs_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+        .start()
+        .awaitTermination()
+    )
+    spark = docs_stream.sparkSession
+    table = normalize_table_name(corpus_table)
+    if spark.catalog.tableExists(table):
+        spark.catalog.refreshTable(table)

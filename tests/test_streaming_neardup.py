@@ -135,3 +135,60 @@ def test_firewall_matches_batch_dedup(spark, corpus_env, tmp_path):
         for r in dedup.dedup_near_duplicates(everything, 0.5).collect()
     }
     assert _corpus_ids(spark) == batch_ids
+
+
+def test_streaming_exact_dedup_firewall_with_bloom(spark, tmp_path):
+    """Multi-batch exact-dup firewall with the Bloom fast path: cross-
+    batch duplicates blocked, within-batch duplicates collapsed, final
+    corpus equals a from-scratch batch dedup, sidecar stays current."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators import dedup
+    from etl_workflows_spark.streaming.incremental import (
+        streaming_exact_dedup_firewall,
+    )
+
+    src = tmp_path / "fw_in"
+    src.mkdir()
+    batches = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],      # in-batch dup
+        [(4, "alpha"), (5, "gamma")],                   # cross-batch dup
+        [(6, "beta"), (7, "delta"), (8, "gamma")],      # two cross-batch dups
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS fwdb")
+    for t in ("fwdb.fp_idx", "fwdb.fp_bloom", "fwdb.corpus"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dedup.build_fingerprint_index(empty, "fwdb.fp_idx")
+    dedup.build_bloom_sidecar(empty, "fwdb.fp_bloom", m_bits=1 << 12, k=4)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "b*"))
+    streaming_exact_dedup_firewall(
+        stream, "fwdb.fp_idx", "fwdb.corpus", str(tmp_path / "fw_ck"),
+        bloom_table="fwdb.fp_bloom",
+    )
+
+    corpus = {(r["doc_id"], r["text"]) for r in spark.table("fwdb.corpus").collect()}
+    assert {t for _, t in corpus} == {"alpha", "beta", "gamma", "delta"}
+    assert len(corpus) == 4  # one row per distinct text, ever
+    # index and sidecar both know every accepted text
+    assert spark.table("fwdb.fp_idx").count() == 4
+    probe = dedup.dedup_incremental(
+        spark.createDataFrame([(99, "delta"), (100, "epsilon")],
+                              "doc_id long, text string"),
+        "fwdb.fp_idx", bloom_table="fwdb.fp_bloom",
+    )
+    assert [r["text"] for r in probe.collect()] == ["epsilon"]
+    # replay with no new files: nothing changes
+    streaming_exact_dedup_firewall(
+        stream, "fwdb.fp_idx", "fwdb.corpus", str(tmp_path / "fw_ck"),
+        bloom_table="fwdb.fp_bloom",
+    )
+    assert spark.table("fwdb.corpus").count() == 4
