@@ -197,6 +197,149 @@ def pagerank_weighted(
     return r
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass flows to the
+    SEED set instead of uniformly — ranks measure proximity to the seeds
+    (the graph-retrieval / related-items primitive). Seeds outside the
+    edge set are ignored; at least one seed must touch the graph.
+
+    Fixed-point update (same determinism contract as :func:`pagerank`):
+
+        r'[v] = [v ∈ S] · (tele_num·scale) div (100·|S|)
+                + (damp_num · (inflow[v] + [v ∈ S]·(dangling div |S|)))
+                  div 100
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    damp_num = round(damping * 100)
+    if not 0 <= damp_num <= 100:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    tele_num = 100 - damp_num
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    s = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("no seed touches the graph")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+
+    marked = nodes.join(
+        s.withColumn("is_seed", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    marked = marked.localCheckpoint(eager=True)
+    # all mass starts at the seeds (the standard PPR initialization)
+    r = marked.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    base = (tele_num * scale) // (100 * n_seeds)
+    for _ in range(iterations):
+        dang_row = (
+            r.join(deg, r["node"] == deg["src"], "left_anti")
+            .agg(F.sum("rank").alias("d"))
+            .collect()[0]["d"]
+        )
+        dang_share = (dang_row or 0) // n_seeds
+        inflow = (
+            e.join(r, e["src"] == r["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            marked.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inflow, 0) + "
+                        f"if(is_seed, {dang_share}, 0))) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+def pagerank_personalized_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """DuckDB twin of :func:`pagerank_personalized`. ``seeds_sql`` must
+    select one column named ``node``."""
+    damp_num = round(damping * 100)
+    tele_num = 100 - damp_num
+    parts = [
+        f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        f"seeds AS (SELECT DISTINCT node FROM ({seeds_sql}) "
+        "WHERE node IN (SELECT node FROM nodes)),",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),",
+        "ns AS (SELECT COUNT(*) AS n FROM seeds),",
+        "marked AS (SELECT n.node, n.node IN (SELECT node FROM seeds) AS is_seed "
+        "FROM nodes n),",
+        f"r0 AS (SELECT node, CAST(CASE WHEN is_seed THEN "
+        f"{scale} // (SELECT n FROM ns) ELSE 0 END AS BIGINT) AS rank "
+        "FROM marked),",
+    ]
+    for i in range(iterations):
+        p, c = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM {p} "
+            f"WHERE node NOT IN (SELECT src FROM deg)),"
+        )
+        parts.append(
+            f"{c} AS (SELECT m.node, CAST("
+            f"CASE WHEN m.is_seed THEN ({tele_num} * {scale}) // "
+            f"(100 * (SELECT n FROM ns)) ELSE 0 END + "
+            f"({damp_num} * (COALESCE(i.inflow, 0) + "
+            f"CASE WHEN m.is_seed THEN (SELECT dang FROM d{i}) // "
+            f"(SELECT n FROM ns) ELSE 0 END)) // 100 "
+            f"AS BIGINT) AS rank "
+            f"FROM marked m LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(r.rank // dg.deg) AS inflow "
+            f"FROM edges e JOIN {p} r ON e.src = r.node "
+            f"JOIN deg dg ON e.src = dg.src GROUP BY e.dst"
+            f") i ON m.node = i.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, rank FROM r{iterations}")
+    return "\n".join(parts)
+
+
 def pagerank_weighted_oracle_sql(
     edges_sql: str,
     iterations: int = 5,

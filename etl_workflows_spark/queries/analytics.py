@@ -1575,6 +1575,38 @@ def _pagerank_weighted_oracle() -> str:
 _PAGERANK_WEIGHTED_ORACLE = _pagerank_weighted_oracle()
 
 
+def link_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the pages reached by 'purchase' events
+    (seeds = props.k of purchases): proximity-to-conversion scores for
+    every page — the related-items / graph-retrieval primitive.
+    Fixed-point integer math, exact-oracle-checked like its siblings."""
+    from etl_workflows_spark.operators import graph
+
+    ev = table(spark, sf_dir, "events")
+    seeds = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("cast(get_json_object(props, '$.k') as bigint)").alias("node")
+    ).filter(F.col("node").isNotNull())
+    return graph.pagerank_personalized(
+        graph.browse_graph(ev), seeds, iterations=5
+    )
+
+
+def _ppr_oracle() -> str:
+    from etl_workflows_spark.operators import graph
+
+    seeds = (
+        "SELECT CAST(props->>'$.k' AS BIGINT) AS node FROM events "
+        "WHERE event_type = 'purchase' "
+        "AND CAST(props->>'$.k' AS BIGINT) IS NOT NULL"
+    )
+    return graph.pagerank_personalized_oracle_sql(
+        graph.BROWSE_EDGES_SQL, seeds, iterations=5
+    )
+
+
+_PPR_ORACLE = _ppr_oracle()
+
+
 def _pagerank_oracle() -> str:
     from etl_workflows_spark.operators import graph
 
@@ -1622,6 +1654,7 @@ QUERIES = {
     "skewed_sum_two_phase": skewed_sum_two_phase,
     "audience_overlap_events": audience_overlap_events,
     "link_graph_pagerank_weighted": link_graph_pagerank_weighted,
+    "link_graph_ppr": link_graph_ppr,
 }
 
 ORACLE_SQL = {
@@ -1656,4 +1689,5 @@ ORACLE_SQL = {
     "forecast_backtest_events": _FORECAST_BACKTEST_ORACLE,
     "skewed_sum_two_phase": _TWO_PHASE_ORACLE,
     "link_graph_pagerank_weighted": _PAGERANK_WEIGHTED_ORACLE,
+    "link_graph_ppr": _PPR_ORACLE,
 }

@@ -144,3 +144,59 @@ def test_pagerank_weighted_heavy_edge_dominates(spark):
     a = {r["node"]: r["rank"] for r in graph.pagerank_weighted(uni_w).collect()}
     b = {r["node"]: r["rank"] for r in graph.pagerank(uni).collect()}
     assert a == b
+
+
+def _py_ppr(edges, seed_set, iterations=5, damp_num=85, scale=graph.DEFAULT_SCALE):
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    seeds = sorted(set(seed_set) & set(nodes))
+    ns = len(seeds)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    tele_num = 100 - damp_num
+    r = {u: (scale // ns if u in seeds else 0) for u in nodes}
+    base = (tele_num * scale) // (100 * ns)
+    for _ in range(iterations):
+        dang = sum(r[u] for u in nodes if u not in deg) // ns
+        inflow = {u: 0 for u in nodes}
+        for u, v in edges:
+            inflow[v] += r[u] // deg[u]
+        r = {
+            u: (base if u in seeds else 0)
+            + (damp_num * (inflow[u] + (dang if u in seeds else 0))) // 100
+            for u in nodes
+        }
+    return r
+
+
+def test_ppr_matches_python_reference_and_localizes(spark):
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(100)]
+    seeds = [0, 1, 2]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank_personalized(df, sdf).collect()
+    }
+    assert got == _py_ppr(edges, seeds)
+    # locality: two chains from disjoint seeds — mass stays near its seed
+    chain = [(0, 1), (1, 2), (10, 11), (11, 12)]
+    cdf = spark.createDataFrame(chain, ["src", "dst"])
+    near = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank_personalized(
+            cdf, spark.createDataFrame([(0,)], ["node"])
+        ).collect()
+    }
+    assert near[1] > near[11]
+    assert near[2] > near[12]
+    import pytest
+
+    with pytest.raises(ValueError):
+        graph.pagerank_personalized(
+            cdf, spark.createDataFrame([(999,)], ["node"])
+        )
