@@ -1531,6 +1531,62 @@ def audience_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audience_overlap(sk, "event_type", "click", "purchase")
 
 
+def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users per (event_type, hour) — the query SQL
+    engines write as ``COUNT(DISTINCT x) OVER (ORDER BY t)``, which Spark
+    does not support and naive ports emulate with
+    ``size(collect_set() OVER ...)`` (per-row set state — a memory bomb
+    at scale). The engine-grade rewrite: a user's FIRST hour is an
+    aggregation, new-users-per-hour is another, and the cumulative count
+    is a running integer sum over the tiny (type, hour) grid. All
+    integer arithmetic; hash-exact against DuckDB's native distinct
+    window."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+    )
+    first = ev.groupBy("event_type", "user_id").agg(
+        F.min("hour").alias("hour")
+    )
+    new_per_hour = first.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("newu")
+    )
+    hours = ev.select("event_type", "hour").distinct()
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        hours.join(new_per_hour, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("newu", F.lit(0)).alias("newu"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.sum("newu").over(w).alias("cum_distinct_users"),
+        )
+    )
+
+
+_WINDOW_DISTINCT_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT event_type, DATE_TRUNC('hour', ts) AS hour, user_id
+  FROM events
+)
+SELECT DISTINCT event_type, hour,
+       COUNT(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY hour
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cum_distinct_users
+FROM h
+"""
+
+
 def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-link-graph authority: PageRank (5 iterations, d=0.85)
     over the props.k browse graph — the link-based corpus-quality prior a
@@ -1655,6 +1711,7 @@ QUERIES = {
     "audience_overlap_events": audience_overlap_events,
     "link_graph_pagerank_weighted": link_graph_pagerank_weighted,
     "link_graph_ppr": link_graph_ppr,
+    "window_distinct_running": window_distinct_running,
 }
 
 ORACLE_SQL = {
@@ -1690,4 +1747,5 @@ ORACLE_SQL = {
     "skewed_sum_two_phase": _TWO_PHASE_ORACLE,
     "link_graph_pagerank_weighted": _PAGERANK_WEIGHTED_ORACLE,
     "link_graph_ppr": _PPR_ORACLE,
+    "window_distinct_running": _WINDOW_DISTINCT_ORACLE,
 }
