@@ -107,5 +107,3 @@ def field_names(doc: dict[str, Any]) -> list[str]:
     return [f["name"] for f in doc["fields"]]
 
 
-def field_types(doc: dict[str, Any]) -> list[str]:
-    return [str(f["type"]).upper() for f in doc["fields"]]
