@@ -1261,3 +1261,35 @@ def cross_split_leakage(
     # both stays persisted behind the returned lazy DataFrame (caller-
     # release contract, as with the other pair generators)
     return verified
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact-duplicate overlap matrix between sources: for each unordered
+    source pair, how many distinct texts appear in both — the provenance
+    screen that catches "crawl B is mostly a re-crawl of crawl A" before
+    mixing weights are chosen.
+
+    Scale: one distinct over (fingerprint, source) — map-side combined,
+    the shuffle carries at most sources × distinct-texts rows — then a
+    self-equi-join ON THE FINGERPRINT (content hash → uniform
+    partitioning, no skew), so pair rows exist only for texts genuinely
+    shared. Nothing is ever all-pairs in the corpus dimension; the
+    output is bounded by source-pairs.
+    """
+    fp = docs.select(
+        F.md5(F.col(text_col)).alias("fp"), F.col(group_col).alias("src")
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_texts"))
+    )

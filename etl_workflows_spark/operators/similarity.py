@@ -690,3 +690,46 @@ def ann_topk_multiprobe(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def label_centroid_drift(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding centroid vs the corpus centroid: vector count,
+    centroid L2 norm, and cosine(label centroid, corpus centroid) — the
+    cluster-coherence screen ("is label 3 drifting away from the corpus,
+    or collapsed near the mean?") run entirely as aggregates.
+
+    Scale: posexplode multiplies rows by dim, but partial aggregation
+    collapses them map-side into (label, pos) sums, so the shuffle
+    carries labels × dim rows — independent of corpus size. The corpus
+    centroid (dim rows) broadcasts. No vector ever reaches the driver.
+    """
+    pe = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    lab = pe.groupBy("label", "pos").agg(
+        F.avg("val").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    glob = pe.groupBy("pos").agg(F.avg("val").alias("g"))
+    return (
+        lab.join(F.broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(
+            F.min("n").alias("n_vecs"),
+            F.sum(F.col("c") * F.col("g")).alias("_dot"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("_nc"),
+            F.sqrt(F.sum(F.col("g") * F.col("g"))).alias("_ng"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.col("_nc"), 6).alias("centroid_norm"),
+            F.round(
+                F.col("_dot") / (F.col("_nc") * F.col("_ng")), 6
+            ).alias("cos_to_corpus"),
+        )
+    )

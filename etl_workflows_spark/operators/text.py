@@ -548,3 +548,98 @@ def distribution_drift(
         .orderBy(F.col("drift").desc(), F.col("token"))
         .limit(top)
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group lexical-diversity profile: type/token ratio and hapax
+    fraction (share of the group's vocabulary occurring exactly once) —
+    the standard "is this source templated boilerplate or varied prose"
+    screen before mixing sources into a training corpus.
+
+    Scale: the corpus-sized explode collapses map-side into
+    (group, token) partial counts, so the one real shuffle carries at
+    most groups × vocabulary rows; the second aggregation is per-group
+    and tiny. No global ordering anywhere.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    per = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+                "hapax_tokens"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "total_tokens",
+            "distinct_tokens",
+            "hapax_tokens",
+            F.round(
+                F.col("distinct_tokens") / F.col("total_tokens"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("hapax_tokens") / F.col("distinct_tokens"), 6
+            ).alias("hapax_fraction"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = (0.9, 0.95, 0.99),
+    text_col: str = "text",
+) -> DataFrame:
+    """Smallest frequency-ranked vocabulary covering each target fraction
+    of token occurrences (tokenizer-budget sizing: "how many types do I
+    need for 99% coverage"). Tie-break is (count desc, token asc) so the
+    curve is deterministic.
+
+    Scale: the explode collapses map-side to one row per vocabulary term
+    before the shuffle; the global rank window then runs over the
+    VOCABULARY, which is orders of magnitude smaller than the corpus.
+    For a web-scale vocabulary, pre-cut the tail with a min-count floor
+    (every dropped hapax moves coverage by 1/total) before ranking.
+    """
+    from pyspark.sql.window import Window as _W
+
+    tc = token_frequencies(docs, text_col)
+    w = _W.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = tc.select(
+        "token",
+        "freq",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("freq")
+        .over(w.rowsBetween(_W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = tc.agg(F.sum("freq").alias("total"))
+    thr = docs.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(thr),
+            F.col("cum").cast("double")
+            >= F.col("threshold") * F.col("total").cast("double"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.min("rank").alias("vocab_size"),
+            F.round(
+                F.min_by("cum", "rank").cast("double")
+                / F.min("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -1672,7 +1672,68 @@ def _pagerank_oracle() -> str:
 _PAGERANK_ORACLE = _pagerank_oracle()
 
 
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event_type: cumulative sum of (hourly count
+    − series mean); the change point is the hour where |CUSUM| peaks
+    (ties → earliest hour). The classic "when did the level shift"
+    detector, entirely in window expressions.
+
+    Scale: one hourly-grain agg (map-side combined), then windows
+    PARTITIONED BY the series key — each series scans independently, so
+    the only global structure is the per-key shuffle. The mean is exact
+    (integer sums), and the cumulative sum runs in the same hour order
+    on any engine, so the result is engine-portable to the rounding.
+    """
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wk = W.partitionBy("event_type")
+    scored = hourly.withColumn(
+        "mean_n", F.avg("n").over(wk)
+    ).withColumn(
+        "cusum",
+        F.sum(F.col("n") - F.col("mean_n")).over(
+            wk.orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    pick = wk.orderBy(F.abs(F.col("cusum")).desc(), F.asc("hour"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("changepoint_hour"),
+            F.round(F.abs(F.col("cusum")), 4).alias("max_abs_cusum"),
+        )
+    )
+
+
+_CUSUM_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour,
+         SUM(n - mean_n) OVER (PARTITION BY event_type ORDER BY hour
+                               ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM (SELECT *, AVG(n) OVER (PARTITION BY event_type) AS mean_n
+        FROM hourly)
+)
+SELECT event_type, hour AS changepoint_hour,
+       ROUND(ABS(cusum), 4) AS max_abs_cusum
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ABS(cusum) DESC, hour) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "events_cusum_changepoint": events_cusum_changepoint,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "golden_record_customers": golden_record_customers,
     "outlier_mad_events": outlier_mad_events,
@@ -1715,6 +1776,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_cusum_changepoint": _CUSUM_ORACLE,
     "fuzzy_name_pairs": _FUZZY_PAIRS_ORACLE,
     "golden_record_customers": _GOLDEN_RECORD_ORACLE,
     "outlier_mad_events": _OUTLIER_MAD_ORACLE,

@@ -2065,7 +2065,105 @@ def _bloom_oracle() -> str:
 _BLOOM_FIREWALL_ORACLE = _bloom_oracle()
 
 
+def dup_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate overlap matrix between sources (dedup.
+    cross_source_overlap): distinct shared texts per source pair."""
+    return dedup.cross_source_overlap(table(spark, sf_dir, "documents"))
+
+
+_DUP_OVERLAP_ORACLE = """
+WITH fp AS (SELECT DISTINCT MD5(text) AS fp, source AS src FROM documents)
+SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS shared_texts
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
+def lexical_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type/token ratio + hapax fraction
+    (text.lexical_diversity)."""
+    return text.lexical_diversity(table(spark, sf_dir, "documents"))
+
+
+_LEXICAL_DIVERSITY_ORACLE = """
+WITH per AS (
+  SELECT source AS grp, token, COUNT(*) AS n FROM (
+    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+  ) WHERE token <> '' GROUP BY 1, 2
+)
+SELECT grp AS source,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       COUNT(*) AS distinct_tokens,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+           AS type_token_ratio,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_fraction
+FROM per GROUP BY grp
+"""
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size-for-coverage curve at 90/95/99% of token
+    occurrences (text.vocab_coverage)."""
+    return text.vocab_coverage(table(spark, sf_dir, "documents"))
+
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH tc AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+), r AS (
+  SELECT token, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank,
+         SUM(freq) OVER (ORDER BY freq DESC, token
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tc
+), tot AS (SELECT SUM(freq) AS total FROM tc)
+SELECT t.threshold,
+       MIN(r.rank) AS vocab_size,
+       ROUND(CAST(MIN_BY(r.cum, r.rank) AS DOUBLE)
+             / CAST(MIN(tot.total) AS DOUBLE), 6) AS coverage
+FROM r, tot, (VALUES (0.9), (0.95), (0.99)) AS t(threshold)
+WHERE CAST(r.cum AS DOUBLE) >= t.threshold * CAST(tot.total AS DOUBLE)
+GROUP BY t.threshold
+"""
+
+
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + cosine to the corpus centroid
+    (similarity.label_centroid_drift)."""
+    return similarity.label_centroid_drift(table(spark, sf_dir, "embeddings"))
+
+
+_LABEL_DRIFT_ORACLE = """
+WITH pe AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(UNNEST(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), lab AS (
+  SELECT label, pos, AVG(val) AS c, COUNT(*) AS n FROM pe GROUP BY 1, 2
+), ga AS (
+  SELECT pos, AVG(val) AS g FROM pe GROUP BY 1
+)
+SELECT lab.label,
+       MIN(lab.n) AS n_vecs,
+       ROUND(SQRT(SUM(lab.c * lab.c)), 6) AS centroid_norm,
+       ROUND(SUM(lab.c * ga.g)
+             / (SQRT(SUM(lab.c * lab.c)) * SQRT(SUM(ga.g * ga.g))),
+             6) AS cos_to_corpus
+FROM lab JOIN ga USING (pos)
+GROUP BY lab.label
+"""
+
+
 QUERIES = {
+    "dup_overlap_sources": dup_overlap_sources,
+    "lexical_diversity_docs": lexical_diversity_docs,
+    "vocab_coverage_docs": vocab_coverage_docs,
+    "embedding_label_drift": embedding_label_drift,
     "dsir_weights_docs": dsir_weights_docs,
     "dsir_select_docs": dsir_select_docs,
     "bloom_firewall_docs": bloom_firewall_docs,
@@ -2139,6 +2237,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dup_overlap_sources": _DUP_OVERLAP_ORACLE,
+    "lexical_diversity_docs": _LEXICAL_DIVERSITY_ORACLE,
+    "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,
+    "embedding_label_drift": _LABEL_DRIFT_ORACLE,
     "doc_stats": _DOC_STATS_ORACLE,
     "token_counts": _TOKEN_COUNTS_ORACLE,
     "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
