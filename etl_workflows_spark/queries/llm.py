@@ -1846,7 +1846,7 @@ def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_workflows_spark.operators import dsir
 
     docs = table(spark, sf_dir, "documents")
-    return dsir.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    return dsir.dsir_weights_within(docs, F.col("lang") == "en")
 
 
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1855,7 +1855,7 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_workflows_spark.operators import dsir
 
     docs = table(spark, sf_dir, "documents")
-    return dsir.dsir_select(docs, docs.filter(F.col("lang") == "en"), budget=100)
+    return dsir.dsir_select_within(docs, F.col("lang") == "en", budget=100)
 
 
 def _dsir_oracles() -> tuple[str, str]:
@@ -1969,10 +1969,13 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source"
     )
     kept = dedup.drop_exact_duplicates(docs)
+    # materialize the gated corpus ONCE: DSIR consumes it three times
+    # (target bucket counts, corpus bucket counts, the grams explode) and
+    # each pass would otherwise re-run the dedup agg + gate join DAG
     gated = kept.join(
         text.quality_gate(kept).filter("passes").select("doc_id"), "doc_id"
-    )
-    sel = dsir.dsir_select(gated, gated.filter(F.col("lang") == "en"), budget=150)
+    ).localCheckpoint(eager=True)
+    sel = dsir.dsir_select_within(gated, F.col("lang") == "en", budget=150)
     return sel.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
         "doc_id", "weight_fp", "lang", "source"
     )

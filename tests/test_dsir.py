@@ -106,3 +106,30 @@ def test_pipeline_curation_v3_stages_compose(spark, sf_dir):
     n_en = sel_docs.filter(F.col("lang") == "en").count()
     base_rate = docs.filter(F.col("lang") == "en").count() / docs.count()
     assert n_en / 150 > base_rate + 0.05
+
+
+def test_weights_within_matches_two_corpus_form(spark):
+    """The one-pass tagged model must reproduce dsir_weights(corpus,
+    corpus.filter(pred)) bit-for-bit — target ⊆ corpus means no
+    target-only buckets, so the full-join and tagged counts agree."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "the quick brown fox jumps the dog", "en") for i in range(8)]
+        + [(50 + i, "zorp blick quux flarn wump", "zz") for i in range(8)]
+        + [(90, None, "en"), (91, "", "zz")]  # degenerate texts survive both paths
+    )
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    two_corpus = {
+        (r.doc_id, r.weight_fp, r.n_grams)
+        for r in dsir.dsir_weights(
+            corpus, corpus.filter(F.col("lang") == "en")
+        ).collect()
+    }
+    tagged = {
+        (r.doc_id, r.weight_fp, r.n_grams)
+        for r in dsir.dsir_weights_within(
+            corpus, F.col("lang") == "en"
+        ).collect()
+    }
+    assert tagged == two_corpus
