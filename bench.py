@@ -90,6 +90,14 @@ HEADLINE = [
     "bloom_firewall_docs",
     "cms_token_freq_docs",
     "pipeline_curation_v3",
+    # round-4 continuation: corpus statistics (cross-source overlap via
+    # fingerprint self-join, two-level lexical-diversity agg, vocabulary
+    # coverage curve, label-centroid drift, CUSUM change-point)
+    "dup_overlap_sources",
+    "lexical_diversity_docs",
+    "vocab_coverage_docs",
+    "embedding_label_drift",
+    "events_cusum_changepoint",
 ]
 
 
@@ -124,6 +132,10 @@ SCALED = [
     "pipeline_curation_v3",
     "events_seasonal_decompose",
     "link_graph_pagerank",
+    # round-4 continuation: the fingerprint self-join and the two-level
+    # lexical agg under 10x data (both should scale near-linearly)
+    "dup_overlap_sources",
+    "lexical_diversity_docs",
 ]
 
 
