@@ -98,6 +98,8 @@ HEADLINE = [
     "vocab_coverage_docs",
     "embedding_label_drift",
     "events_cusum_changepoint",
+    "ngram_novelty_docs",
+    "token_entropy_sources",
 ]
 
 
@@ -136,6 +138,7 @@ SCALED = [
     # lexical agg under 10x data (both should scale near-linearly)
     "dup_overlap_sources",
     "lexical_diversity_docs",
+    "ngram_novelty_docs",
 ]
 
 

@@ -2162,7 +2162,160 @@ GROUP BY lab.label
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs labeled language with
+    per-labeled-language share — the eval that decides whether the
+    heuristic is safe to filter on. One agg over lang_id's output; the
+    share window partitions by label (a handful of rows)."""
+    pred = text.lang_id(table(spark, sf_dir, "documents"))
+    cm = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wl = W.partitionBy("labeled_lang")
+    return cm.select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wl), 6
+        ).alias("label_share"),
+    )
+
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH t AS (
+  SELECT lang AS labeled_lang,
+         CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  x -> LIST_CONTAINS({_STOPWORD_LIST}, x)))
+              / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) > 0.02
+              THEN 'en' ELSE 'unk' END AS pred_lang
+  FROM documents
+), cm AS (
+  SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+  FROM t GROUP BY 1, 2
+)
+SELECT labeled_lang, pred_lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY labeled_lang), 6)
+           AS label_share
+FROM cm
+"""
+
+
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (memorization audit): the share of a
+    document's 8-token rolling windows that occur exactly once
+    corpus-wide. Low novelty ⇒ the document is assembled from text
+    seen elsewhere (boilerplate, near-copies) even when no single span
+    clears the dedup bar.
+
+    Scale: reuses the span machinery's hashed windows (8 bytes per
+    window on the shuffle); one window-frequency agg (map-side
+    combined, AQE-splittable hot keys) + one equi-join back. Docs
+    shorter than one window carry no windows and are absent by
+    contract (novelty of nothing is undefined)."""
+    from etl_workflows_spark.operators import spans as spans_ops
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = spans_ops.token_windows(d, 8)
+    freq = w.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        w.join(freq, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.lit(1.0)
+                - F.col("dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+_NGRAM_NOVELTY_ORACLE = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+w AS (
+  SELECT doc_id, ARRAY_TO_STRING(a[gs.pos : gs.pos + 7], ' ') AS win
+  FROM t, UNNEST(GENERATE_SERIES(1, LEN(a) - 7)) AS gs(pos)
+),
+c AS (SELECT win, COUNT(*) AS c FROM w GROUP BY win)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_windows,
+       ROUND(1.0 - CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_ratio
+FROM w JOIN c USING (win) GROUP BY doc_id
+"""
+
+
+def token_entropy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution (bits) —
+    the information-density screen that separates varied prose from
+    repetitive templating, complementing lexical_diversity's count
+    ratios. H = log2(N) − Σ n·log2(n)/N over exact integer counts, so
+    the only cross-engine float ops are log2 on identical integers
+    (≤1 ulp each) summed over the vocabulary — rounded to 6 decimals.
+
+    Scale: same shape as lexical_diversity — explode collapses
+    map-side into (source, token) counts; the per-source agg is tiny.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    per = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(n * F.log2(n)).alias("_nlogn"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "distinct_tokens",
+            F.round(
+                F.log2(F.col("total_tokens").cast("double"))
+                - F.col("_nlogn") / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+_TOKEN_ENTROPY_ORACLE = """
+WITH per AS (
+  SELECT source, token, COUNT(*) AS n FROM (
+    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+  ) WHERE token <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       COUNT(*) AS distinct_tokens,
+       ROUND(LOG2(CAST(SUM(n) AS DOUBLE))
+             - SUM(CAST(n AS DOUBLE) * LOG2(CAST(n AS DOUBLE)))
+               / CAST(SUM(n) AS DOUBLE), 6) AS entropy_bits
+FROM per GROUP BY source
+"""
+
+
 QUERIES = {
+    "lang_id_confusion": lang_id_confusion,
+    "ngram_novelty_docs": ngram_novelty_docs,
+    "token_entropy_sources": token_entropy_sources,
     "dup_overlap_sources": dup_overlap_sources,
     "lexical_diversity_docs": lexical_diversity_docs,
     "vocab_coverage_docs": vocab_coverage_docs,
@@ -2240,6 +2393,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "lang_id_confusion": _LANG_CONFUSION_ORACLE,
+    "ngram_novelty_docs": _NGRAM_NOVELTY_ORACLE,
+    "token_entropy_sources": _TOKEN_ENTROPY_ORACLE,
     "dup_overlap_sources": _DUP_OVERLAP_ORACLE,
     "lexical_diversity_docs": _LEXICAL_DIVERSITY_ORACLE,
     "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,

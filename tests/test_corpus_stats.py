@@ -125,3 +125,51 @@ def test_cusum_changepoint_detects_level_shift(spark, tmp_path):
     # peak |cusum| = 48 at the last pre-shift hour (23:00).
     assert r.max_abs_cusum == 48.0
     assert r.changepoint_hour.hour == 23
+
+
+def test_lang_id_confusion_shares_sum_to_one(spark, sf_dir):
+    from etl_workflows_spark.queries.llm import lang_id_confusion
+
+    rows = lang_id_confusion(spark, sf_dir).collect()
+    assert rows
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.labeled_lang, 0.0)
+        by_label[r.labeled_lang] += r.label_share
+        assert r.n_docs > 0
+    for lbl, s in by_label.items():
+        assert abs(s - 1.0) < 1e-5, (lbl, s)
+
+
+def test_ngram_novelty_bounds_and_planted_duplicate(spark, tmp_path):
+    # two identical 10-token docs → every window duplicated → novelty 0;
+    # one disjoint doc → novelty 1.
+    common = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, common, "en", "s"), (2, common, "en", "s"),
+         (3, "q r s t u v w x y z", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from etl_workflows_spark.queries.llm import ngram_novelty_docs
+
+    got = {r.doc_id: r for r in ngram_novelty_docs(spark, str(tmp_path)).collect()}
+    assert got[1].novelty_ratio == 0.0 and got[2].novelty_ratio == 0.0
+    assert got[3].novelty_ratio == 1.0
+    assert got[1].n_windows == 3  # 10 tokens, 8-token windows → 3 starts
+
+
+def test_token_entropy_uniform_vs_degenerate(spark, tmp_path):
+    # source u: 4 equally frequent tokens → H = 2 bits;
+    # source d: one token only → H = 0.
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "u"), (2, "x x x x", "en", "d")],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from etl_workflows_spark.queries.llm import token_entropy_sources
+
+    got = {r.source: r for r in token_entropy_sources(spark, str(tmp_path)).collect()}
+    assert got["u"].entropy_bits == 2.0
+    assert got["d"].entropy_bits == 0.0
+    assert got["u"].distinct_tokens == 4 and got["d"].total_tokens == 4
