@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from etl_workflows_spark.queries.base import dsum, ntz_micros, table
+from etl_workflows_spark.queries.base import dec, dsum, ntz_micros, table
 
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +853,57 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through a bucketed-storage join
+    (operators/bucketed.py): orders and lineitem are persisted bucketed
+    on orderkey with the same bucket count, so the fact⋈fact join is a
+    SortMergeJoin with ZERO Exchange and zero Sort — the shuffle is paid
+    once at write time, never again per query. The plan shape is
+    asserted in tests/test_bucketed_join.py; at 100 TB this is the
+    difference between re-shuffling the fact tables nightly and
+    streaming co-located bucket files.
+
+    Results are layout-independent, so the oracle is the plain join.
+    """
+    from etl_workflows_spark.operators.bucketed import bucketed_pair_join
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = bucketed_pair_join(
+        spark,
+        o,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        ("orders_rev", "lineitem_rev"),
+        n_buckets=8,
+        scope=sf_dir,
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("o_orderpriority", "n_items", "revenue")
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
 
 
 def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1759,6 +1810,7 @@ QUERIES = {
     "events_ewma": events_ewma,
     "equidepth_histogram": equidepth_histogram,
     "equidepth_histogram_approx": equidepth_histogram_approx,
+    "bucketed_join_revenue": bucketed_join_revenue,
     "skewed_join_salted": skewed_join_salted,
     "skewed_join_unsalted": skewed_join_unsalted,
     "global_rowids_orders": global_rowids_orders,
@@ -1798,6 +1850,7 @@ ORACLE_SQL = {
     "user_journey_pattern": _JOURNEY_ORACLE,
     "grouped_regression": _GROUPED_REGRESSION_ORACLE,
     "equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "bucketed_join_revenue": _BUCKETED_JOIN_ORACLE,
     "skewed_join_salted": _SKEWED_JOIN_ORACLE,
     "skewed_join_unsalted": _SKEWED_JOIN_ORACLE,
     "global_rowids_orders": _GLOBAL_ROWIDS_ORACLE,

@@ -1670,6 +1670,62 @@ FROM documents
 """
 
 
+def sft_render_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning prompt rendering at corpus scale: every document
+    becomes a ready-to-tokenize SFT example via pure Catalyst string
+    assembly (concat/substring/length — whole-stage codegen, zero Python),
+    with the input clipped to a character budget at render time and both
+    length conventions (chars, whitespace tokens) emitted so the packer
+    (pack_sequences) can budget straight off this relation.
+
+    The template is a literal — swapping chat formats (Alpaca → ChatML)
+    is a one-line change that never touches the plan shape. At 100 TB
+    rendering is embarrassingly parallel: no shuffle, no UDF, scan →
+    project → write.
+    """
+    d = table(spark, sf_dir, "documents")
+    clipped = F.substring("text", 1, 280)
+    prompt = F.concat(
+        F.lit("### Instruction:\nSummarize the following "),
+        F.col("lang"),
+        F.lit(" document from "),
+        F.col("source"),
+        F.lit(".\n\n### Input:\n"),
+        clipped,
+        F.lit("\n\n### Response:\n"),
+    )
+    return d.select(
+        "doc_id",
+        prompt.alias("prompt"),
+        F.length(prompt).alias("prompt_chars"),
+        F.size(F.split(clipped, " ")).alias("input_ws_tokens"),
+    )
+
+
+_SFT_RENDER_ORACLE = """
+SELECT doc_id,
+       '### Instruction:
+Summarize the following ' || lang || ' document from ' || source || '.
+
+### Input:
+' || SUBSTR(text, 1, 280) || '
+
+### Response:
+' AS prompt,
+       CAST(LENGTH('### Instruction:
+Summarize the following ' || lang || ' document from ' || source || '.
+
+### Input:
+' || SUBSTR(text, 1, 280) || '
+
+### Response:
+') AS INTEGER) AS prompt_chars,
+       CAST(LEN(STRING_SPLIT(SUBSTR(text, 1, 280), ' ')) AS INTEGER)
+           AS input_ws_tokens
+FROM documents
+"""
+
+
 def epoch_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worker 1-of-4's slice of the epoch-3 permutation: positions
     ≡ 1 (mod 4). Zero-coordination sharding — any worker recomputes its
@@ -2313,6 +2369,7 @@ FROM per GROUP BY source
 
 
 QUERIES = {
+    "sft_render_docs": sft_render_docs,
     "lang_id_confusion": lang_id_confusion,
     "ngram_novelty_docs": ngram_novelty_docs,
     "token_entropy_sources": token_entropy_sources,
@@ -2393,6 +2450,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sft_render_docs": _SFT_RENDER_ORACLE,
     "lang_id_confusion": _LANG_CONFUSION_ORACLE,
     "ngram_novelty_docs": _NGRAM_NOVELTY_ORACLE,
     "token_entropy_sources": _TOKEN_ENTROPY_ORACLE,

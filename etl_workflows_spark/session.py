@@ -48,6 +48,13 @@ def get_spark(
         # fact table" into "shuffle the ~matching fraction". Pin it on
         # explicitly (engine contract, not a default we inherit).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Bucketed scans expose their per-bucket sort order (off by
+        # default since 3.0 because many-files-per-bucket tables can't
+        # honor it). operators/bucketed.py guarantees ONE file per bucket
+        # at write time, so the order is real — exposing it lets the
+        # recurring bucketed fact⋈fact join drop its Sort as well as its
+        # Exchange (asserted in tests/test_bucketed_join.py).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Deterministic timestamps regardless of host TZ.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -180,6 +180,46 @@ def stream_to_table_idempotent(
         spark.catalog.refreshTable(table)
 
 
+def stream_to_snapshots(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "snapshot_sink",
+) -> None:
+    """Exactly-once streaming sink onto a snapshot-versioned table
+    (sinks/snapshots.py): each micro-batch is one atomic ``commit`` with
+    ``commit_key = f"{query_name}:{batch_id}"``.
+
+    Structured Streaming's foreachBatch contract is at-least-once — after
+    a crash between "sink ran" and "checkpoint advanced", the SAME
+    batch_id is re-delivered. The snapshot layer's idempotent commit key
+    turns that re-delivery into a no-op returning the already-published
+    version, so the table gains exactly one snapshot per batch regardless
+    of retries — transactional exactly-once without a table-format
+    dependency, the same shape Delta's ``txnAppId``/``txnVersion`` uses.
+
+    One AvailableNow run; returns when all available input is committed.
+    """
+    from etl_workflows_spark.sinks.snapshots import commit
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit(
+            batch_df,
+            table_dir,
+            mode="append",
+            commit_key=f"{query_name}:{batch_id}",
+        )
+
+    (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(_sink)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_near_dup_firewall(
     docs_stream: DataFrame,
     index_name: str,

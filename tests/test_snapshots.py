@@ -1,0 +1,175 @@
+"""Snapshot-versioned tables (sinks/snapshots.py): atomic publish, time
+travel, rollback, idempotent commit keys, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_workflows_spark.sinks import snapshots as S
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    d = str(tmp_path / "t")
+    v1 = S.commit(_df(spark, 0, 5), d, mode="append")
+    v2 = S.commit(_df(spark, 5, 8), d, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert S.read_snapshot(spark, d).count() == 8
+    assert S.read_snapshot(spark, d, version=1).count() == 5
+    assert {r["id"] for r in S.read_snapshot(spark, d).collect()} == set(range(8))
+
+
+def test_overwrite_keeps_history(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 5), d)
+    S.commit(_df(spark, 100, 102), d, mode="overwrite")
+    assert S.read_snapshot(spark, d).count() == 2
+    assert S.read_snapshot(spark, d, version=1).count() == 5
+
+
+def test_rollback_is_append_only(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 5), d)
+    S.commit(_df(spark, 100, 102), d, mode="overwrite")
+    v3 = S.rollback(d, 1)
+    assert v3 == 3
+    assert S.versions(d) == [1, 2, 3]  # the bad snapshot stays auditable
+    assert {r["id"] for r in S.read_snapshot(spark, d).collect()} == set(range(5))
+
+
+def test_commit_key_is_idempotent(spark, tmp_path):
+    d = str(tmp_path / "t")
+    v1 = S.commit(_df(spark, 0, 5), d, commit_key="batch-7")
+    v2 = S.commit(_df(spark, 0, 5), d, commit_key="batch-7")  # retry
+    assert v1 == v2 == 1
+    assert S.read_snapshot(spark, d).count() == 5
+    v3 = S.commit(_df(spark, 5, 6), d, commit_key="batch-8")
+    assert v3 == 2
+    assert S.read_snapshot(spark, d).count() == 6
+
+
+def test_concurrent_publish_chains_onto_winner(spark, tmp_path):
+    """A competing writer publishes v2 between our parent read and our
+    create: the commit must land as v3 CHAINED ON v2's files."""
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 5), d)
+    # competing writer: copy v1's manifest as a published v2
+    m = json.load(open(os.path.join(d, "_snapshots", "v00000001.json")))
+    m.update(version=2, parent=1)
+    with open(os.path.join(d, "_snapshots", "v00000002.json"), "w") as f:
+        json.dump(m, f)
+    v = S.commit(_df(spark, 100, 103), d, mode="append")
+    assert v == 3
+    assert S.read_snapshot(spark, d).count() == 5 + 3
+
+
+def test_lost_race_retries(spark, tmp_path, monkeypatch):
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 5), d)
+    real_open = os.open
+    fails = {"n": 1}
+
+    def flaky_open(path, flags, *a, **kw):
+        if "_snapshots" in str(path) and os.O_EXCL & flags and fails["n"]:
+            fails["n"] -= 1
+            raise FileExistsError(path)
+        return real_open(path, flags, *a, **kw)
+
+    monkeypatch.setattr(S.os, "open", flaky_open)
+    assert S.commit(_df(spark, 5, 7), d) == 2
+    assert S.read_snapshot(spark, d).count() == 7
+
+
+def test_empty_commit_reads_back_typed(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 0), d)
+    out = S.read_snapshot(spark, d)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "v"]
+
+
+def test_vacuum_drops_dead_files_and_orphans(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 5), d)
+    S.commit(_df(spark, 100, 102), d, mode="overwrite")
+    # orphan from a crashed commit: written to data/ but never published
+    orphan = os.path.join(d, "data", "deadbeef-part-orphan.parquet")
+    open(orphan, "wb").close()
+    deleted = S.vacuum(d, keep_last=1)
+    assert "data/deadbeef-part-orphan.parquet" in deleted
+    assert len(deleted) >= 2  # v1's file(s) + the orphan
+    assert S.read_snapshot(spark, d).count() == 2
+    assert S.versions(d) == [2]
+    with pytest.raises(ValueError):
+        S.read_snapshot(spark, d, version=1)
+
+
+def test_diff_snapshots_incremental_read(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 5), d)
+    S.commit(_df(spark, 5, 8), d)
+    S.commit(_df(spark, 8, 10), d)
+    delta = S.diff_snapshots(spark, d, 1)  # v1 -> latest
+    assert {r["id"] for r in delta.collect()} == set(range(5, 10))
+    assert S.diff_snapshots(spark, d, 2, 3).count() == 2
+    assert S.diff_snapshots(spark, d, 3, 3).count() == 0  # typed empty
+    S.commit(_df(spark, 0, 1), d, mode="overwrite")
+    with pytest.raises(ValueError, match="not append-only"):
+        S.diff_snapshots(spark, d, 1)
+
+
+def test_stream_to_snapshots_exactly_once(spark, tmp_path):
+    """foreachBatch + commit_key: one snapshot per micro-batch, and a
+    re-delivered batch id (fresh checkpoint, same query name) publishes
+    NOTHING — the at-least-once stream becomes exactly-once at the table."""
+    from etl_workflows_spark.streaming.incremental import stream_to_snapshots
+
+    src = tmp_path / "src"
+    src.mkdir()
+    d = str(tmp_path / "t")
+    chk = str(tmp_path / "chk")
+
+    def run(checkpoint):
+        stream = spark.readStream.schema("k bigint, v string").parquet(str(src))
+        stream_to_snapshots(stream, d, checkpoint)
+
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run(chk)
+    assert S.versions(d) == [1]
+    assert S.read_snapshot(spark, d).count() == 2
+
+    spark.createDataFrame([(3, "c"), (4, "d")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run(chk)
+    assert S.versions(d) == [1, 2]
+    assert S.read_snapshot(spark, d).count() == 4
+
+    # no new input: zero batches, zero snapshots
+    run(chk)
+    assert S.versions(d) == [1, 2]
+
+    # crash-replay: a fresh checkpoint re-delivers batch 0 over the whole
+    # source — its commit_key is already published, so nothing lands
+    run(str(tmp_path / "chk2"))
+    assert S.versions(d) == [1, 2]
+    assert S.read_snapshot(spark, d).count() == 4
+
+
+def test_vacuum_keep_last_preserves_time_travel(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 5), d)
+    S.commit(_df(spark, 100, 102), d, mode="overwrite")
+    S.commit(_df(spark, 200, 204), d, mode="overwrite")
+    S.vacuum(d, keep_last=2)
+    assert S.versions(d) == [2, 3]
+    assert S.read_snapshot(spark, d, version=2).count() == 2
+    assert S.read_snapshot(spark, d, version=3).count() == 4
