@@ -102,44 +102,70 @@ def _find_commit_key(table_dir: str, key: str) -> int | None:
     return None
 
 
-def commit(
-    df: DataFrame,
+def _file_stats(
+    table_dir: str, rel_paths: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``cols`` from parquet FOOTERS (pyarrow,
+    row-group statistics) — O(files) metadata reads, zero data rows.
+    The Iceberg trick: persist these in the manifest at commit time so
+    later MERGE/point-lookup pruning is a pure manifest read."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_paths:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            # manifests are JSON: only primitive-typed bounds are stored;
+            # anything else (timestamps, bytes) just forgoes pruning
+            if lo is not None and all(
+                isinstance(x, (int, float, str, bool)) for x in (lo, hi)
+            ):
+                stats[c] = [lo, hi]
+        out[rel] = stats
+    return out
+
+
+def _publish(
     table_dir: str,
-    mode: str = "append",
+    op: str,
+    schema_json: str,
+    files_fn,
     commit_key: str | None = None,
 ) -> int:
-    """Publish ``df`` as a new snapshot; returns the published version.
-
-    ``mode='append'`` keeps the parent's files and adds the new ones;
-    ``mode='overwrite'`` publishes only the new files (old files stay on
-    disk for time travel until ``vacuum``). With ``commit_key`` set, a
-    commit whose key is already published is a no-op returning the
-    existing version — idempotent retries, no data written twice.
-    """
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    if commit_key is not None:
-        existing = _find_commit_key(table_dir, commit_key)
-        if existing is not None:
-            return existing
+    """Atomically publish a manifest; ``files_fn(parent_manifest|None)``
+    returns the file list — or ``(files, stats)`` — computed AGAINST THE
+    CURRENT PARENT so a lost race recomputes on the winner's state
+    instead of silently dropping it."""
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
-    new_files = _write_data_files(df, table_dir)
     for _ in range(_MAX_COMMIT_RETRIES):
         parent = _latest(table_dir)
-        if commit_key is not None and parent is not None:
-            # the race we retry on may have been our own key's winner
+        if commit_key is not None:
+            # the race we lost may have been our own key's earlier winner
             existing = _find_commit_key(table_dir, commit_key)
             if existing is not None:
                 return existing
-        files = list(new_files)
-        if mode == "append" and parent is not None:
-            files = _load_manifest(table_dir, parent)["files"] + files
+        parent_m = _load_manifest(table_dir, parent) if parent is not None else None
+        built = files_fn(parent_m)
+        files, stats = built if isinstance(built, tuple) else (built, {})
         manifest = {
-            "version": (parent or 0) + 1 if parent is not None else 1,
+            "version": (parent + 1) if parent is not None else 1,
             "parent": parent,
-            "op": mode,
+            "op": op,
             "files": files,
-            "schema": df.schema.json(),
+            "stats": stats,
+            "schema": schema_json,
             "commit_key": commit_key,
         }
         try:
@@ -155,6 +181,44 @@ def commit(
     raise RuntimeError(
         f"commit to {table_dir} lost {_MAX_COMMIT_RETRIES} races — aborting"
     )
+
+
+def commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    commit_key: str | None = None,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """Publish ``df`` as a new snapshot; returns the published version.
+
+    ``mode='append'`` keeps the parent's files and adds the new ones;
+    ``mode='overwrite'`` publishes only the new files (old files stay on
+    disk for time travel until ``vacuum``). With ``commit_key`` set, a
+    commit whose key is already published is a no-op returning the
+    existing version — idempotent retries, no data written twice.
+
+    ``stat_cols``: record per-file [min, max] of these columns in the
+    manifest (footer metadata reads, no data scan) — fuel for
+    ``merge_into_snapshot``'s file-level pruning and point-lookup skips.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if commit_key is not None:
+        existing = _find_commit_key(table_dir, commit_key)
+        if existing is not None:
+            return existing
+    new_files = _write_data_files(df, table_dir)
+    new_stats = _file_stats(table_dir, new_files, stat_cols) if stat_cols else {}
+
+    def files_fn(parent_m):
+        if mode == "append" and parent_m is not None:
+            stats = dict(parent_m.get("stats", {}))
+            stats.update(new_stats)
+            return parent_m["files"] + new_files, stats
+        return list(new_files), dict(new_stats)
+
+    return _publish(table_dir, mode, df.schema.json(), files_fn, commit_key)
 
 
 def read_snapshot(
@@ -218,27 +282,153 @@ def rollback(table_dir: str, version: int) -> int:
     if version not in versions(table_dir):
         raise ValueError(f"cannot roll back to unknown version {version}")
     src = _load_manifest(table_dir, version)
-    for _ in range(_MAX_COMMIT_RETRIES):
-        parent = _latest(table_dir)
-        manifest = {
-            "version": parent + 1,
-            "parent": parent,
-            "op": f"rollback_to_{version}",
-            "files": src["files"],
-            "schema": src["schema"],
-            "commit_key": None,
+    return _publish(
+        table_dir,
+        f"rollback_to_{version}",
+        src["schema"],
+        lambda parent_m: (src["files"], src.get("stats", {})),
+    )
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    source: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    commit_key: str | None = None,
+) -> dict:
+    """File-level copy-on-write MERGE (upsert by ``key_cols``): rewrite
+    ONLY the data files whose key range can contain a source key; every
+    other live file is carried into the new snapshot untouched.
+
+    Pruning runs off the manifest's per-file [min, max] stats for
+    ``key_cols[0]`` (``commit(stat_cols=...)``) — a file without recorded
+    stats is conservatively treated as affected, so pruning can only
+    skip work, never rows. At 100 TB with date- or id-clustered files
+    (sinks/layout.py), a small upsert touches a handful of files instead
+    of rewriting the table — the Iceberg/Delta MERGE cost model on plain
+    parquet.
+
+    Scale shape: the source side is MERGE-small by convention (same as
+    sinks/merge.py): its keys broadcast into the anti-join and its first
+    key column's values are collected for pruning. Returns
+    ``{version, matched, inserted, files_rewritten, files_total}``.
+    """
+    from bisect import bisect_left
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    head = _latest(table_dir)
+    if head is None:
+        v = commit(source, table_dir, mode="append", commit_key=commit_key,
+                   stat_cols=[key_cols[0]])
+        return {
+            "version": v,
+            "matched": 0,
+            "inserted": source.count(),
+            "files_rewritten": 0,
+            "files_total": len(_load_manifest(table_dir, v)["files"]),
         }
-        try:
-            fd = os.open(
-                _snap_path(table_dir, manifest["version"]),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+    m = _load_manifest(table_dir, head)
+    target_cols = [
+        f["name"] for f in json.loads(m["schema"])["fields"]
+    ]
+    if set(source.columns) != set(target_cols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} must match target "
+            f"{sorted(target_cols)}"
+        )
+    dupes = source.groupBy(*key_cols).count().filter("count > 1")
+    if dupes.limit(1).count():
+        raise ValueError("source has multiple rows per merge key (ambiguous MERGE)")
+    if commit_key is not None:
+        existing = _find_commit_key(table_dir, commit_key)
+        if existing is not None:
+            return {"version": existing, "matched": 0, "inserted": 0,
+                    "files_rewritten": 0, "files_total": len(m["files"]),
+                    "idempotent_skip": True}
+
+    src = source.select(*target_cols).localCheckpoint(eager=True)
+    keys = src.select(*key_cols)
+    prune_col = key_cols[0]
+    key_vals = sorted(
+        r[0] for r in src.select(prune_col).distinct().collect()
+    )
+    stats = m.get("stats", {})
+    affected, kept = [], []
+    for rel in m["files"]:
+        rng = stats.get(rel, {}).get(prune_col)
+        if rng is None:
+            affected.append(rel)  # no stats → cannot exclude
             continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        return manifest["version"]
-    raise RuntimeError("rollback lost too many commit races")
+        lo, hi = rng
+        i = bisect_left(key_vals, lo)
+        (affected if i < len(key_vals) and key_vals[i] <= hi else kept).append(rel)
+
+    from pyspark.sql import functions as F
+
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if affected:
+        hit = spark.read.schema(schema).parquet(
+            *[os.path.join(table_dir, f) for f in affected]
+        )
+        matched = hit.join(F.broadcast(keys), key_cols, "leftsemi").count()
+        survivors = hit.join(F.broadcast(keys), key_cols, "leftanti")
+        rewritten = survivors.select(*target_cols).unionByName(src)
+    else:
+        matched = 0
+        rewritten = src
+    new_files = _write_data_files(rewritten, table_dir)
+    new_stats = _file_stats(table_dir, new_files, [prune_col])
+
+    def files_fn(parent_m):
+        if parent_m is not None and parent_m["version"] != m["version"]:
+            raise RuntimeError(
+                f"concurrent write to {table_dir}: MERGE planned against "
+                f"v{m['version']} but head is v{parent_m['version']} — rerun"
+            )
+        stats_out = {
+            rel: s for rel, s in stats.items() if rel in set(kept)
+        }
+        stats_out.update(new_stats)
+        return kept + new_files, stats_out
+
+    v = _publish(table_dir, "merge", m["schema"], files_fn, commit_key)
+    return {
+        "version": v,
+        "matched": matched,
+        "inserted": src.count() - matched,
+        "files_rewritten": len(affected),
+        "files_total": len(m["files"]),
+    }
+
+
+def compact_snapshot(
+    spark: SparkSession, table_dir: str, target_file_mb: int = 128
+) -> dict:
+    """Publish a compacted snapshot: same rows, ~size/target files.
+    Small-file pathology is the #1 silent killer of 100 TB scans (one
+    task + one open() per file); compaction here is just read-latest →
+    repartition → commit(overwrite) — readers on old versions are
+    untouched, vacuum reclaims the small files later."""
+    head = _latest(table_dir)
+    if head is None:
+        raise ValueError(f"{table_dir} has no snapshots")
+    m = _load_manifest(table_dir, head)
+    total = sum(
+        os.path.getsize(os.path.join(table_dir, f)) for f in m["files"]
+    )
+    n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = read_snapshot(spark, table_dir).repartition(int(n))
+    stat_cols = sorted(
+        {c for s in m.get("stats", {}).values() for c in s}
+    ) or None
+    v = commit(df, table_dir, mode="overwrite", stat_cols=stat_cols)
+    return {
+        "version": v,
+        "files_before": len(m["files"]),
+        "files_after": len(_load_manifest(table_dir, v)["files"]),
+    }
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:

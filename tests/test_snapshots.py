@@ -164,6 +164,81 @@ def test_stream_to_snapshots_exactly_once(spark, tmp_path):
     assert S.read_snapshot(spark, d).count() == 4
 
 
+def _batch(spark, lo, hi):
+    return (
+        spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(1)
+    )
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    """COW MERGE prunes off manifest stats: three disjoint-range files,
+    an upsert hitting the middle range rewrites exactly one of them."""
+    d = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        S.commit(_batch(spark, lo, lo + 100), d, stat_cols=["id"])
+    src = spark.createDataFrame(
+        [(i, -1) for i in range(150, 161)] + [(1000, -1)], ["id", "v"]
+    )
+    res = S.merge_into_snapshot(spark, src, d, ["id"])
+    assert res["files_rewritten"] == 1, res
+    assert res["files_total"] == 3
+    assert res["matched"] == 11 and res["inserted"] == 1
+    out = S.read_snapshot(spark, d)
+    assert out.count() == 301
+    got = {r["id"]: r["v"] for r in out.filter("id IN (150, 99, 1000)").collect()}
+    assert got == {150: -1, 99: 198, 1000: -1}
+    # pre-merge snapshot still readable with pre-merge values
+    old = S.read_snapshot(spark, d, version=3)
+    assert old.count() == 300
+    assert old.filter("id = 150").collect()[0]["v"] == 300
+
+
+def test_merge_pure_insert_reads_no_files(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_batch(spark, 0, 100), d, stat_cols=["id"])
+    src = spark.createDataFrame([(500, 1), (501, 2)], ["id", "v"])
+    res = S.merge_into_snapshot(spark, src, d, ["id"])
+    assert res["files_rewritten"] == 0
+    assert res["matched"] == 0 and res["inserted"] == 2
+    assert S.read_snapshot(spark, d).count() == 102
+
+
+def test_merge_without_stats_is_conservative(spark, tmp_path):
+    """Files committed with no stat_cols can't be excluded — MERGE must
+    treat them all as affected and still produce exact results."""
+    d = str(tmp_path / "t")
+    S.commit(_batch(spark, 0, 100), d)  # no stats
+    src = spark.createDataFrame([(5, -1)], ["id", "v"])
+    res = S.merge_into_snapshot(spark, src, d, ["id"])
+    assert res["files_rewritten"] == 1  # the one (statless) file
+    out = S.read_snapshot(spark, d)
+    assert out.count() == 100
+    assert out.filter("id = 5").collect()[0]["v"] == -1
+
+
+def test_merge_rejects_ambiguous_source(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_batch(spark, 0, 10), d, stat_cols=["id"])
+    src = spark.createDataFrame([(1, 1), (1, 2)], ["id", "v"])
+    with pytest.raises(ValueError, match="multiple rows per merge key"):
+        S.merge_into_snapshot(spark, src, d, ["id"])
+
+
+def test_compact_snapshot(spark, tmp_path):
+    d = str(tmp_path / "t")
+    for lo in range(0, 50, 10):
+        S.commit(_batch(spark, lo, lo + 10), d, stat_cols=["id"])
+    assert len(S._load_manifest(d, 5)["files"]) == 5
+    res = S.compact_snapshot(spark, d, target_file_mb=1024)
+    assert res["files_before"] == 5 and res["files_after"] == 1
+    assert S.read_snapshot(spark, d).count() == 50
+    # stats regenerated on the compacted file: pruning still works
+    src = spark.createDataFrame([(999, -1)], ["id", "v"])
+    assert S.merge_into_snapshot(spark, src, d, ["id"])["files_rewritten"] == 0
+    # old (pre-compaction) version still readable until vacuum
+    assert S.read_snapshot(spark, d, version=5).count() == 50
+
+
 def test_vacuum_keep_last_preserves_time_travel(spark, tmp_path):
     d = str(tmp_path / "t")
     S.commit(_df(spark, 0, 5), d)
