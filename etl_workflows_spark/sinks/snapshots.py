@@ -222,21 +222,53 @@ def commit(
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    predicates: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a snapshot (default: latest). An empty file list yields an
-    empty-but-typed DataFrame from the manifest's stored schema."""
+    empty-but-typed DataFrame from the manifest's stored schema.
+
+    ``predicates`` — ``{col: (lo, hi)}`` — prunes files off the
+    manifest's per-file [min, max] stats BEFORE the scan is planned
+    (files without stats always survive: advisory, never lossy), then
+    re-applies the range exactly as a pushed-down row filter. The
+    manifest-stats twin of sources/manifest.read_pruned: a point lookup
+    on a stat-covered, range-clustered 100 TB table opens a handful of
+    files instead of all of them.
+    """
     v = _latest(table_dir) if version is None else version
     if v is None or not os.path.exists(_snap_path(table_dir, v)):
         raise ValueError(f"no snapshot v{version} under {table_dir}")
     m = _load_manifest(table_dir, v)
     schema = T.StructType.fromJson(json.loads(m["schema"]))
-    if not m["files"]:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_dir, f) for f in m["files"]]
-    # schema pinned from the manifest: time travel must return the
-    # schema AS OF that version even after later evolution
-    return spark.read.schema(schema).parquet(*paths)
+    files = m["files"]
+    if predicates:
+        stats = m.get("stats", {})
+
+        def survives(rel: str) -> bool:
+            for c, (lo, hi) in predicates.items():
+                rng = stats.get(rel, {}).get(c)
+                if rng is not None and (rng[1] < lo or rng[0] > hi):
+                    return False
+            return True
+
+        files = [f for f in files if survives(f)]
+    if not files:
+        out = spark.createDataFrame([], schema)
+    else:
+        # schema pinned from the manifest: time travel must return the
+        # schema AS OF that version even after later evolution
+        out = spark.read.schema(schema).parquet(
+            *[os.path.join(table_dir, f) for f in files]
+        )
+    if predicates:
+        from pyspark.sql import functions as F
+
+        for c, (lo, hi) in predicates.items():
+            out = out.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    return out
 
 
 def diff_snapshots(
@@ -398,6 +430,80 @@ def merge_into_snapshot(
         "version": v,
         "matched": matched,
         "inserted": src.count() - matched,
+        "files_rewritten": len(affected),
+        "files_total": len(m["files"]),
+    }
+
+
+def delete_from_snapshot(
+    spark: SparkSession,
+    source_keys: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    commit_key: str | None = None,
+) -> dict:
+    """File-level copy-on-write DELETE by key: rewrite only files whose
+    key range can contain a doomed key (manifest-stats pruning, same
+    machinery as ``merge_into_snapshot``); untouched files carry over.
+    The snapshot-native right-to-be-forgotten primitive (the managed-
+    table twin is sinks/forget.py) — and because old versions survive
+    until ``vacuum``, GDPR erasure is only complete after vacuuming past
+    the deleting commit, which this returns the version of.
+    """
+    from bisect import bisect_left
+
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    head = _latest(table_dir)
+    if head is None:
+        raise ValueError(f"{table_dir} has no snapshots")
+    m = _load_manifest(table_dir, head)
+    if commit_key is not None:
+        existing = _find_commit_key(table_dir, commit_key)
+        if existing is not None:
+            return {"version": existing, "deleted": 0, "files_rewritten": 0,
+                    "files_total": len(m["files"]), "idempotent_skip": True}
+    keys = source_keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    prune_col = key_cols[0]
+    key_vals = sorted(r[0] for r in keys.select(prune_col).collect())
+    stats = m.get("stats", {})
+    affected, kept = [], []
+    for rel in m["files"]:
+        rng = stats.get(rel, {}).get(prune_col)
+        if rng is None:
+            affected.append(rel)
+            continue
+        lo, hi = rng
+        i = bisect_left(key_vals, lo)
+        (affected if i < len(key_vals) and key_vals[i] <= hi else kept).append(rel)
+    if not affected:
+        return {"version": head, "deleted": 0, "files_rewritten": 0,
+                "files_total": len(m["files"])}
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    hit = spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, f) for f in affected]
+    )
+    doomed = hit.join(F.broadcast(keys), key_cols, "leftsemi").count()
+    survivors = hit.join(F.broadcast(keys), key_cols, "leftanti")
+    new_files = _write_data_files(survivors, table_dir)
+    new_stats = _file_stats(table_dir, new_files, [prune_col])
+
+    def files_fn(parent_m):
+        if parent_m is not None and parent_m["version"] != m["version"]:
+            raise RuntimeError(
+                f"concurrent write to {table_dir}: DELETE planned against "
+                f"v{m['version']} but head is v{parent_m['version']} — rerun"
+            )
+        stats_out = {rel: s for rel, s in stats.items() if rel in set(kept)}
+        stats_out.update(new_stats)
+        return kept + new_files, stats_out
+
+    v = _publish(table_dir, "delete", m["schema"], files_fn, commit_key)
+    return {
+        "version": v,
+        "deleted": doomed,
         "files_rewritten": len(affected),
         "files_total": len(m["files"]),
     }

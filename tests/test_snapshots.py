@@ -224,6 +224,64 @@ def test_merge_rejects_ambiguous_source(spark, tmp_path):
         S.merge_into_snapshot(spark, src, d, ["id"])
 
 
+def test_read_snapshot_pruned(spark, tmp_path):
+    """predicates= skips files by manifest stats before planning the scan
+    (exactly like a partition-pruned read) and still filters rows exactly."""
+    d = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        S.commit(_batch(spark, lo, lo + 100), d, stat_cols=["id"])
+    out = S.read_snapshot(spark, d, predicates={"id": (150, 160)})
+    assert out.count() == 11
+    # the scan must touch only the one surviving file
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    locs = re.findall(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    assert locs and int(locs[0]) == 1, plan
+    # out-of-range predicate: zero files, still typed
+    empty = S.read_snapshot(spark, d, predicates={"id": (9000, 9999)})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
+
+
+def test_delete_from_snapshot(spark, tmp_path):
+    d = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        S.commit(_batch(spark, lo, lo + 100), d, stat_cols=["id"])
+    keys = spark.createDataFrame([(150,), (151,), (9999,)], ["id"])
+    res = S.delete_from_snapshot(spark, keys, d, ["id"])
+    assert res["deleted"] == 2 and res["files_rewritten"] == 1
+    out = S.read_snapshot(spark, d)
+    assert out.count() == 298
+    assert out.filter("id IN (150, 151)").count() == 0
+    # pre-delete version still readable (erasure completes at vacuum)
+    assert S.read_snapshot(spark, d, version=3).count() == 300
+    # no-overlap delete publishes nothing
+    res2 = S.delete_from_snapshot(
+        spark, spark.createDataFrame([(5000,)], ["id"]), d, ["id"]
+    )
+    assert res2["files_rewritten"] == 0 and res2["version"] == res["version"]
+
+
+def test_append_schema_evolution_adds_nullable_column(spark, tmp_path):
+    """Appending a frame with a NEW column evolves the table: old files
+    read as null for it; time travel still returns the old shape."""
+    d = str(tmp_path / "t")
+    S.commit(_batch(spark, 0, 3), d)
+    evolved = spark.range(3, 5).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag"
+    )
+    S.commit(evolved.coalesce(1), d)
+    out = S.read_snapshot(spark, d)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "tag"]
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    assert rows[0] is None and rows[4] == "4"
+    assert [f.name for f in S.read_snapshot(spark, d, version=1).schema.fields] == [
+        "id",
+        "v",
+    ]
+
+
 def test_compact_snapshot(spark, tmp_path):
     d = str(tmp_path / "t")
     for lo in range(0, 50, 10):
