@@ -1,0 +1,104 @@
+"""Incremental view maintenance (operators/incremental_view.py): the
+maintained aggregate must equal a full recompute after every refresh,
+while touching only delta-sized data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.incremental_view import refresh_view
+from etl_workflows_spark.sinks import snapshots as S
+
+MEASURES = {"n": "count", "total": "sum:v", "lo": "min:v", "hi": "max:v"}
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "v"]).coalesce(1)
+
+
+def _recompute(spark, src_dir):
+    return {
+        r["user_id"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in S.read_snapshot(spark, src_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+
+
+def _view(spark, view_dir):
+    return {
+        r["user_id"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in S.read_snapshot(spark, view_dir).collect()
+    }
+
+
+def test_refresh_matches_full_recompute(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    S.commit(_events(spark, [(1, 10), (1, 5), (2, 7)]), src)
+    r1 = refresh_view(spark, src, view, ["user_id"], MEASURES)
+    assert r1["keys_touched"] == 2
+    assert _view(spark, view) == _recompute(spark, src)
+
+    # delta touches an existing key (1) and a new key (3)
+    S.commit(_events(spark, [(1, 2), (3, 100)]), src)
+    r2 = refresh_view(spark, src, view, ["user_id"], MEASURES)
+    assert r2["keys_touched"] == 2 and r2["from_version"] == 1
+    assert _view(spark, view) == _recompute(spark, src)
+    assert _view(spark, view)[1] == (3, 17, 2, 10)
+
+    # min/max fold: new lows and highs
+    S.commit(_events(spark, [(2, -1), (2, 99)]), src)
+    refresh_view(spark, src, view, ["user_id"], MEASURES)
+    assert _view(spark, view) == _recompute(spark, src)
+    assert _view(spark, view)[2] == (3, 105, -1, 99)
+
+
+def test_refresh_is_idempotent_and_cursor_advances(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    S.commit(_events(spark, [(1, 1)]), src)
+    refresh_view(spark, src, view, ["user_id"], MEASURES)
+    # nothing new at the source: no-op, no new view version
+    before = S.versions(view)
+    assert refresh_view(spark, src, view, ["user_id"], MEASURES)[
+        "up_to_date"
+    ]
+    assert S.versions(view) == before
+    # a crash-retry of the SAME source version folds nothing twice: the
+    # refresh commit_key is already published
+    S.commit(_events(spark, [(1, 1)]), src)
+    refresh_view(spark, src, view, ["user_id"], MEASURES)
+    assert _view(spark, view)[1] == (2, 2, 1, 1)
+    res = refresh_view(spark, src, view, ["user_id"], MEASURES)
+    assert res["up_to_date"]
+    assert _view(spark, view)[1] == (2, 2, 1, 1)
+
+
+def test_refresh_refuses_foreign_view_dir(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    S.commit(_events(spark, [(1, 1)]), src)
+    S.commit(_events(spark, [(9, 9)]), view)  # not refresh-published
+    with pytest.raises(ValueError, match="foreign table"):
+        refresh_view(spark, src, view, ["user_id"], MEASURES)
+
+
+def test_refresh_prunes_view_files(spark, tmp_path):
+    """A delta confined to one key range must rewrite only the view files
+    overlapping it — the merge stats pruning carries through."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    # two disjoint key clusters, committed as separate view files
+    S.commit(_events(spark, [(i, 1) for i in range(0, 50)]), src)
+    refresh_view(spark, src, view, ["user_id"], MEASURES)
+    S.commit(_events(spark, [(i, 1) for i in range(1000, 1050)]), src)
+    refresh_view(spark, src, view, ["user_id"], MEASURES)
+    # delta hits only the low cluster
+    S.commit(_events(spark, [(5, 4)]), src)
+    res = refresh_view(spark, src, view, ["user_id"], MEASURES)
+    assert res["view_files_rewritten"] == 1, res
+    assert _view(spark, view) == _recompute(spark, src)
