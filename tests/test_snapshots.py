@@ -297,6 +297,79 @@ def test_compact_snapshot(spark, tmp_path):
     assert S.read_snapshot(spark, d, version=5).count() == 50
 
 
+def test_zorder_commit_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering (sinks/layout.py) + manifest stats = 2-D file
+    skipping: after cluster_by_zorder on (x, y), a box predicate on
+    EITHER dimension prunes most files from the snapshot read."""
+    from etl_workflows_spark.sinks.layout import cluster_by_zorder
+
+    d = str(tmp_path / "t")
+    df = spark.range(4096).selectExpr(
+        "CAST(id % 64 AS LONG) AS x", "CAST(CAST(id / 64 AS LONG) AS LONG) AS y", "id"
+    )
+    S.commit(cluster_by_zorder(df, ["x", "y"], 16), d, stat_cols=["x", "y"])
+    m = S._load_manifest(d, 1)
+    assert len(m["files"]) == 16
+
+    def files_read(pred):
+        out = S.read_snapshot(spark, d, predicates=pred)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        loc = re.search(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+        return out, (int(loc.group(1)) if loc else 0)
+
+    out_x, nx = files_read({"x": (10, 12)})
+    assert out_x.count() == 3 * 64
+    out_y, ny = files_read({"y": (10, 12)})
+    assert out_y.count() == 3 * 64
+    assert nx < 16 and ny < 16, (nx, ny)  # both dimensions skip files
+    box, nb = files_read({"x": (10, 12), "y": (10, 12)})
+    assert box.count() == 9
+    assert nb <= min(nx, ny)
+
+
+def test_streaming_materialized_view(spark, tmp_path):
+    """The full table-services loop: stream → exactly-once snapshot
+    commits → delta-only view refresh. The maintained aggregate equals a
+    full recompute after every micro-batch round."""
+    from etl_workflows_spark.operators.incremental_view import refresh_view
+    from etl_workflows_spark.streaming.incremental import stream_to_snapshots
+    from pyspark.sql import functions as F
+
+    src_files = tmp_path / "in"
+    src_files.mkdir()
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    chk = str(tmp_path / "chk")
+
+    def pump(rows):
+        spark.createDataFrame(rows, ["user_id", "v"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_files))
+        stream = spark.readStream.schema("user_id bigint, v bigint").parquet(
+            str(src_files)
+        )
+        stream_to_snapshots(stream, src, chk)
+        return refresh_view(
+            spark, src, view, ["user_id"], {"n": "count", "total": "sum:v"}
+        )
+
+    pump([(1, 10), (2, 20)])
+    pump([(1, 5), (3, 30)])
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in S.read_snapshot(spark, src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in S.read_snapshot(spark, view).collect()
+    }
+    assert got == want == {1: (2, 15), 2: (1, 20), 3: (1, 30)}
+
+
 def test_vacuum_keep_last_preserves_time_travel(spark, tmp_path):
     d = str(tmp_path / "t")
     S.commit(_df(spark, 0, 5), d)
