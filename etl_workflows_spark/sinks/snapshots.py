@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -537,11 +538,112 @@ def compact_snapshot(
     }
 
 
+_STAGED_DIR = "_staged"
+
+
+def _staged_path(table_dir: str, name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+        raise ValueError(f"staged name must be [A-Za-z0-9_.-]+, got {name!r}")
+    return os.path.join(table_dir, _STAGED_DIR, f"{name}.json")
+
+
+def stage(
+    df: DataFrame,
+    table_dir: str,
+    name: str,
+    mode: str = "append",
+    stat_cols: list[str] | None = None,
+) -> str:
+    """Write-Audit-Publish step 1: land ``df``'s data files and park the
+    would-be manifest under ``_staged/<name>.json`` — INVISIBLE to every
+    reader until ``publish_staged``. The audit job reads the staged view
+    (``read_staged``), runs its checks (operators/expectations.py), and
+    either publishes or drops; a dropped batch never existed as far as
+    consumers are concerned, and its files are vacuum-swept.
+
+    The heavy work (the executor-parallel write) happens here; publish
+    is a pure metadata flip — so the audit window adds zero data-write
+    latency to the happy path."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    p = _staged_path(table_dir, name)
+    if os.path.exists(p):
+        raise ValueError(f"staged batch {name!r} already exists — drop it first")
+    files = _write_data_files(df, table_dir)
+    stats = _file_stats(table_dir, files, stat_cols) if stat_cols else {}
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as f:
+        json.dump(
+            {"name": name, "mode": mode, "files": files, "stats": stats,
+             "schema": df.schema.json()},
+            f,
+        )
+    return p
+
+
+def read_staged(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """What the table WOULD be if ``name`` were published now: the staged
+    files, plus (append mode) the current head's files."""
+    p = _staged_path(table_dir, name)
+    if not os.path.exists(p):
+        raise ValueError(f"no staged batch {name!r} under {table_dir}")
+    with open(p) as f:
+        st = json.load(f)
+    files = list(st["files"])
+    if st["mode"] == "append":
+        head = _latest(table_dir)
+        if head is not None:
+            files = _load_manifest(table_dir, head)["files"] + files
+    schema = T.StructType.fromJson(json.loads(st["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, f) for f in files]
+    )
+
+
+def publish_staged(
+    table_dir: str, name: str, commit_key: str | None = None
+) -> int:
+    """WAP step 3: atomically promote the staged batch into the version
+    chain (same O_EXCL publish as commit — concurrent appends that
+    landed since staging are preserved under append mode). The staged
+    marker is removed on success."""
+    p = _staged_path(table_dir, name)
+    if not os.path.exists(p):
+        raise ValueError(f"no staged batch {name!r} under {table_dir}")
+    with open(p) as f:
+        st = json.load(f)
+
+    def files_fn(parent_m):
+        if st["mode"] == "append" and parent_m is not None:
+            stats = dict(parent_m.get("stats", {}))
+            stats.update(st.get("stats", {}))
+            return parent_m["files"] + st["files"], stats
+        return list(st["files"]), dict(st.get("stats", {}))
+
+    v = _publish(
+        table_dir, f"publish_{st['mode']}", st["schema"], files_fn, commit_key
+    )
+    os.remove(p)
+    return v
+
+
+def drop_staged(table_dir: str, name: str) -> None:
+    """WAP abort: forget the staged batch (its data files are swept by
+    the next ``vacuum`` — they were never referenced by any manifest)."""
+    p = _staged_path(table_dir, name)
+    if not os.path.exists(p):
+        raise ValueError(f"no staged batch {name!r} under {table_dir}")
+    os.remove(p)
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
-    """Delete data files referenced by NO kept version (the newest
-    ``keep_last`` snapshots survive; older manifests are dropped too).
-    Also sweeps unreferenced files from crashed commits. Returns deleted
-    paths (relative)."""
+    """Delete data files referenced by NO kept version and no staged
+    (pre-publish) batch — the newest ``keep_last`` snapshots survive;
+    older manifests are dropped too. Also sweeps unreferenced files from
+    crashed commits and dropped WAP batches. Returns deleted paths
+    (relative)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (never vacuum the head)")
     vs = versions(table_dir)
@@ -551,6 +653,12 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
     live: set[str] = set()
     for v in keep_vs:
         live.update(_load_manifest(table_dir, v)["files"])
+    staged_dir = os.path.join(table_dir, _STAGED_DIR)
+    if os.path.isdir(staged_dir):
+        for f in os.listdir(staged_dir):
+            if f.endswith(".json"):
+                with open(os.path.join(staged_dir, f)) as fh:
+                    live.update(json.load(fh)["files"])
     deleted = []
     data_dir = os.path.join(table_dir, _DATA_DIR)
     if os.path.isdir(data_dir):

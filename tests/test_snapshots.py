@@ -297,6 +297,74 @@ def test_compact_snapshot(spark, tmp_path):
     assert S.read_snapshot(spark, d, version=5).count() == 50
 
 
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-Audit-Publish: staged data is invisible, the audit gate
+    (operators/expectations.py) decides publish vs drop, and a dropped
+    batch's files are vacuum-swept as if it never existed."""
+    from etl_workflows_spark.operators.expectations import (
+        Expectation,
+        check_expectations,
+        violations,
+    )
+
+    d = str(tmp_path / "t")
+    S.commit(_batch(spark, 0, 10), d)
+
+    # bad batch: negative ids violate the audit rule
+    bad = spark.createDataFrame([(-1, 0), (11, 22)], ["id", "v"]).coalesce(1)
+    S.stage(bad, d, "b1")
+    assert S.read_snapshot(spark, d).count() == 10  # invisible while staged
+    rules = [Expectation(name="ids_ok", kind="between", column="id", lo=0)]
+    report = check_expectations(S.read_staged(spark, d, "b1"), rules)
+    assert violations(report) == ["ids_ok"]
+    S.drop_staged(d, "b1")
+    swept = S.vacuum(d, keep_last=1)
+    assert len(swept) >= 1  # the bad batch's file(s)
+    assert S.read_snapshot(spark, d).count() == 10
+
+    # good batch: audit passes, publish is a metadata flip
+    good = _batch(spark, 10, 15)
+    S.stage(good, d, "b2")
+    assert not violations(
+        check_expectations(S.read_staged(spark, d, "b2"), rules)
+    )
+    v = S.publish_staged(d, "b2")
+    assert v == 2
+    assert S.read_snapshot(spark, d).count() == 15
+    with pytest.raises(ValueError, match="no staged batch"):
+        S.read_staged(spark, d, "b2")  # marker consumed by publish
+
+
+def test_wap_staged_files_survive_vacuum_until_dropped(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_batch(spark, 0, 5), d)
+    S.stage(_batch(spark, 5, 8), d, "pending")
+    assert S.vacuum(d, keep_last=1) == []  # staged files are live
+    assert S.publish_staged(d, "pending") == 2
+    assert S.read_snapshot(spark, d).count() == 8
+
+
+def test_wap_publish_preserves_concurrent_appends(spark, tmp_path):
+    """An append that lands BETWEEN stage and publish must survive the
+    publish (append-mode staging folds onto the publish-time head)."""
+    d = str(tmp_path / "t")
+    S.commit(_batch(spark, 0, 5), d)
+    S.stage(_batch(spark, 100, 103), d, "b")
+    S.commit(_batch(spark, 5, 7), d)  # concurrent writer
+    S.publish_staged(d, "b")
+    assert S.read_snapshot(spark, d).count() == 5 + 2 + 3
+
+
+def test_wap_duplicate_stage_name_rejected(spark, tmp_path):
+    d = str(tmp_path / "t")
+    S.commit(_batch(spark, 0, 2), d)
+    S.stage(_batch(spark, 2, 3), d, "x")
+    with pytest.raises(ValueError, match="already exists"):
+        S.stage(_batch(spark, 3, 4), d, "x")
+    with pytest.raises(ValueError, match="staged name"):
+        S.stage(_batch(spark, 3, 4), d, "bad/name")
+
+
 def test_zorder_commit_prunes_on_both_dimensions(spark, tmp_path):
     """Z-order clustering (sinks/layout.py) + manifest stats = 2-D file
     skipping: after cluster_by_zorder on (x, y), a box predicate on
