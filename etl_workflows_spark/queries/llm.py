@@ -1670,6 +1670,20 @@ FROM documents
 """
 
 
+def score_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scoring through the inference batching plumbing
+    (operators/inference.py): length-sorted token-budget micro-batches,
+    padding telemetry per batch, deterministic stub scorer (no ML
+    runtime in this container — the batch SHAPE is the artifact under
+    test; rows-only check, the scorer is an iterative hash no SQL
+    engine replays)."""
+    from etl_workflows_spark.operators.inference import score_documents
+
+    return score_documents(
+        table(spark, sf_dir, "documents"), max_batch_tokens=2048
+    )
+
+
 def sft_render_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instruction-tuning prompt rendering at corpus scale: every document
     becomes a ready-to-tokenize SFT example via pure Catalyst string
@@ -2369,6 +2383,7 @@ FROM per GROUP BY source
 
 
 QUERIES = {
+    "score_documents_batched": score_documents_batched,
     "sft_render_docs": sft_render_docs,
     "lang_id_confusion": lang_id_confusion,
     "ngram_novelty_docs": ngram_novelty_docs,

@@ -1,0 +1,87 @@
+"""Inference batching plumbing (operators/inference.py): every doc scored
+exactly once, token-budget batch shapes, measured padding-efficiency win
+from length sorting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.inference import (
+    padding_efficiency,
+    score_documents,
+    stub_model,
+)
+
+
+def _docs(spark):
+    # lengths 1..40 words, deliberately interleaved (worst case unsorted)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range((i * 17) % 40 + 1)))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(2)
+
+
+def test_every_doc_scored_once_deterministically(spark):
+    d = _docs(spark)
+    out = score_documents(d, max_batch_tokens=64).cache()
+    try:
+        assert out.count() == 200
+        assert out.select("doc_id").distinct().count() == 200
+        # scores are the stub's pure function of text — pin one
+        row = out.filter("doc_id = 0").collect()[0]
+        assert row["score"] == pytest.approx(stub_model(["w0"])[0])
+        assert row["n_tokens"] == 1
+        # rerun is bit-identical
+        again = {
+            r["doc_id"]: r["score"]
+            for r in score_documents(d, max_batch_tokens=64).collect()
+        }
+        assert all(
+            again[r["doc_id"]] == r["score"] for r in out.collect()
+        )
+    finally:
+        out.unpersist()
+
+
+def test_batches_respect_token_budget(spark):
+    out = score_documents(_docs(spark), max_batch_tokens=64).collect()
+    for r in out:
+        # a multi-row batch never exceeds the budget in REAL tokens;
+        # only an oversized singleton may
+        if r["batch_rows"] > 1:
+            assert r["batch_real_tokens"] <= 64, r
+        assert r["batch_padded_tokens"] >= r["batch_real_tokens"]
+
+
+def test_oversized_doc_gets_singleton_batch(spark):
+    d = spark.createDataFrame(
+        [(1, " ".join(["x"] * 500)), (2, "short doc")], ["doc_id", "text"]
+    ).coalesce(1)
+    out = {r["doc_id"]: r for r in score_documents(d, max_batch_tokens=64).collect()}
+    assert out[1]["batch_rows"] == 1
+    assert out[1]["n_tokens"] == 500
+
+
+def test_length_sorting_improves_padding_efficiency(spark):
+    d = _docs(spark)
+    eff_sorted = padding_efficiency(
+        score_documents(d, max_batch_tokens=64, sort_by_length=True)
+    )
+    eff_unsorted = padding_efficiency(
+        score_documents(d, max_batch_tokens=64, sort_by_length=False)
+    )
+    assert eff_sorted > eff_unsorted + 0.1, (eff_sorted, eff_unsorted)
+    assert eff_sorted > 0.9
+
+
+def test_strict_mode_requires_real_model(spark):
+    d = _docs(spark)
+    with pytest.raises(NotImplementedError, match="no ML runtime"):
+        score_documents(d, strict=True)
+    # a supplied model_fn satisfies strict mode
+    out = score_documents(
+        d.limit(5), strict=True, model_fn=lambda ts: [0.5] * len(ts)
+    )
+    assert {r["score"] for r in out.collect()} == {0.5}

@@ -28,6 +28,7 @@ ROWS_ONLY = {
     "holt_forecast_events",  # sequential float smoothing recursion
     "audience_overlap_events",  # HLL estimates
     "multimodal_phash_pairs",  # Arrow-kernel pixel packing + DCT
+    "score_documents_batched",  # iterative hash scorer — no SQL twin
 }
 
 
