@@ -363,3 +363,76 @@ def cosine_rank(
     return ranked.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "query_id", "doc_id", "rank"
     )
+
+
+def rerank_lexical(
+    docs: DataFrame,
+    candidates: DataFrame,
+    queries: Sequence[Tuple[str, Sequence[str]]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stage-2 reranker for two-stage retrieval: exact query↔document
+    token-set overlap, computed on CANDIDATES ONLY.
+
+    The canonical retrieval shape at corpus scale: a cheap index-backed
+    stage 1 (BM25 / ANN) pulls k₁ candidates per query, then a precise
+    (here: exact set-overlap Jaccard; in production: a cross-encoder —
+    swap the scoring expression, the plan shape is identical) scores
+    only |queries|·k₁ pairs instead of |queries|·|corpus|. The join
+    back to document text is candidate-driven: the corpus is touched
+    once, filtered by a broadcast semi of candidate doc ids.
+
+    Ranking is deterministic: overlap ratio desc (exact small-int
+    division — bit-identical across engines), stage-1 score desc,
+    doc_id. Returns (query_id, doc_id, rerank, overlap_terms,
+    union_terms, score_micro).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, sorted(set(terms))) for qid, terms in queries],
+        "query_id string, terms array<string>",
+    )
+    cand = candidates.select("query_id", F.col(id_col), "score_micro")
+    # candidate-driven corpus touch: one broadcast semi-join prune, then
+    # the tokenization runs on |candidates| docs only
+    cand_docs = docs.select(id_col, text_col).join(
+        F.broadcast(cand.select(id_col).distinct()), id_col, "leftsemi"
+    )
+    scored = (
+        cand.join(cand_docs, id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            "score_micro",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split(text_col, " ")), F.col("terms")
+                )
+            ).alias("overlap_terms"),
+            F.size(
+                F.array_union(
+                    F.array_distinct(F.split(text_col, " ")), F.col("terms")
+                )
+            ).alias("union_terms"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        (
+            F.col("overlap_terms").cast("double") / F.col("union_terms")
+        ).desc(),
+        F.col("score_micro").desc(),
+        F.col(id_col),
+    )
+    return (
+        scored.withColumn("rerank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rerank") <= k)
+        .select(
+            "query_id", id_col, "rerank", "overlap_terms", "union_terms",
+            "score_micro",
+        )
+    )

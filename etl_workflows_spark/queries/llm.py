@@ -1412,6 +1412,53 @@ QUALIFY rank <= 10
 )
 
 
+def rerank_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (retrieval.rerank_lexical): BM25 pulls 50
+    candidates per query (index-cheap stage 1), an exact token-overlap
+    scorer reranks ONLY those candidates to top-10 — |q|·50 precise
+    scorings instead of |q|·|corpus|. Deterministic throughout (integer
+    BM25 micros, small-int overlap ratios), so the whole two-stage
+    composition is oracle-checked end-to-end."""
+    d = table(spark, sf_dir, "documents")
+    cands = retrieval.bm25_topk(d, _BM25_QUERIES, k=50)
+    return retrieval.rerank_lexical(d, cands, _BM25_QUERIES, k=10)
+
+
+_RERANK_ORACLE = (
+    "WITH "
+    + _BM25_CORE
+    + """,
+cand AS (
+  SELECT query_id, doc_id, score_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+         ) AS r
+  FROM sc QUALIFY r <= 50
+),
+dtoks AS (
+  SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+  FROM documents
+),
+qterms AS (SELECT query_id, LIST(DISTINCT token) AS terms FROM qt GROUP BY query_id),
+ov AS (
+  SELECT c.query_id, c.doc_id, c.score_micro,
+         LEN(LIST_INTERSECT(d.toks, q.terms)) AS inter,
+         LEN(LIST_DISTINCT(LIST_CONCAT(d.toks, q.terms))) AS uni
+  FROM cand c JOIN dtoks d USING (doc_id) JOIN qterms q USING (query_id)
+)
+SELECT query_id, doc_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY CAST(inter AS DOUBLE) / uni DESC, score_micro DESC, doc_id
+       ) AS INTEGER) AS rerank,
+       CAST(inter AS INTEGER) AS overlap_terms,
+       CAST(uni AS INTEGER) AS union_terms,
+       score_micro
+FROM ov QUALIFY rerank <= 10
+"""
+)
+
+
 def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval for query 'hash table': BM25 top-20 lexical ranks
     fused with embedding-cosine-to-vec0 top-20 semantic ranks via
@@ -2383,6 +2430,7 @@ FROM per GROUP BY source
 
 
 QUERIES = {
+    "rerank_bm25_topk": rerank_bm25_topk,
     "score_documents_batched": score_documents_batched,
     "sft_render_docs": sft_render_docs,
     "lang_id_confusion": lang_id_confusion,
@@ -2465,6 +2513,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rerank_bm25_topk": _RERANK_ORACLE,
     "sft_render_docs": _SFT_RENDER_ORACLE,
     "lang_id_confusion": _LANG_CONFUSION_ORACLE,
     "ngram_novelty_docs": _NGRAM_NOVELTY_ORACLE,
