@@ -101,8 +101,12 @@ HEADLINE = [
     "ngram_novelty_docs",
     "token_entropy_sources",
     # round-4: recurring fact⋈fact join over bucketed storage (the
-    # one-time bucketed write lands in the untimed warmup)
+    # one-time bucketed write lands in the untimed warmup), two-stage
+    # retrieval, SFT rendering, inference batching
     "bucketed_join_revenue",
+    "rerank_bm25_topk",
+    "sft_render_docs",
+    "score_documents_batched",
 ]
 
 
@@ -142,6 +146,10 @@ SCALED = [
     "dup_overlap_sources",
     "lexical_diversity_docs",
     "ngram_novelty_docs",
+    # round-4: two-stage retrieval + Python-path inference batching
+    # under 10× data (the one deliberate mapInPandas hot path)
+    "rerank_bm25_topk",
+    "score_documents_batched",
 ]
 
 
@@ -271,6 +279,14 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0":
         out["scaled"] = _scaled_pass(spark, sf_dir)
+        # 10×-data / 1×-data time ratio per shared query: the direct
+        # linearity evidence (≪10 = launch-floor amortization or
+        # sublinear plans; ~10 = linear; >10 needs a look)
+        out["scaling_ratio"] = {
+            q: round(out["scaled"]["queries"][q] / t, 2)
+            for q, t in timings.items()
+            if q in out["scaled"]["queries"] and t > 0
+        }
     print(json.dumps(out))
 
 
