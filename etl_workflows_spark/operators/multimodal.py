@@ -549,8 +549,105 @@ def image_phash(images: DataFrame) -> DataFrame:
     return flat.mapInPandas(kernel, schema=_PHASH_SCHEMA)
 
 
-def image_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate image pairs by pHash Hamming distance — exact recall.
+_AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """63-bit robust audio fingerprint for PCM WAV — the Haitsma-Kalker
+    (2002) construction reduced to one clip-level hash: 9 time segments ×
+    9 log-spaced spectral bands of energy, each bit the sign of the
+    band-energy difference ALSO differenced over time,
+    ``bit(t,b) = (E[t][b]-E[t][b+1]) - (E[t-1][b]-E[t-1][b+1]) > 0``
+    (8 × 8 = 64 positions, last dropped → 63 bits, non-negative long).
+
+    Double differencing makes the bits invariant to global gain (volume
+    re-encodes hash identically — every E scales by c², signs survive)
+    and robust to mild noise, while different material flips ~half the
+    bits. Pair with ``audio_near_dup_pairs``; same execution contract as
+    the other WAV kernels (Arrow-batched, corrupt/short files → null).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    n_seg, n_bands = 9, 9  # 8×8 usable diff grid
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                fp = None
+                try:
+                    with wave.open(io.BytesIO(bytes(content))) as w:
+                        if w.getsampwidth() == 2 and w.getnframes() >= n_seg * 64:
+                            nch = w.getnchannels()
+                            x = np.frombuffer(
+                                w.readframes(w.getnframes()), dtype="<i2"
+                            ).astype(np.float64)
+                            if nch > 1:
+                                x = x.reshape(-1, nch).mean(axis=1)
+                            seg_len = len(x) // n_seg
+                            E = np.empty((n_seg, n_bands))
+                            for t in range(n_seg):
+                                seg = x[t * seg_len : (t + 1) * seg_len]
+                                power = np.abs(np.fft.rfft(seg)) ** 2
+                                # log-spaced band edges over bin indices
+                                # (sr-independent, DC bin excluded)
+                                edges = np.unique(
+                                    np.geomspace(
+                                        1, len(power) - 1, n_bands + 1
+                                    ).astype(int)
+                                )
+                                # degenerate tiny spectra: pad edges
+                                while len(edges) < n_bands + 1:
+                                    edges = np.append(edges, edges[-1] + 1)
+                                for b in range(n_bands):
+                                    E[t, b] = power[
+                                        edges[b] : max(edges[b + 1], edges[b] + 1)
+                                    ].sum()
+                            d = E[:, :-1] - E[:, 1:]  # band diffs (9×8)
+                            dd = d[1:, :] - d[:-1, :]  # time diffs (8×8)
+                            bits = (dd > 0).flatten()[:63]
+                            fp = int(
+                                sum(int(v) << i for i, v in enumerate(bits))
+                            )
+                except Exception:
+                    fp = None
+                out.append((mid, fp))
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    flat = media.filter(F.col("kind") == "audio").select(
+        F.col(id_col).alias(id_col), "content"
+    )
+    return flat.mapInPandas(kernel, schema=_AFP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    fingerprints: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint Hamming distance — exact
+    recall via ``banded_hamming_pairs``. Returns (media_a, media_b,
+    hamming), media_a < media_b."""
+    return banded_hamming_pairs(
+        fingerprints, "media_id", "afp", max_hamming
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame, id_col: str, hash_col: str, max_hamming: int
+) -> DataFrame:
+    """Exact-recall Hamming pairing for any 64-bit fingerprint column —
+    the shared engine under image pHash and audio fingerprint dedup.
 
     Scale path mirrors SimHash text dedup (operators/dedup.py): split the
     64-bit hash into ``max_hamming + 1`` contiguous bands. By pigeonhole,
@@ -561,7 +658,7 @@ def image_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     candidates, so recall is exact (no missed pairs) for any
     ``max_hamming`` ≤ 63.
 
-    Returns (origin_a, origin_b, hamming), origin_a < origin_b.
+    Returns (id_a, id_b, hamming), id_a < id_b; null hashes excluded.
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(
@@ -570,18 +667,18 @@ def image_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
     n_bands = max_hamming + 1
     # Band i covers bits [i*64//n_bands, (i+1)*64//n_bands) — contiguous,
-    # disjoint, exhaustive. phash carries 63 data bits (non-negative), so
-    # arithmetic shiftright never smears a sign bit.
+    # disjoint, exhaustive. Fingerprints carry 63 data bits
+    # (non-negative), so arithmetic shiftright never smears a sign bit.
     bounds = [(i * 64) // n_bands for i in range(n_bands + 1)]
-    banded = phashes.filter(F.col("phash").isNotNull()).select(
-        "origin",
-        "phash",
+    banded = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftright("phash", bounds[i])
+                        F.shiftright(hash_col, bounds[i])
                         .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("band_val"),
                     )
@@ -589,22 +686,34 @@ def image_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("origin", "phash", "band.band_idx", "band.band_val")
+    ).select("__id", "__h", "band.band_idx", "band.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.origin") < F.col("b.origin")),
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("a.origin").alias("origin_a"),
-            F.col("b.origin").alias("origin_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias(
                 "hamming"
             ),
         )
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def image_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance — exact
+    recall via ``banded_hamming_pairs`` (see there for the pigeonhole
+    argument). Returns (origin_a, origin_b, hamming), origin_a < origin_b.
+    """
+    return banded_hamming_pairs(phashes, "origin", "phash", max_hamming).select(
+        F.col("id_a").alias("origin_a"),
+        F.col("id_b").alias("origin_b"),
+        "hamming",
+    )
