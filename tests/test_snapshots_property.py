@@ -1,0 +1,143 @@
+"""Model-based and concurrency tests for sinks/snapshots.py: the table
+must agree with a trivial in-memory model after ANY sequence of DML ops,
+and the O_EXCL commit protocol must survive real racing writers."""
+
+from __future__ import annotations
+
+import random
+import threading
+
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.sinks import snapshots as S
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, ["id", "v"]).coalesce(1)
+
+
+def _table_state(spark, d):
+    return {r["id"]: r["v"] for r in S.read_snapshot(spark, d).collect()}
+
+
+def test_random_dml_sequences_match_model(spark, tmp_path):
+    """30 random ops (append / overwrite / merge / delete / rollback /
+    compact) against a dict model — read_snapshot must equal the model
+    after every single op. Seeded: failures reproduce exactly."""
+    rng = random.Random(20260814)
+    d = str(tmp_path / "t")
+    model: dict[int, int] = {}
+    history: list[dict[int, int]] = []  # model state per published version
+
+    def fresh_rows(n):
+        return [(rng.randrange(100), rng.randrange(1000)) for _ in range(n)]
+
+    S.commit(_df(spark, [(1, 1)]), d, stat_cols=["id"])
+    model = {1: 1}
+    history.append(dict(model))
+    next_append_key = 1000  # appends use virgin keys: dict model stays exact
+
+    for step in range(30):
+        op = rng.choice(
+            ["append", "overwrite", "merge", "delete", "rollback", "compact"]
+        )
+        if op == "append":
+            rows = [
+                (next_append_key + j, rng.randrange(1000))
+                for j in range(rng.randrange(1, 4))
+            ]
+            next_append_key += len(rows)
+            S.commit(_df(spark, rows), d, stat_cols=["id"])
+            model.update(rows)
+        elif op == "overwrite":
+            rows = fresh_rows(rng.randrange(1, 4))
+            dedup = dict(rows)
+            S.commit(_df(spark, list(dedup.items())), d, mode="overwrite",
+                     stat_cols=["id"])
+            model = dict(dedup)
+        elif op == "merge":
+            rows = dict(fresh_rows(rng.randrange(1, 4)))
+            S.merge_into_snapshot(
+                spark, _df(spark, list(rows.items())), d, ["id"]
+            )
+            model.update(rows)
+        elif op == "delete":
+            if not model:
+                continue  # nothing to delete — no version published
+            doomed = rng.sample(sorted(model), rng.randrange(1, len(model) + 1))
+            S.delete_from_snapshot(
+                spark,
+                spark.createDataFrame([(k,) for k in doomed], ["id"]),
+                d,
+                ["id"],
+            )
+            for k in doomed:
+                model.pop(k)
+        elif op == "rollback":
+            v = rng.randrange(1, len(history) + 1)
+            S.rollback(d, v)
+            model = dict(history[v - 1])
+        elif op == "compact":
+            S.compact_snapshot(spark, d, target_file_mb=1024)
+        history.append(dict(model))
+        assert _table_state(spark, d) == model, f"step {step} op {op}"
+
+    # history length == published version count, and every historical
+    # version still time-travels to its recorded model state
+    vs = S.versions(d)
+    assert len(vs) == len(history)
+    for v, snap_model in zip(vs, history):
+        got = {
+            r["id"]: r["v"]
+            for r in S.read_snapshot(spark, d, version=v).collect()
+        }
+        assert got == snap_model, f"time travel to v{v}"
+
+
+def test_racing_committers_all_land(spark, tmp_path):
+    """8 threads commit concurrently through the O_EXCL protocol: every
+    commit must land, versions must be contiguous, and the final table
+    must hold every thread's rows exactly once."""
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, [(0, 0)]), d)
+    errors: list[Exception] = []
+
+    def writer(i):
+        try:
+            S.commit(_df(spark, [(100 + i, i)]), d, mode="append")
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert S.versions(d) == list(range(1, 10))  # 1 seed + 8 racers
+    out = _table_state(spark, d)
+    assert all(out[100 + i] == i for i in range(8))
+    assert len(out) == 9
+
+
+def test_racing_idempotent_commits_publish_once(spark, tmp_path):
+    """8 threads retry the SAME commit_key concurrently: exactly one
+    snapshot lands; every thread gets the same version back."""
+    d = str(tmp_path / "t")
+    results: list[int] = []
+    lock = threading.Lock()
+    df = _df(spark, [(1, 1), (2, 2)])
+
+    def writer():
+        v = S.commit(df, d, commit_key="the-batch")
+        with lock:
+            results.append(v)
+
+    threads = [threading.Thread(target=writer) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert set(results) == {1}
+    assert S.versions(d) == [1]
+    assert S.read_snapshot(spark, d).count() == 2
