@@ -25,8 +25,12 @@ delta-sized.
 
 Supported measures: ``count``, ``sum:<col>``, ``min:<col>``, ``max:<col>``
 — the classically self-maintainable aggregates under insert-only deltas
-(avg = maintained sum/count pair; non-monoid measures — distinct counts,
-medians — need sketch columns, see operators/sketch_rollup.py).
+(avg = maintained sum/count pair) — plus ``hll:<col>``: a MERGEABLE
+Datasketches HLL sketch column, which makes COUNT DISTINCT incrementally
+maintainable too (the classic non-monoid measure): the view stores the
+binary sketch, folds it with ``hll_union``, and ``estimate_hll`` reads
+it out as a count. Exact for small cardinalities (sparse mode), ~2%
+error at scale — the standard trade for never rescanning the corpus.
 """
 
 from __future__ import annotations
@@ -49,10 +53,12 @@ def _agg_exprs(measures: dict[str, str]) -> list:
             out.append(F.min(col).alias(name))
         elif op == "max":
             out.append(F.max(col).alias(name))
+        elif op == "hll":
+            out.append(F.hll_sketch_agg(col).alias(name))
         else:
             raise ValueError(
                 f"measure {name}={spec!r}: want count | sum:<col> | "
-                "min:<col> | max:<col>"
+                "min:<col> | max:<col> | hll:<col>"
             )
     return out
 
@@ -66,6 +72,8 @@ def _merge_expr(name: str, spec: str):
         folded = F.least(old, new)
     elif op == "max":
         folded = F.greatest(old, new)
+    elif op == "hll":
+        folded = F.when(old.isNull(), new).otherwise(F.hll_union(old, new))
     # coalesce: a key absent from the view so far takes the delta value
     return F.coalesce(folded, new).alias(name)
 
@@ -138,6 +146,19 @@ def refresh_view(
     return {"from_version": from_v, "to_version": to_v,
             "keys_touched": n_keys, "view_version": res["version"],
             "view_files_rewritten": res["files_rewritten"]}
+
+
+def estimate_hll(view: DataFrame, measures: dict[str, str]) -> DataFrame:
+    """Readable form of a view with hll measures: every ``hll:`` column
+    becomes its cardinality estimate (long), other columns pass through."""
+    cols = []
+    for f in view.columns:
+        spec = measures.get(f, "")
+        if spec.partition(":")[0] == "hll":
+            cols.append(F.hll_sketch_estimate(F.col(f)).alias(f))
+        else:
+            cols.append(F.col(f))
+    return view.select(*cols)
 
 
 def _maintained_version(view_dir: str) -> int | None:

@@ -80,6 +80,44 @@ def test_refresh_is_idempotent_and_cursor_advances(spark, tmp_path):
     assert _view(spark, view)[1] == (2, 2, 1, 1)
 
 
+def test_hll_measure_maintains_distinct_counts(spark, tmp_path):
+    """COUNT DISTINCT maintained incrementally via mergeable HLL sketch
+    columns: estimates equal the exact recompute at small cardinality
+    (sparse-mode exactness), across overlapping deltas."""
+    from etl_workflows_spark.operators.incremental_view import estimate_hll
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    measures = {"n": "count", "uniq_users": "hll:user"}
+
+    def _commit(rows):
+        S.commit(
+            spark.createDataFrame(rows, ["source", "user"]).coalesce(1), src
+        )
+        refresh_view(spark, src, view, ["source"], measures)
+
+    _commit([("a", 1), ("a", 2), ("b", 1)])
+    _commit([("a", 2), ("a", 3), ("b", 9)])  # user 2 repeats for a
+    _commit([("b", 9), ("c", 5)])
+
+    got = {
+        r["source"]: (r["n"], r["uniq_users"])
+        for r in estimate_hll(
+            S.read_snapshot(spark, view), measures
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n"], r["uniq"])
+        for r in S.read_snapshot(spark, src)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user").alias("uniq"),
+        )
+        .collect()
+    }
+    assert got == want == {"a": (4, 3), "b": (3, 2), "c": (1, 1)}
+
+
 def test_refresh_refuses_foreign_view_dir(spark, tmp_path):
     src, view = str(tmp_path / "src"), str(tmp_path / "view")
     S.commit(_events(spark, [(1, 1)]), src)
