@@ -146,9 +146,9 @@ def _publish(
     commit_key: str | None = None,
 ) -> int:
     """Atomically publish a manifest; ``files_fn(parent_manifest|None)``
-    returns the file list — or ``(files, stats)`` — computed AGAINST THE
-    CURRENT PARENT so a lost race recomputes on the winner's state
-    instead of silently dropping it."""
+    returns the file list — or ``(files, stats[, blooms])`` — computed
+    AGAINST THE CURRENT PARENT so a lost race recomputes on the winner's
+    state instead of silently dropping it."""
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
     for _ in range(_MAX_COMMIT_RETRIES):
         parent = _latest(table_dir)
@@ -159,13 +159,17 @@ def _publish(
                 return existing
         parent_m = _load_manifest(table_dir, parent) if parent is not None else None
         built = files_fn(parent_m)
-        files, stats = built if isinstance(built, tuple) else (built, {})
+        if not isinstance(built, tuple):
+            built = (built,)
+        built = built + ({},) * (3 - len(built))
+        files, stats, blooms = built
         manifest = {
             "version": (parent + 1) if parent is not None else 1,
             "parent": parent,
             "op": op,
             "files": files,
             "stats": stats,
+            "blooms": blooms,
             "schema": schema_json,
             "commit_key": commit_key,
         }
@@ -184,12 +188,87 @@ def _publish(
     )
 
 
+def _build_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    rel_paths: list[str],
+    conf: dict[str, dict],
+) -> dict[str, dict[str, dict]]:
+    """Per-file Bloom position sets for ``conf = {col: {m, k}}`` — built
+    EXECUTOR-SIDE (one column-pruned scan of the new files per column,
+    map-side collect_set of ``pmod(xxhash64(value, seed), m)``), so the
+    driver only ever sees ≤ m small ints per (file, column). The
+    manifest-level twin of parquet's row-group bloom filters: this one
+    skips WHOLE FILES at planning time, before any scan is launched."""
+    if not conf or not rel_paths:
+        return {}
+    from pyspark.sql import functions as F
+
+    paths = {os.path.basename(p): p for p in rel_paths}
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, p) for p in rel_paths]
+    ).select(F.input_file_name().alias("__f"), *conf.keys())
+    out: dict[str, dict[str, dict]] = {p: {} for p in rel_paths}
+    for col, mk in conf.items():
+        m, k = int(mk["m"]), int(mk["k"])
+        positions = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m))
+                for seed in range(k)
+            ]
+        )
+        rows = (
+            df.select("__f", F.explode(positions).alias("p"))
+            .groupBy("__f")
+            .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+            .collect()
+        )
+        for r in rows:
+            base = os.path.basename(r["__f"])
+            if base in paths:
+                out[paths[base]][col] = {
+                    "m": m,
+                    "k": k,
+                    "bits": [int(x) for x in r["bits"]],
+                }
+    return out
+
+
+def _bloom_conf_of(manifest: dict) -> dict[str, dict]:
+    """Recover {col: {m, k}} from any per-file bloom entry (uniform by
+    construction) — lets rewriting ops rebuild blooms for new files."""
+    for per_file in manifest.get("blooms", {}).values():
+        if per_file:
+            return {c: {"m": b["m"], "k": b["k"]} for c, b in per_file.items()}
+    return {}
+
+
+def _bloom_positions(spark: SparkSession, value, conf: dict) -> list[int]:
+    """The k positions of a literal under the SAME executor hash (one
+    1-row job — by construction bit-identical to the build)."""
+    from pyspark.sql import functions as F
+
+    m, k = int(conf["m"]), int(conf["k"])
+    row = spark.range(1).select(
+        *[
+            F.pmod(F.xxhash64(F.lit(value), F.lit(seed)), F.lit(m)).alias(
+                f"p{seed}"
+            )
+            for seed in range(k)
+        ]
+    ).collect()[0]
+    return [int(row[f"p{s}"]) for s in range(k)]
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     commit_key: str | None = None,
     stat_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1024,
+    bloom_hashes: int = 3,
 ) -> int:
     """Publish ``df`` as a new snapshot; returns the published version.
 
@@ -201,7 +280,11 @@ def commit(
 
     ``stat_cols``: record per-file [min, max] of these columns in the
     manifest (footer metadata reads, no data scan) — fuel for
-    ``merge_into_snapshot``'s file-level pruning and point-lookup skips.
+    ``merge_into_snapshot``'s file-level pruning and range-predicate
+    skips. ``bloom_cols``: additionally record a per-file Bloom position
+    set (m=``bloom_bits``, k=``bloom_hashes``) for planning-time file
+    skipping on EQUALITY predicates over high-cardinality, unordered
+    columns — where min/max ranges can't exclude anything.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -211,13 +294,19 @@ def commit(
             return existing
     new_files = _write_data_files(df, table_dir)
     new_stats = _file_stats(table_dir, new_files, stat_cols) if stat_cols else {}
+    bconf = {
+        c: {"m": bloom_bits, "k": bloom_hashes} for c in (bloom_cols or [])
+    }
+    new_blooms = _build_blooms(df.sparkSession, table_dir, new_files, bconf)
 
     def files_fn(parent_m):
         if mode == "append" and parent_m is not None:
             stats = dict(parent_m.get("stats", {}))
             stats.update(new_stats)
-            return parent_m["files"] + new_files, stats
-        return list(new_files), dict(new_stats)
+            blooms = dict(parent_m.get("blooms", {}))
+            blooms.update(new_blooms)
+            return parent_m["files"] + new_files, stats, blooms
+        return list(new_files), dict(new_stats), dict(new_blooms)
 
     return _publish(table_dir, mode, df.schema.json(), files_fn, commit_key)
 
@@ -227,17 +316,24 @@ def read_snapshot(
     table_dir: str,
     version: int | None = None,
     predicates: dict[str, tuple] | None = None,
+    equals: dict | None = None,
 ) -> DataFrame:
     """Read a snapshot (default: latest). An empty file list yields an
     empty-but-typed DataFrame from the manifest's stored schema.
 
-    ``predicates`` — ``{col: (lo, hi)}`` — prunes files off the
-    manifest's per-file [min, max] stats BEFORE the scan is planned
-    (files without stats always survive: advisory, never lossy), then
-    re-applies the range exactly as a pushed-down row filter. The
-    manifest-stats twin of sources/manifest.read_pruned: a point lookup
-    on a stat-covered, range-clustered 100 TB table opens a handful of
-    files instead of all of them.
+    Two layers of planning-time file skipping, both advisory (a file
+    without the metadata always survives — pruning can only skip work,
+    never rows), both re-applied as exact row filters:
+
+    * ``predicates`` — ``{col: (lo, hi)}`` — range pruning off the
+      manifest's per-file [min, max] stats (``commit(stat_cols=...)``);
+      the tool for clustered/ordered columns.
+    * ``equals`` — ``{col: value}`` — Bloom pruning off the manifest's
+      per-file position sets (``commit(bloom_cols=...)``); the tool for
+      point lookups on high-cardinality UNORDERED columns, where every
+      file's [min, max] spans the whole domain and ranges exclude
+      nothing. A needle-in-100-TB id lookup opens only the files whose
+      Bloom admits the value (false positives just read one extra file).
     """
     v = _latest(table_dir) if version is None else version
     if v is None or not os.path.exists(_snap_path(table_dir, v)):
@@ -256,6 +352,29 @@ def read_snapshot(
             return True
 
         files = [f for f in files if survives(f)]
+    if equals:
+        blooms = m.get("blooms", {})
+        pos: dict[str, set[int]] = {}
+        for c, val in equals.items():
+            conf = next(
+                (
+                    blooms[f][c]
+                    for f in files
+                    if c in blooms.get(f, {})
+                ),
+                None,
+            )
+            if conf is not None:
+                pos[c] = set(_bloom_positions(spark, val, conf))
+
+        def survives_bloom(rel: str) -> bool:
+            for c in equals:
+                b = blooms.get(rel, {}).get(c)
+                if b is not None and c in pos and not pos[c] <= set(b["bits"]):
+                    return False
+            return True
+
+        files = [f for f in files if survives_bloom(f)]
     if not files:
         out = spark.createDataFrame([], schema)
     else:
@@ -264,11 +383,12 @@ def read_snapshot(
         out = spark.read.schema(schema).parquet(
             *[os.path.join(table_dir, f) for f in files]
         )
-    if predicates:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        for c, (lo, hi) in predicates.items():
-            out = out.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    for c, (lo, hi) in (predicates or {}).items():
+        out = out.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    for c, val in (equals or {}).items():
+        out = out.filter(F.col(c) == val)
     return out
 
 
@@ -319,7 +439,11 @@ def rollback(table_dir: str, version: int) -> int:
         table_dir,
         f"rollback_to_{version}",
         src["schema"],
-        lambda parent_m: (src["files"], src.get("stats", {})),
+        lambda parent_m: (
+            src["files"],
+            src.get("stats", {}),
+            src.get("blooms", {}),
+        ),
     )
 
 
@@ -413,6 +537,9 @@ def merge_into_snapshot(
         rewritten = src
     new_files = _write_data_files(rewritten, table_dir)
     new_stats = _file_stats(table_dir, new_files, [prune_col])
+    new_blooms = _build_blooms(
+        spark, table_dir, new_files, _bloom_conf_of(m)
+    )
 
     def files_fn(parent_m):
         if parent_m is not None and parent_m["version"] != m["version"]:
@@ -424,7 +551,13 @@ def merge_into_snapshot(
             rel: s for rel, s in stats.items() if rel in set(kept)
         }
         stats_out.update(new_stats)
-        return kept + new_files, stats_out
+        blooms_out = {
+            rel: b
+            for rel, b in m.get("blooms", {}).items()
+            if rel in set(kept)
+        }
+        blooms_out.update(new_blooms)
+        return kept + new_files, stats_out, blooms_out
 
     v = _publish(table_dir, "merge", m["schema"], files_fn, commit_key)
     return {
@@ -490,6 +623,9 @@ def delete_from_snapshot(
     survivors = hit.join(F.broadcast(keys), key_cols, "leftanti")
     new_files = _write_data_files(survivors, table_dir)
     new_stats = _file_stats(table_dir, new_files, [prune_col])
+    new_blooms = _build_blooms(
+        spark, table_dir, new_files, _bloom_conf_of(m)
+    )
 
     def files_fn(parent_m):
         if parent_m is not None and parent_m["version"] != m["version"]:
@@ -499,7 +635,13 @@ def delete_from_snapshot(
             )
         stats_out = {rel: s for rel, s in stats.items() if rel in set(kept)}
         stats_out.update(new_stats)
-        return kept + new_files, stats_out
+        blooms_out = {
+            rel: b
+            for rel, b in m.get("blooms", {}).items()
+            if rel in set(kept)
+        }
+        blooms_out.update(new_blooms)
+        return kept + new_files, stats_out, blooms_out
 
     v = _publish(table_dir, "delete", m["schema"], files_fn, commit_key)
     return {
@@ -530,7 +672,17 @@ def compact_snapshot(
     stat_cols = sorted(
         {c for s in m.get("stats", {}).values() for c in s}
     ) or None
-    v = commit(df, table_dir, mode="overwrite", stat_cols=stat_cols)
+    bconf = _bloom_conf_of(m)
+    first = next(iter(bconf.values()), {"m": 1024, "k": 3})
+    v = commit(
+        df,
+        table_dir,
+        mode="overwrite",
+        stat_cols=stat_cols,
+        bloom_cols=sorted(bconf) or None,
+        bloom_bits=int(first["m"]),
+        bloom_hashes=int(first["k"]),
+    )
     return {
         "version": v,
         "files_before": len(m["files"]),
@@ -619,7 +771,10 @@ def publish_staged(
         if st["mode"] == "append" and parent_m is not None:
             stats = dict(parent_m.get("stats", {}))
             stats.update(st.get("stats", {}))
-            return parent_m["files"] + st["files"], stats
+            # staged batches carry no blooms; parent files keep theirs
+            return parent_m["files"] + st["files"], stats, dict(
+                parent_m.get("blooms", {})
+            )
         return list(st["files"]), dict(st.get("stats", {}))
 
     v = _publish(

@@ -244,6 +244,71 @@ def test_read_snapshot_pruned(spark, tmp_path):
     assert [f.name for f in empty.schema.fields] == ["id", "v"]
 
 
+def _planned_paths(out):
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    loc = re.search(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    return int(loc.group(1)) if loc else 0
+
+
+def test_bloom_pruned_point_lookup(spark, tmp_path):
+    """equals= skips files whose manifest Bloom excludes the value — the
+    point-lookup tool for unordered columns where min/max can't help.
+    Each batch gets interleaved ids (every file's range spans the whole
+    domain) but disjoint tag values."""
+    d = str(tmp_path / "t")
+    for part in range(3):
+        rows = [
+            (part + 3 * j, f"tag_{part}_{j}") for j in range(40)
+        ]  # interleaved ids: range pruning useless by construction
+        S.commit(
+            spark.createDataFrame(rows, ["id", "tag"]).coalesce(1),
+            d,
+            stat_cols=["id"],
+            bloom_cols=["tag"],
+        )
+    # ranges overlap totally: a range predicate on id prunes nothing
+    assert _planned_paths(
+        S.read_snapshot(spark, d, predicates={"id": (50, 52)})
+    ) == 3
+    # the Bloom prunes the tag lookup to (almost surely) one file
+    out = S.read_snapshot(spark, d, equals={"tag": "tag_1_7"})
+    assert out.count() == 1
+    assert out.collect()[0]["id"] == 1 + 3 * 7
+    assert _planned_paths(out) <= 2  # 1 + possible false positive
+    # absent value: every file excluded, still typed
+    miss = S.read_snapshot(spark, d, equals={"tag": "tag_9_9"})
+    assert miss.count() == 0
+    assert [f.name for f in miss.schema.fields] == ["id", "tag"]
+
+
+def test_bloom_survives_compact_and_merge(spark, tmp_path):
+    d = str(tmp_path / "t")
+    for part in range(3):
+        rows = [(part + 3 * j, f"tag_{part}_{j}") for j in range(40)]
+        S.commit(
+            spark.createDataFrame(rows, ["id", "tag"]).coalesce(1),
+            d,
+            stat_cols=["id"],
+            bloom_cols=["tag"],
+        )
+    # merge rewrites one region; blooms rebuilt for the new files
+    src = spark.createDataFrame([(1, "tag_new")], ["id", "tag"])
+    S.merge_into_snapshot(spark, src, d, ["id"])
+    hit = S.read_snapshot(spark, d, equals={"tag": "tag_new"})
+    assert hit.count() == 1
+    assert _planned_paths(hit) <= 2
+    # compaction regenerates blooms on the compacted layout
+    S.compact_snapshot(spark, d, target_file_mb=1024)
+    m = S._load_manifest(d, S.versions(d)[-1])
+    assert m["blooms"] and all("tag" in b for b in m["blooms"].values())
+    assert S.read_snapshot(spark, d, equals={"tag": "tag_new"}).count() == 1
+    assert (
+        S.read_snapshot(spark, d, equals={"tag": "tag_0_0"}).count() == 1
+    )
+
+
 def test_delete_from_snapshot(spark, tmp_path):
     d = str(tmp_path / "t")
     for lo in (0, 100, 200):
