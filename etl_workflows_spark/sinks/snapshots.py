@@ -35,6 +35,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -172,6 +173,7 @@ def _publish(
             "blooms": blooms,
             "schema": schema_json,
             "commit_key": commit_key,
+            "created_at": time.time(),
         }
         try:
             fd = os.open(
@@ -317,9 +319,12 @@ def read_snapshot(
     version: int | None = None,
     predicates: dict[str, tuple] | None = None,
     equals: dict | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Read a snapshot (default: latest). An empty file list yields an
-    empty-but-typed DataFrame from the manifest's stored schema.
+    """Read a snapshot (default: latest; ``version=`` for an explicit
+    one; ``as_of=<unix ts>`` for the newest snapshot published at or
+    before that time). An empty file list yields an empty-but-typed
+    DataFrame from the manifest's stored schema.
 
     Two layers of planning-time file skipping, both advisory (a file
     without the metadata always survives — pruning can only skip work,
@@ -335,6 +340,10 @@ def read_snapshot(
       nothing. A needle-in-100-TB id lookup opens only the files whose
       Bloom admits the value (false positives just read one extra file).
     """
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    if as_of is not None:
+        version = version_as_of(table_dir, as_of)
     v = _latest(table_dir) if version is None else version
     if v is None or not os.path.exists(_snap_path(table_dir, v)):
         raise ValueError(f"no snapshot v{version} under {table_dir}")
@@ -427,6 +436,36 @@ def diff_snapshots(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, f) for f in added]
     )
+
+
+def version_as_of(table_dir: str, ts: float) -> int:
+    """Newest version whose publish time is <= ``ts`` (manifests without
+    a recorded time — pre-timestamp tables — count as infinitely old)."""
+    best = None
+    for v in versions(table_dir):
+        if _load_manifest(table_dir, v).get("created_at", 0.0) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot under {table_dir} existed at {ts}")
+    return best
+
+
+def vacuum_expired(table_dir: str, retain_seconds: float) -> list[str]:
+    """Time-based retention: keep the head plus every snapshot published
+    within the last ``retain_seconds``; vacuum the rest. The GDPR
+    companion to ``delete_from_snapshot`` — erasure completes once the
+    deleting commit's predecessors age out of this window."""
+    vs = versions(table_dir)
+    if not vs:
+        return []
+    cutoff = time.time() - retain_seconds
+    keep = [
+        v
+        for v in vs
+        if _load_manifest(table_dir, v).get("created_at", 0.0) >= cutoff
+    ]
+    keep_last = max(len(keep), 1)  # never vacuum the head
+    return vacuum(table_dir, keep_last=keep_last)
 
 
 def rollback(table_dir: str, version: int) -> int:

@@ -244,6 +244,42 @@ def test_read_snapshot_pruned(spark, tmp_path):
     assert [f.name for f in empty.schema.fields] == ["id", "v"]
 
 
+def test_as_of_timestamp_and_retention(spark, tmp_path):
+    import json as _json
+    import os as _os
+    import time as _time
+
+    d = str(tmp_path / "t")
+    S.commit(_df(spark, 0, 3), d)
+    S.commit(_df(spark, 3, 5), d)
+    S.commit(_df(spark, 100, 101), d, mode="overwrite")
+
+    def _set_age(v, age_s):
+        p = _os.path.join(d, "_snapshots", f"v{v:08d}.json")
+        m = _json.load(open(p))
+        m["created_at"] = _time.time() - age_s
+        _json.dump(m, open(p, "w"))
+
+    _set_age(1, 3600)
+    _set_age(2, 1800)  # v3 stays fresh
+    # AS OF between v1 and v2
+    assert S.read_snapshot(spark, d, as_of=_time.time() - 2000).count() == 3
+    assert S.read_snapshot(spark, d, as_of=_time.time() - 100).count() == 5
+    assert S.read_snapshot(spark, d, as_of=_time.time()).count() == 1
+    with pytest.raises(ValueError, match="existed at"):
+        S.read_snapshot(spark, d, as_of=_time.time() - 7200)
+    with pytest.raises(ValueError, match="not both"):
+        S.read_snapshot(spark, d, version=1, as_of=0)
+    # retention: 1h window keeps v2+v3; v1's manifest goes
+    S.vacuum_expired(d, retain_seconds=3000)
+    assert S.versions(d) == [2, 3]
+    assert S.read_snapshot(spark, d, version=2).count() == 5
+    # tiny window: head only survives
+    S.vacuum_expired(d, retain_seconds=0.0)
+    assert S.versions(d) == [3]
+    assert S.read_snapshot(spark, d).count() == 1
+
+
 def _planned_paths(out):
     import re
 
