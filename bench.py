@@ -188,6 +188,68 @@ def _plain_join_revenue(spark, sf_dir: str):
     )
 
 
+def _snapshot_lookup_legs(spark, scaled_dir: str) -> dict:
+    """Storage-services economics at 10× data: the same needle-in-corpus
+    point lookup through (a) a full scan + filter, (b) manifest range
+    stats on the clustered doc_id, (c) a manifest Bloom index on an
+    unordered fingerprint column. The snapshot table is built once per
+    scaled dir (range-clustered into 16 files, stats + blooms recorded
+    at commit) — the read legs are what a recurring lookup pays."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.sinks import snapshots as SNAP
+
+    snap_dir = os.path.join(
+        "/tmp/etlws_snap_bench", os.path.basename(scaled_dir.rstrip("/"))
+    )
+    if not SNAP.versions(snap_dir):
+        docs = (
+            spark.read.parquet(os.path.join(scaled_dir, "documents.parquet"))
+            .withColumn("fp", F.md5("text"))
+            .repartitionByRange(16, "doc_id")
+        )
+        SNAP.commit(
+            docs, snap_dir, stat_cols=["doc_id"], bloom_cols=["fp"]
+        )
+    target = SNAP.read_snapshot(spark, snap_dir).select(
+        "doc_id", "fp"
+    ).limit(1).collect()[0]
+
+    def timed(fn):
+        fn()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            fn()
+            samples.append(_time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    full = timed(
+        lambda: SNAP.read_snapshot(spark, snap_dir)
+        .filter(F.col("fp") == target["fp"])
+        .count()
+    )
+    by_range = timed(
+        lambda: SNAP.read_snapshot(
+            spark,
+            snap_dir,
+            predicates={"doc_id": (target["doc_id"], target["doc_id"])},
+        ).count()
+    )
+    by_bloom = timed(
+        lambda: SNAP.read_snapshot(
+            spark, snap_dir, equals={"fp": target["fp"]}
+        ).count()
+    )
+    return {
+        "snapshot_lookup_fullscan": full,
+        "snapshot_lookup_range_stats": by_range,
+        "snapshot_lookup_bloom": by_bloom,
+    }
+
+
 def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
     from etl_workflows_spark.queries.analytics import skewed_join_salted
     from tools.scale_data import ensure_scaled
@@ -236,6 +298,7 @@ def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    timings.update(_snapshot_lookup_legs(spark, scaled_dir))
     return {
         "factor": factor,
         "dir": scaled_dir,

@@ -213,9 +213,15 @@ def _build_blooms(
     out: dict[str, dict[str, dict]] = {p: {} for p in rel_paths}
     for col, mk in conf.items():
         m, k = int(mk["m"]), int(mk["k"])
+        # seed literal cast to bigint: Spark folds IntegerType literals
+        # as 4-byte hashes — the driver-side probe replays the 8-byte
+        # long fold, so the build must hash the seed as a long too
         positions = F.array(
             *[
-                F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m))
+                F.pmod(
+                    F.xxhash64(F.col(col), F.lit(seed).cast("bigint")),
+                    F.lit(m),
+                )
                 for seed in range(k)
             ]
         )
@@ -245,21 +251,103 @@ def _bloom_conf_of(manifest: dict) -> dict[str, dict]:
     return {}
 
 
-def _bloom_positions(spark: SparkSession, value, conf: dict) -> list[int]:
-    """The k positions of a literal under the SAME executor hash (one
-    1-row job — by construction bit-identical to the build)."""
-    from pyspark.sql import functions as F
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
 
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """XXH64 (Collet's public spec) in pure Python — bit-identical to
+    Spark's ``xxhash64`` so Bloom probes need NO Spark job: build hashes
+    executor-side, probe hashes driver-side, parity pinned in tests."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            v1 = (
+                _rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _XXP2) & _M64, 31)
+                * _XXP1
+            ) & _M64
+            v2 = (
+                _rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _XXP2) & _M64, 31)
+                * _XXP1
+            ) & _M64
+            v3 = (
+                _rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _XXP2) & _M64, 31)
+                * _XXP1
+            ) & _M64
+            v4 = (
+                _rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _XXP2) & _M64, 31)
+                * _XXP1
+            ) & _M64
+            i += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k1 = (
+            _rotl((int.from_bytes(data[i : i + 8], "little") * _XXP2) & _M64, 31)
+            * _XXP1
+        ) & _M64
+        h = ((_rotl(h ^ k1, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _M64
+        h = ((_rotl(h, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _spark_xxhash64(value, seed_col: int) -> int:
+    """Replicates ``F.xxhash64(F.lit(value), F.lit(seed_col))``: Spark
+    folds columns left to right with the running hash as the seed
+    (initial 42), longs as 8 LE bytes, strings as UTF-8 bytes. Returns
+    the SIGNED 64-bit value Spark produces."""
+    if isinstance(value, bool):
+        raise TypeError("bloom columns must be long or string")
+    if isinstance(value, int):
+        h = _xxh64(value.to_bytes(8, "little", signed=True), 42)
+    elif isinstance(value, str):
+        h = _xxh64(value.encode("utf-8"), 42)
+    else:
+        raise TypeError(
+            f"bloom probe supports long/string values, got {type(value)}"
+        )
+    h = _xxh64(int(seed_col).to_bytes(8, "little", signed=True), h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _bloom_positions(spark: SparkSession, value, conf: dict) -> list[int]:
+    """The k positions of a literal under the SAME hash as the executor-
+    side build — computed driver-side with the pure-Python XXH64 (no
+    Spark job per probe; parity with ``F.xxhash64`` pinned in tests)."""
     m, k = int(conf["m"]), int(conf["k"])
-    row = spark.range(1).select(
-        *[
-            F.pmod(F.xxhash64(F.lit(value), F.lit(seed)), F.lit(m)).alias(
-                f"p{seed}"
-            )
-            for seed in range(k)
-        ]
-    ).collect()[0]
-    return [int(row[f"p{s}"]) for s in range(k)]
+    return [_spark_xxhash64(value, seed) % m for seed in range(k)]
 
 
 def commit(
