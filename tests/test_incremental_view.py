@@ -126,6 +126,28 @@ def test_refresh_refuses_foreign_view_dir(spark, tmp_path):
         refresh_view(spark, src, view, ["user_id"], MEASURES)
 
 
+def test_random_delta_sequences_match_recompute(spark, tmp_path):
+    """Seeded random commit/refresh interleavings (including refreshes
+    that fold several source versions at once and no-op refreshes) must
+    always leave the view equal to a full recompute."""
+    import random
+
+    rng = random.Random(48112)
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    for step in range(12):
+        n_commits = rng.randrange(0, 3)  # 0 → refresh with nothing new
+        for _ in range(n_commits):
+            rows = [
+                (rng.randrange(20), rng.randrange(100))
+                for _ in range(rng.randrange(1, 5))
+            ]
+            S.commit(_events(spark, rows), src)
+        if not S.versions(src):
+            continue
+        refresh_view(spark, src, view, ["user_id"], MEASURES)
+        assert _view(spark, view) == _recompute(spark, src), f"step {step}"
+
+
 def test_refresh_prunes_view_files(spark, tmp_path):
     """A delta confined to one key range must rewrite only the view files
     overlapping it — the merge stats pruning carries through."""
