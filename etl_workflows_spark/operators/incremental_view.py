@@ -67,13 +67,21 @@ def _merge_expr(name: str, spec: str):
     old, new = F.col(f"old.{name}"), F.col(f"new.{name}")
     op = spec.partition(":")[0]
     if spec == "count" or op == "sum":
-        folded = F.coalesce(old, F.lit(0)) + new
+        # NULL-safe on BOTH sides: a delta whose measure values are all
+        # NULL sums to NULL and must not poison the accumulated total
+        # (SQL SUM skips nulls in a recompute); a key with no prior row
+        # takes the delta value, even if that value is NULL
+        folded = F.when(new.isNull(), old).otherwise(
+            F.coalesce(old, F.lit(0)) + new
+        )
     elif op == "min":
-        folded = F.least(old, new)
+        folded = F.least(old, new)  # least/greatest skip nulls
     elif op == "max":
         folded = F.greatest(old, new)
     elif op == "hll":
-        folded = F.when(old.isNull(), new).otherwise(F.hll_union(old, new))
+        folded = F.when(new.isNull(), old).otherwise(
+            F.when(old.isNull(), new).otherwise(F.hll_union(old, new))
+        )
     # coalesce: a key absent from the view so far takes the delta value
     return F.coalesce(folded, new).alias(name)
 

@@ -135,10 +135,14 @@ def score_documents(
                 ],
             )
 
+    # null-safe projection: a NULL text scores as the empty string (one
+    # deterministic model call) instead of poisoning the Arrow batch
+    # with NaN token counts and failing the whole task
+    safe_text = F.coalesce(F.col(text_col), F.lit(""))
     flat = docs.select(
         F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__text"),
-        F.size(F.split(text_col, " ")).alias("__n_tok"),
+        safe_text.alias("__text"),
+        F.size(F.split(safe_text, " ")).alias("__n_tok"),
     )
     if cluster_globally:
         flat = flat.repartitionByRange(

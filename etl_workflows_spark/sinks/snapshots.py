@@ -65,9 +65,28 @@ def versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+_MANIFEST_CACHE: dict[str, tuple] = {}
+_MANIFEST_CACHE_MAX = 4096
+
+
 def _load_manifest(table_dir: str, version: int) -> dict:
-    with open(_snap_path(table_dir, version)) as f:
-        return json.load(f)
+    """Manifests are immutable once published (vacuum only ever deletes
+    them), so an in-process cache is always coherent — it turns the
+    per-keyed-commit history scan (``_find_commit_key``) from repeated
+    disk JSON parses into dict lookups. Bounded FIFO to stay small."""
+    p = os.path.abspath(_snap_path(table_dir, version))
+    st = os.stat(p)
+    sig = (st.st_mtime_ns, st.st_size)  # one stat beats a JSON parse;
+    # the signature also catches out-of-band edits (tests, manual ops)
+    hit = _MANIFEST_CACHE.get(p)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    with open(p) as f:
+        m = json.load(f)
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[p] = (sig, m)
+    return m
 
 
 def _latest(table_dir: str) -> int | None:
@@ -210,6 +229,19 @@ def _build_blooms(
     df = spark.read.parquet(
         *[os.path.join(table_dir, p) for p in rel_paths]
     ).select(F.input_file_name().alias("__f"), *conf.keys())
+    # canonicalize hashable types: integral columns are widened to
+    # bigint so the build hash is Spark's 8-byte long fold — the SAME
+    # fold the driver-side probe replays (IntegerType columns would
+    # otherwise hash through the 4-byte path and never match a probe)
+    for c, dtype in df.dtypes:
+        if c == "__f":
+            continue
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            df = df.withColumn(c, F.col(c).cast("bigint"))
+        elif dtype != "string":
+            raise ValueError(
+                f"bloom_cols supports integral/string columns; {c} is {dtype}"
+            )
     out: dict[str, dict[str, dict]] = {p: {} for p in rel_paths}
     for col, mk in conf.items():
         m, k = int(mk["m"]), int(mk["k"])
@@ -391,6 +423,30 @@ def commit(
 
     def files_fn(parent_m):
         if mode == "append" and parent_m is not None:
+            # evolution guard: the append's schema becomes the table's
+            # and is applied to EVERY file at read time, so it may only
+            # ADD nullable columns — a renamed/retyped/dropped parent
+            # column would silently null out or break old data
+            parent_fields = {
+                f["name"]: f["type"]
+                for f in json.loads(parent_m["schema"])["fields"]
+            }
+            new_fields = {
+                f["name"]: f["type"]
+                for f in json.loads(df.schema.json())["fields"]
+            }
+            for pname, ptype in parent_fields.items():
+                if pname not in new_fields:
+                    raise ValueError(
+                        f"append drops column {pname!r} — appends may only "
+                        "add columns (use mode='overwrite' to reshape)"
+                    )
+                if new_fields[pname] != ptype:
+                    raise ValueError(
+                        f"append changes column {pname!r} type "
+                        f"{ptype!r} -> {new_fields[pname]!r} — appends may "
+                        "only add columns (use mode='overwrite' to reshape)"
+                    )
             stats = dict(parent_m.get("stats", {}))
             stats.update(new_stats)
             blooms = dict(parent_m.get("blooms", {}))
@@ -451,23 +507,20 @@ def read_snapshot(
         files = [f for f in files if survives(f)]
     if equals:
         blooms = m.get("blooms", {})
-        pos: dict[str, set[int]] = {}
-        for c, val in equals.items():
-            conf = next(
-                (
-                    blooms[f][c]
-                    for f in files
-                    if c in blooms.get(f, {})
-                ),
-                None,
-            )
-            if conf is not None:
-                pos[c] = set(_bloom_positions(spark, val, conf))
+        # positions are computed PER (column, m, k): files bloomed under
+        # different geometries (bloom_bits changed between appends) each
+        # get probes under their own modulus — never another file's
+        pos: dict[tuple, set[int]] = {}
 
         def survives_bloom(rel: str) -> bool:
-            for c in equals:
+            for c, val in equals.items():
                 b = blooms.get(rel, {}).get(c)
-                if b is not None and c in pos and not pos[c] <= set(b["bits"]):
+                if b is None:
+                    continue
+                key = (c, b["m"], b["k"])
+                if key not in pos:
+                    pos[key] = set(_bloom_positions(spark, val, b))
+                if not pos[key] <= set(b["bits"]):
                     return False
             return True
 
@@ -538,7 +591,9 @@ def version_as_of(table_dir: str, ts: float) -> int:
     return best
 
 
-def vacuum_expired(table_dir: str, retain_seconds: float) -> list[str]:
+def vacuum_expired(
+    table_dir: str, retain_seconds: float, min_age_seconds: float = 600.0
+) -> list[str]:
     """Time-based retention: keep the head plus every snapshot published
     within the last ``retain_seconds``; vacuum the rest. The GDPR
     companion to ``delete_from_snapshot`` — erasure completes once the
@@ -553,7 +608,9 @@ def vacuum_expired(table_dir: str, retain_seconds: float) -> list[str]:
         if _load_manifest(table_dir, v).get("created_at", 0.0) >= cutoff
     ]
     keep_last = max(len(keep), 1)  # never vacuum the head
-    return vacuum(table_dir, keep_last=keep_last)
+    return vacuum(
+        table_dir, keep_last=keep_last, min_age_seconds=min_age_seconds
+    )
 
 
 def rollback(table_dir: str, version: int) -> int:
@@ -572,6 +629,81 @@ def rollback(table_dir: str, version: int) -> int:
             src.get("blooms", {}),
         ),
     )
+
+
+def _prune_by_key_range(
+    m: dict, prune_col: str, key_vals: list
+) -> tuple[list[str], list[str]]:
+    """(affected, kept) split of a manifest's files: a file is affected
+    iff its recorded [min, max] for ``prune_col`` can contain any of the
+    sorted ``key_vals`` — or it has no stats (conservative)."""
+    from bisect import bisect_left
+
+    stats = m.get("stats", {})
+    affected, kept = [], []
+    for rel in m["files"]:
+        rng = stats.get(rel, {}).get(prune_col)
+        if rng is None:
+            affected.append(rel)  # no stats → cannot exclude
+            continue
+        lo, hi = rng
+        i = bisect_left(key_vals, lo)
+        (affected if i < len(key_vals) and key_vals[i] <= hi else kept).append(
+            rel
+        )
+    return affected, kept
+
+
+def _rewrite_files_fn(
+    table_dir: str,
+    m: dict,
+    op: str,
+    kept: list[str],
+    new_files: list[str],
+    new_stats: dict,
+    new_blooms: dict,
+):
+    """files_fn for a keyed rewrite (MERGE/DELETE): carries the kept
+    files' stats/blooms forward, appends the rewrite's, and aborts if
+    the head moved since planning (a concurrent writer's files must not
+    be silently dropped)."""
+    kept_set = set(kept)
+
+    def files_fn(parent_m):
+        if parent_m is not None and parent_m["version"] != m["version"]:
+            raise RuntimeError(
+                f"concurrent write to {table_dir}: {op} planned against "
+                f"v{m['version']} but head is v{parent_m['version']} — rerun"
+            )
+        stats_out = {
+            rel: s for rel, s in m.get("stats", {}).items() if rel in kept_set
+        }
+        stats_out.update(new_stats)
+        blooms_out = {
+            rel: b
+            for rel, b in m.get("blooms", {}).items()
+            if rel in kept_set
+        }
+        blooms_out.update(new_blooms)
+        return kept + new_files, stats_out, blooms_out
+
+    return files_fn
+
+
+def _reject_null_keys(keys: DataFrame, key_cols: list[str], op: str) -> None:
+    """NULL keys make keyed DML ambiguous twice over: SQL null-join
+    semantics never match them (the anti-join would keep the old row AND
+    insert the new), and range pruning can't order them. Refuse loudly."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for c in key_cols:
+        cond = F.col(c).isNull() if cond is None else cond | F.col(c).isNull()
+    if keys.filter(cond).limit(1).count():
+        raise ValueError(
+            f"{op} keys must be non-null: null values in {key_cols} never "
+            "match under SQL join semantics and would duplicate rows"
+        )
 
 
 def merge_into_snapshot(
@@ -598,8 +730,6 @@ def merge_into_snapshot(
     key column's values are collected for pruning. Returns
     ``{version, matched, inserted, files_rewritten, files_total}``.
     """
-    from bisect import bisect_left
-
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     head = _latest(table_dir)
@@ -634,20 +764,12 @@ def merge_into_snapshot(
 
     src = source.select(*target_cols).localCheckpoint(eager=True)
     keys = src.select(*key_cols)
+    _reject_null_keys(keys, key_cols, "MERGE")
     prune_col = key_cols[0]
     key_vals = sorted(
         r[0] for r in src.select(prune_col).distinct().collect()
     )
-    stats = m.get("stats", {})
-    affected, kept = [], []
-    for rel in m["files"]:
-        rng = stats.get(rel, {}).get(prune_col)
-        if rng is None:
-            affected.append(rel)  # no stats → cannot exclude
-            continue
-        lo, hi = rng
-        i = bisect_left(key_vals, lo)
-        (affected if i < len(key_vals) and key_vals[i] <= hi else kept).append(rel)
+    affected, kept = _prune_by_key_range(m, prune_col, key_vals)
 
     from pyspark.sql import functions as F
 
@@ -667,25 +789,9 @@ def merge_into_snapshot(
     new_blooms = _build_blooms(
         spark, table_dir, new_files, _bloom_conf_of(m)
     )
-
-    def files_fn(parent_m):
-        if parent_m is not None and parent_m["version"] != m["version"]:
-            raise RuntimeError(
-                f"concurrent write to {table_dir}: MERGE planned against "
-                f"v{m['version']} but head is v{parent_m['version']} — rerun"
-            )
-        stats_out = {
-            rel: s for rel, s in stats.items() if rel in set(kept)
-        }
-        stats_out.update(new_stats)
-        blooms_out = {
-            rel: b
-            for rel, b in m.get("blooms", {}).items()
-            if rel in set(kept)
-        }
-        blooms_out.update(new_blooms)
-        return kept + new_files, stats_out, blooms_out
-
+    files_fn = _rewrite_files_fn(
+        table_dir, m, "MERGE", kept, new_files, new_stats, new_blooms
+    )
     v = _publish(table_dir, "merge", m["schema"], files_fn, commit_key)
     return {
         "version": v,
@@ -711,8 +817,6 @@ def delete_from_snapshot(
     until ``vacuum``, GDPR erasure is only complete after vacuuming past
     the deleting commit, which this returns the version of.
     """
-    from bisect import bisect_left
-
     from pyspark.sql import functions as F
 
     if not key_cols:
@@ -727,18 +831,10 @@ def delete_from_snapshot(
             return {"version": existing, "deleted": 0, "files_rewritten": 0,
                     "files_total": len(m["files"]), "idempotent_skip": True}
     keys = source_keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    _reject_null_keys(keys, key_cols, "DELETE")
     prune_col = key_cols[0]
     key_vals = sorted(r[0] for r in keys.select(prune_col).collect())
-    stats = m.get("stats", {})
-    affected, kept = [], []
-    for rel in m["files"]:
-        rng = stats.get(rel, {}).get(prune_col)
-        if rng is None:
-            affected.append(rel)
-            continue
-        lo, hi = rng
-        i = bisect_left(key_vals, lo)
-        (affected if i < len(key_vals) and key_vals[i] <= hi else kept).append(rel)
+    affected, kept = _prune_by_key_range(m, prune_col, key_vals)
     if not affected:
         return {"version": head, "deleted": 0, "files_rewritten": 0,
                 "files_total": len(m["files"])}
@@ -753,22 +849,9 @@ def delete_from_snapshot(
     new_blooms = _build_blooms(
         spark, table_dir, new_files, _bloom_conf_of(m)
     )
-
-    def files_fn(parent_m):
-        if parent_m is not None and parent_m["version"] != m["version"]:
-            raise RuntimeError(
-                f"concurrent write to {table_dir}: DELETE planned against "
-                f"v{m['version']} but head is v{parent_m['version']} — rerun"
-            )
-        stats_out = {rel: s for rel, s in stats.items() if rel in set(kept)}
-        stats_out.update(new_stats)
-        blooms_out = {
-            rel: b
-            for rel, b in m.get("blooms", {}).items()
-            if rel in set(kept)
-        }
-        blooms_out.update(new_blooms)
-        return kept + new_files, stats_out, blooms_out
+    files_fn = _rewrite_files_fn(
+        table_dir, m, "DELETE", kept, new_files, new_stats, new_blooms
+    )
 
     v = _publish(table_dir, "delete", m["schema"], files_fn, commit_key)
     return {
@@ -887,12 +970,29 @@ def publish_staged(
     """WAP step 3: atomically promote the staged batch into the version
     chain (same O_EXCL publish as commit — concurrent appends that
     landed since staging are preserved under append mode). The staged
-    marker is removed on success."""
+    marker is removed on success.
+
+    Idempotent by default: the publish carries ``commit_key =
+    "staged:<name>"`` unless overridden, so a crash between publish and
+    marker removal (or a concurrent double publish) re-resolves to the
+    already-published version instead of appending the same files twice.
+    """
     p = _staged_path(table_dir, name)
+    key = commit_key if commit_key is not None else f"staged:{name}"
     if not os.path.exists(p):
+        # marker already consumed — a completed publish (possibly ours,
+        # retried after a crash) is fine; anything else is an error
+        existing = _find_commit_key(table_dir, key)
+        if existing is not None:
+            return existing
         raise ValueError(f"no staged batch {name!r} under {table_dir}")
     with open(p) as f:
         st = json.load(f)
+    if _find_commit_key(table_dir, key) is not None:
+        raise ValueError(
+            f"batch name {name!r} was already published once — staged names "
+            "must be unique per publish (or pass an explicit commit_key)"
+        )
 
     def files_fn(parent_m):
         if st["mode"] == "append" and parent_m is not None:
@@ -904,10 +1004,11 @@ def publish_staged(
             )
         return list(st["files"]), dict(st.get("stats", {}))
 
-    v = _publish(
-        table_dir, f"publish_{st['mode']}", st["schema"], files_fn, commit_key
-    )
-    os.remove(p)
+    v = _publish(table_dir, f"publish_{st['mode']}", st["schema"], files_fn, key)
+    try:
+        os.remove(p)
+    except FileNotFoundError:
+        pass  # concurrent publisher of the same batch already cleaned up
     return v
 
 
@@ -920,12 +1021,21 @@ def drop_staged(table_dir: str, name: str) -> None:
     os.remove(p)
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str, keep_last: int = 1, min_age_seconds: float = 600.0
+) -> list[str]:
     """Delete data files referenced by NO kept version and no staged
     (pre-publish) batch — the newest ``keep_last`` snapshots survive;
     older manifests are dropped too. Also sweeps unreferenced files from
-    crashed commits and dropped WAP batches. Returns deleted paths
-    (relative)."""
+    crashed commits (including orphaned ``_staging_*`` dirs) and dropped
+    WAP batches. Returns deleted paths (relative).
+
+    ``min_age_seconds``: an unreferenced file younger than this is left
+    alone — it may belong to an IN-FLIGHT commit whose data files are
+    already renamed into ``data/`` but whose manifest hasn't published
+    yet (the same writer/vacuum race Delta guards with its retention
+    window). Pass 0 only when no writer can be active.
+    """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (never vacuum the head)")
     vs = versions(table_dir)
@@ -941,14 +1051,25 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
             if f.endswith(".json"):
                 with open(os.path.join(staged_dir, f)) as fh:
                     live.update(json.load(fh)["files"])
+    cutoff = time.time() - min_age_seconds
     deleted = []
     data_dir = os.path.join(table_dir, _DATA_DIR)
     if os.path.isdir(data_dir):
         for f in sorted(os.listdir(data_dir)):
             rel = f"{_DATA_DIR}/{f}"
-            if rel not in live:
-                os.remove(os.path.join(data_dir, f))
+            full = os.path.join(data_dir, f)
+            if rel not in live and os.path.getmtime(full) <= cutoff:
+                os.remove(full)
                 deleted.append(rel)
+    for entry in os.listdir(table_dir):
+        full = os.path.join(table_dir, entry)
+        if (
+            entry.startswith("_staging_")
+            and os.path.isdir(full)
+            and os.path.getmtime(full) <= cutoff
+        ):
+            shutil.rmtree(full)
+            deleted.append(entry)
     for v in vs[:-keep_last]:
         os.remove(_snap_path(table_dir, v))
     return deleted

@@ -101,7 +101,7 @@ def test_vacuum_drops_dead_files_and_orphans(spark, tmp_path):
     # orphan from a crashed commit: written to data/ but never published
     orphan = os.path.join(d, "data", "deadbeef-part-orphan.parquet")
     open(orphan, "wb").close()
-    deleted = S.vacuum(d, keep_last=1)
+    deleted = S.vacuum(d, keep_last=1, min_age_seconds=0)
     assert "data/deadbeef-part-orphan.parquet" in deleted
     assert len(deleted) >= 2  # v1's file(s) + the orphan
     assert S.read_snapshot(spark, d).count() == 2
@@ -271,11 +271,11 @@ def test_as_of_timestamp_and_retention(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         S.read_snapshot(spark, d, version=1, as_of=0)
     # retention: 1h window keeps v2+v3; v1's manifest goes
-    S.vacuum_expired(d, retain_seconds=3000)
+    S.vacuum_expired(d, retain_seconds=3000, min_age_seconds=0)
     assert S.versions(d) == [2, 3]
     assert S.read_snapshot(spark, d, version=2).count() == 5
     # tiny window: head only survives
-    S.vacuum_expired(d, retain_seconds=0.0)
+    S.vacuum_expired(d, retain_seconds=0.0, min_age_seconds=0)
     assert S.versions(d) == [3]
     assert S.read_snapshot(spark, d).count() == 1
 
@@ -451,7 +451,7 @@ def test_wap_stage_audit_publish(spark, tmp_path):
     report = check_expectations(S.read_staged(spark, d, "b1"), rules)
     assert violations(report) == ["ids_ok"]
     S.drop_staged(d, "b1")
-    swept = S.vacuum(d, keep_last=1)
+    swept = S.vacuum(d, keep_last=1, min_age_seconds=0)
     assert len(swept) >= 1  # the bad batch's file(s)
     assert S.read_snapshot(spark, d).count() == 10
 
@@ -472,7 +472,7 @@ def test_wap_staged_files_survive_vacuum_until_dropped(spark, tmp_path):
     d = str(tmp_path / "t")
     S.commit(_batch(spark, 0, 5), d)
     S.stage(_batch(spark, 5, 8), d, "pending")
-    assert S.vacuum(d, keep_last=1) == []  # staged files are live
+    assert S.vacuum(d, keep_last=1, min_age_seconds=0) == []  # staged files are live
     assert S.publish_staged(d, "pending") == 2
     assert S.read_snapshot(spark, d).count() == 8
 
@@ -576,7 +576,7 @@ def test_vacuum_keep_last_preserves_time_travel(spark, tmp_path):
     S.commit(_df(spark, 0, 5), d)
     S.commit(_df(spark, 100, 102), d, mode="overwrite")
     S.commit(_df(spark, 200, 204), d, mode="overwrite")
-    S.vacuum(d, keep_last=2)
+    S.vacuum(d, keep_last=2, min_age_seconds=0)
     assert S.versions(d) == [2, 3]
     assert S.read_snapshot(spark, d, version=2).count() == 2
     assert S.read_snapshot(spark, d, version=3).count() == 4

@@ -68,7 +68,7 @@ def test_wap_workflow_rejects_bad_batch(spark, tmp_path):
     # table and view untouched; staged marker gone; files sweepable
     assert S.read_snapshot(spark, table).count() == 1
     assert S.read_snapshot(spark, view).count() == 1
-    assert len(S.vacuum(table, keep_last=1)) >= 1  # the dropped batch's files
+    assert len(S.vacuum(table, keep_last=1, min_age_seconds=0)) >= 1  # the dropped batch's files
     # and the same batch name is reusable after the drop
     good2 = _land(spark, tmp_path, "bad2", [(7, 70)])
     assert runner.run(params={"sourcePath": good2, "batch": "bad"}) == (
