@@ -145,3 +145,23 @@ def test_equidepth_approx_no_global_sort_and_bounded_error(spark, sf_dir):
     ordered = [got[b] for b in sorted(got)]
     for lo_r, hi_r in zip(ordered, ordered[1:]):
         assert lo_r["hi"] <= hi_r["lo"]
+
+
+def test_sft_render_is_shuffle_free(spark, sf_dir):
+    """Prompt rendering must be scan → project only: any Exchange in a
+    row-wise string assembly is a plan regression."""
+    from etl_workflows_spark.queries.llm import sft_render_docs
+
+    plan = _plan(sft_render_docs(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan  # pure Catalyst, no Python
+
+
+def test_rerank_touches_corpus_via_semi_join(spark, sf_dir):
+    """Stage-2 rerank must reach document text through a broadcast join
+    driven by the candidate ids — never a second full-corpus shuffle."""
+    from etl_workflows_spark.queries.llm import rerank_bm25_topk
+
+    plan = _plan(rerank_bm25_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
