@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 # --- shared shingle / signature expressions --------------------------------
@@ -143,6 +144,44 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame, text_col: str = "text", scheme: str = "inverse"
+) -> DataFrame:
+    """Duplicate-aware sampling weights instead of removal (soft dedup,
+    cf. SoftDeDup, ACL 2024: down-weighting repeated text beats dropping
+    it when duplicates carry signal about natural data frequency).
+
+    Appends (n_copies, weight) to every row, keyed on the exact md5
+    fingerprint of ``text_col``:
+
+    - ``scheme='inverse'`` — weight 1/n: every DISTINCT text contributes
+      total mass 1 regardless of copy count (the hard-dedup equilibrium,
+      but spread over all copies so shard-local sampling stays uniform).
+    - ``scheme='sqrt'`` — weight 1/sqrt(n): duplicated text keeps extra
+      mass sqrt(n), a soft prior that frequent text is somewhat more
+      valuable (the usual temperature-style compromise).
+
+    Scale shape: ONE shuffle — a count window partitioned by the
+    fingerprint (groupBy + join-back would pay the fingerprint shuffle
+    twice). Weights are 1/n with n an exact count, so values are
+    correctly-rounded IEEE doubles — bit-identical on any engine, which
+    keeps the operator value-hash oracle-checkable.
+
+    Net-new operator (no reference counterpart; north-star mandate
+    SURVEY.md §2.7).
+    """
+    if scheme not in ("inverse", "sqrt"):
+        raise ValueError(f"scheme must be 'inverse' or 'sqrt', got {scheme!r}")
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy(F.md5(F.col(text_col)))
+    )
+    w = (
+        F.lit(1.0) / n if scheme == "inverse"
+        else F.lit(1.0) / F.sqrt(n.cast("double"))
+    )
+    return docs.withColumn("n_copies", n).withColumn("weight", w)
 
 
 def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -137,6 +137,23 @@ FROM documents GROUP BY MD5(text)
 """
 
 
+def soft_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (operators/dedup.py soft_dedup_weights): per-doc
+    sampling weight 1/n_copies over exact-duplicate groups — down-weight
+    repeated text instead of dropping it. One fingerprint-window shuffle."""
+    return dedup.soft_dedup_weights(
+        table(spark, sf_dir, "documents")
+    ).select("doc_id", "n_copies", "weight")
+
+
+_SOFT_DEDUP_ORACLE = """
+SELECT doc_id,
+       COUNT(*) OVER (PARTITION BY MD5(text)) AS n_copies,
+       CAST(1 AS DOUBLE) / COUNT(*) OVER (PARTITION BY MD5(text)) AS weight
+FROM documents
+"""
+
+
 # DuckDB shingle expression shared by the near-dup / minhash oracles:
 # distinct 3-token shingles, 1-indexed lists.
 _SHINGLES_CTE = """
@@ -2455,6 +2472,7 @@ QUERIES = {
     "token_frequencies": token_frequencies,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
+    "soft_dedup_docs": soft_dedup_docs,
     "near_dup_jaccard": near_dup_jaccard,
     "near_dup_prefix_filter": near_dup_prefix_filter,
     "split_leakage_audit": split_leakage_audit,
@@ -2531,6 +2549,7 @@ ORACLE_SQL = {
     "token_frequencies": _TOKEN_FREQ_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "soft_dedup_docs": _SOFT_DEDUP_ORACLE,
     "near_dup_jaccard": _NEAR_DUP_ORACLE,
     "near_dup_prefix_filter": _NEAR_DUP_ORACLE.replace("0.5", "0.8"),
     "split_leakage_audit": _LEAKAGE_AUDIT_ORACLE,

@@ -31,6 +31,25 @@ def test_drop_exact_duplicates(spark):
     assert kept == {1, 2, 3, 5}
 
 
+def test_soft_dedup_weights(spark):
+    import math
+
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.soft_dedup_weights(_docs(spark)).collect()
+    }
+    assert rows[1]["n_copies"] == 2 and rows[4]["n_copies"] == 2
+    assert rows[1]["weight"] == 0.5 and rows[4]["weight"] == 0.5
+    assert rows[3]["n_copies"] == 1 and rows[3]["weight"] == 1.0
+    # total mass == number of DISTINCT texts (the hard-dedup equilibrium)
+    assert sum(r["weight"] for r in rows.values()) == 4.0
+    sq = {
+        r["doc_id"]: r["weight"]
+        for r in dedup.soft_dedup_weights(_docs(spark), scheme="sqrt").collect()
+    }
+    assert sq[1] == 1.0 / math.sqrt(2.0) and sq[3] == 1.0
+
+
 def test_near_dup_exact_finds_planted_pair(spark):
     pairs = dedup.near_dup_pairs_exact(_docs(spark), threshold=0.5).collect()
     by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
