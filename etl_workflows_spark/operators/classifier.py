@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_workflows_spark.operators.text import (
     distinct_token_count,
@@ -161,9 +162,18 @@ def quality_filter(
     labeled = weak_labels(feats, text_col, **label_kwargs)
     train = labeled
     if sample_fraction is not None:
+        # The sample is small by design (the model needs thousands of
+        # rows, not billions), but training makes ~max_iter passes over
+        # it (scaler fit + one treeAggregate per L-BFGS iteration).
+        # Materialize it ONCE into a handful of partitions: every fit
+        # pass then runs a few tasks over cached rows instead of
+        # re-running the feature/label DAG across the full corpus's
+        # partitioning. Scoring below stays a full distributed pass.
         train = labeled.filter(
             F.pmod(F.xxhash64("doc_id"), 1000) < int(sample_fraction * 1000)
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     model = train_quality_model(train, max_iter=max_iter)
+    if sample_fraction is not None:
+        train.unpersist()
     scored = score_quality(model, feats)
     return scored.filter(F.col("quality_prob") >= threshold), model

@@ -69,3 +69,80 @@ def pack_sequences(
         F.floor(start / budget).alias("pack_id"),
         (start % budget).alias("pack_offset"),
     )
+
+
+def token_balanced_shards(
+    docs: DataFrame,
+    budget: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign every document a ``shard_id`` so each output shard carries
+    ~``budget`` tokens — the dataloader contract ("1024 shards of ~100M
+    tokens each"), documents kept whole: shard k covers the cumulative
+    token interval [k·budget, (k+1)·budget) in global ``key_col`` order,
+    and a document belongs to the shard where its FIRST token lands, so
+    per-shard totals deviate from ``budget`` by less than one document.
+
+    Scale shape: the global running total comes from
+    ``ordering.global_cumsum`` (per-bucket sums + driver offsets + a
+    bucket-partitioned window — no single-partition ORDER BY); the
+    output is (key, n_tokens, shard_id), ready for a
+    ``partitionBy('shard_id')`` write. Deterministic and exact, so the
+    assignment is SQL-oracle-checkable against the one-reducer
+    ``SUM() OVER (ORDER BY key)`` form.
+    """
+    from etl_workflows_spark.operators.ordering import (
+        global_cumsum,
+        numeric_cut_buckets,
+    )
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    d = docs.select(
+        key_col, token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    cum = global_cumsum(
+        d,
+        [key_col],
+        "n_tokens",
+        numeric_cut_buckets(d, key_col, n_buckets),
+        out_col="__cum",
+    )
+    return cum.select(
+        key_col,
+        "n_tokens",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / budget)
+        .cast("int")
+        .alias("shard_id"),
+    )
+
+
+def write_token_balanced_shards(
+    docs: DataFrame,
+    path: str,
+    budget: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize token-balanced shards: join the shard assignment back
+    (one shuffle on ``key_col``) and write parquet partitioned by
+    ``shard_id`` — each shard directory is one ~``budget``-token unit a
+    dataloader worker claims whole. Returns the shard manifest
+    (shard_id, n_docs, n_tokens) computed from the written relation.
+    """
+    assigned = token_balanced_shards(
+        docs, budget, key_col=key_col, text_col=text_col
+    )
+    full = docs.join(assigned, key_col)
+    full.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    spark = docs.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

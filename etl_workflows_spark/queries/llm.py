@@ -154,6 +154,29 @@ FROM documents
 """
 
 
+def token_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (operators/packing.py
+    token_balanced_shards): every doc lands in the shard whose
+    1000-token cumulative interval contains its first token — global
+    prefix sum via per-bucket offsets, no single-partition ORDER BY."""
+    from etl_workflows_spark.operators.packing import token_balanced_shards
+
+    return token_balanced_shards(
+        table(spark, sf_dir, "documents"), budget=1000
+    )
+
+
+_TOKEN_SHARDS_ORACLE = """
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(
+         (SUM(LEN(STRING_SPLIT(text, ' '))) OVER (ORDER BY doc_id)
+          - LEN(STRING_SPLIT(text, ' '))) / 1000
+       ) AS INTEGER) AS shard_id
+FROM documents
+"""
+
+
 # DuckDB shingle expression shared by the near-dup / minhash oracles:
 # distinct 3-token shingles, 1-indexed lists.
 _SHINGLES_CTE = """
@@ -2473,6 +2496,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "soft_dedup_docs": soft_dedup_docs,
+    "token_shards_docs": token_shards_docs,
     "near_dup_jaccard": near_dup_jaccard,
     "near_dup_prefix_filter": near_dup_prefix_filter,
     "split_leakage_audit": split_leakage_audit,
@@ -2550,6 +2574,7 @@ ORACLE_SQL = {
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "soft_dedup_docs": _SOFT_DEDUP_ORACLE,
+    "token_shards_docs": _TOKEN_SHARDS_ORACLE,
     "near_dup_jaccard": _NEAR_DUP_ORACLE,
     "near_dup_prefix_filter": _NEAR_DUP_ORACLE.replace("0.5", "0.8"),
     "split_leakage_audit": _LEAKAGE_AUDIT_ORACLE,

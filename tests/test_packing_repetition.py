@@ -85,3 +85,43 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared substring must yield common fingerprints"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_token_balanced_shards_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 500
+    out = packing.token_balanced_shards(docs, budget).collect()
+    assert len(out) == docs.count()
+    # shard of each doc = interval containing its first token, in doc_id order
+    cum = 0
+    by_id = sorted(out, key=lambda r: r["doc_id"])
+    max_doc = max(r["n_tokens"] for r in by_id)
+    totals = {}
+    for r in by_id:
+        assert r["shard_id"] == cum // budget, r
+        cum += r["n_tokens"]
+        totals[r["shard_id"]] = totals.get(r["shard_id"], 0) + r["n_tokens"]
+    # every shard except the last deviates from budget by < one document
+    last = max(totals)
+    for sid, tot in totals.items():
+        if sid != last:
+            assert budget - max_doc < tot < budget + max_doc, (sid, tot)
+
+
+def test_write_token_balanced_shards_roundtrip(spark, tmp_path):
+    rows = [(i, "tok " * (i % 7 + 1) + "end") for i in range(1, 101)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    manifest = {
+        r["shard_id"]: (r["n_docs"], r["n_tokens"])
+        for r in packing.write_token_balanced_shards(
+            docs, str(tmp_path / "shards"), budget=40
+        ).collect()
+    }
+    total_docs = sum(n for n, _ in manifest.values())
+    assert total_docs == 100
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == 100
+    # a dataloader worker reads one shard directory: verify partition dirs
+    import os
+    dirs = [d for d in os.listdir(tmp_path / "shards") if d.startswith("shard_id=")]
+    assert len(dirs) == len(manifest)
