@@ -107,6 +107,10 @@ HEADLINE = [
     "rerank_bm25_topk",
     "sft_render_docs",
     "score_documents_batched",
+    # round-4 continuation: duplicate down-weighting (one fingerprint-
+    # window shuffle), dataloader shard assignment (bucketed prefix sum)
+    "soft_dedup_docs",
+    "token_shards_docs",
 ]
 
 
@@ -150,6 +154,8 @@ SCALED = [
     # under 10× data (the one deliberate mapInPandas hot path)
     "rerank_bm25_topk",
     "score_documents_batched",
+    "soft_dedup_docs",
+    "token_shards_docs",
 ]
 
 
