@@ -174,14 +174,20 @@ def soft_dedup_weights(
     """
     if scheme not in ("inverse", "sqrt"):
         raise ValueError(f"scheme must be 'inverse' or 'sqrt', got {scheme!r}")
-    n = F.count(F.lit(1)).over(
-        Window.partitionBy(F.md5(F.col(text_col)))
+    # materialize the count once, derive the weight from the column —
+    # two .over() expressions plan as two Sort+Exchange+Window pairs
+    # (the second window spec is a fresh md5 instance Catalyst won't
+    # unify), while this shape is the single-window plan
+    counted = docs.withColumn(
+        "n_copies",
+        F.count(F.lit(1)).over(Window.partitionBy(F.md5(F.col(text_col)))),
     )
+    n = F.col("n_copies")
     w = (
         F.lit(1.0) / n if scheme == "inverse"
         else F.lit(1.0) / F.sqrt(n.cast("double"))
     )
-    return docs.withColumn("n_copies", n).withColumn("weight", w)
+    return counted.withColumn("weight", w)
 
 
 def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
