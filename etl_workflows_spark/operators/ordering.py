@@ -123,6 +123,68 @@ def global_ordinals(
     )
 
 
+def global_rank_and_cumsum(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    val_col: str,
+    bucket: Column,
+    ordinal_col: str = "ordinal",
+    cum_col: str = "cumsum",
+    start: int = 1,
+) -> DataFrame:
+    """``global_ordinals`` and ``global_cumsum`` fused: exact dense rank
+    AND exact running total of ``val_col`` in global ``sort_cols`` order,
+    from ONE per-bucket offsets pass (count + sum collected together,
+    bounded by n_buckets rows) and one bucket-partitioned window — the
+    shape for "rank by frequency and accumulate mass" computations
+    (vocabulary coverage curves, Lorenz/Gini audits) that would
+    otherwise pay two offset scans or a single-partition window.
+
+    Same bucket contract as the two parents: a deterministic pure
+    function of the row that coarsens the sort order.
+    """
+    d = df.withColumn("__bucket", bucket)
+    rows = d.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col(val_col)).alias("s")
+    ).collect()
+    if any(r["__bucket"] is None for r in rows):
+        raise ValueError(
+            "global_rank_and_cumsum: bucket expression produced NULL — "
+            "sort keys must be non-null (filter or coalesce them first)"
+        )
+    stats = sorted((r["__bucket"], r["n"], r["s"]) for r in rows)
+    n_off: dict[int, int] = {}
+    s_off: dict[int, int] = {}
+    acc_n, acc_s = start - 1, 0
+    for b, n, s in stats:
+        n_off[b] = acc_n
+        s_off[b] = acc_s
+        acc_n += n
+        acc_s += s or 0
+    if not n_off:
+        return df.withColumn(
+            ordinal_col, F.lit(None).cast("int")
+        ).withColumn(cum_col, F.lit(None).cast("bigint"))
+    n_expr = F.element_at(
+        F.create_map(*[F.lit(x) for bn in n_off.items() for x in bn]),
+        F.col("__bucket"),
+    )
+    s_expr = F.element_at(
+        F.create_map(*[F.lit(x) for bs in s_off.items() for x in bs]),
+        F.col("__bucket"),
+    )
+    w = W.partitionBy("__bucket").orderBy(*[F.col(c) for c in sort_cols])
+    rn = F.row_number().over(w)
+    cum = F.sum(F.col(val_col)).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn(ordinal_col, (rn + n_expr).cast("int"))
+        .withColumn(cum_col, cum + s_expr)
+        .drop("__bucket")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     epoch: int,

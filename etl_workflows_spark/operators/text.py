@@ -605,23 +605,29 @@ def vocab_coverage(
     curve is deterministic.
 
     Scale: the explode collapses map-side to one row per vocabulary term
-    before the shuffle; the global rank window then runs over the
-    VOCABULARY, which is orders of magnitude smaller than the corpus.
-    For a web-scale vocabulary, pre-cut the tail with a min-count floor
-    (every dropped hapax moves coverage by 1/total) before ranking.
+    before the shuffle, and rank + cumulative mass come from
+    ``ordering.global_rank_and_cumsum`` (per-bucket offsets + a
+    bucket-partitioned window) — NO single-partition window even when
+    the vocabulary itself is web-scale (billions of long-tail types).
+    The frequency table is checkpointed once (vocabulary-sized, bounded)
+    so the offsets pass and the final pass don't re-explode the corpus;
+    its blocks free via the ContextCleaner once the result is dropped.
     """
-    from pyspark.sql.window import Window as _W
-
-    tc = token_frequencies(docs, text_col)
-    w = _W.orderBy(F.desc("freq"), F.asc("token"))
-    ranked = tc.select(
-        "token",
-        "freq",
-        F.row_number().over(w).cast("bigint").alias("rank"),
-        F.sum("freq")
-        .over(w.rowsBetween(_W.unboundedPreceding, 0))
-        .alias("cum"),
+    from etl_workflows_spark.operators.ordering import (
+        global_rank_and_cumsum,
+        numeric_cut_buckets,
     )
+
+    tc = token_frequencies(docs, text_col).localCheckpoint(eager=True)
+    t2 = tc.withColumn("__nf", -F.col("freq"))
+    ranked = global_rank_and_cumsum(
+        t2,
+        ["__nf", "token"],
+        "freq",
+        numeric_cut_buckets(t2, "__nf", 64),
+        ordinal_col="rank",
+        cum_col="cum",
+    ).drop("__nf")
     tot = tc.agg(F.sum("freq").alias("total"))
     thr = docs.sparkSession.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
@@ -635,7 +641,7 @@ def vocab_coverage(
         )
         .groupBy("threshold")
         .agg(
-            F.min("rank").alias("vocab_size"),
+            F.min("rank").cast("bigint").alias("vocab_size"),
             F.round(
                 F.min_by("cum", "rank").cast("double")
                 / F.min("total").cast("double"),

@@ -8,6 +8,7 @@ from pyspark.sql.window import Window as W
 from etl_workflows_spark.operators.ordering import (
     epoch_shuffle,
     global_ordinals,
+    global_rank_and_cumsum,
     hash_prefix_bucket,
     numeric_cut_buckets,
     shard_for_epoch,
@@ -30,6 +31,26 @@ def test_ordinals_match_naive_window_with_duplicates(spark):
     )
     joined = out.join(naive, ["k", "v"])
     assert joined.filter(F.col("ordinal") != F.col("expect")).count() == 0
+
+
+def test_rank_and_cumsum_match_naive_window(spark):
+    rows = [Row(k=i, v=5.0 if i % 2 == 0 else float(i % 7), m=i % 11 + 1)
+            for i in range(400)]
+    df = spark.createDataFrame(rows).repartition(8)
+    out = global_rank_and_cumsum(
+        df, ["v", "k"], "m", numeric_cut_buckets(df, "v", 8)
+    )
+    w = W.orderBy("v", "k")
+    naive = df.withColumn("er", F.row_number().over(w)).withColumn(
+        "ec", F.sum("m").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    joined = out.join(naive, ["k", "v", "m"])
+    assert joined.count() == 400
+    assert joined.filter(
+        (F.col("ordinal") != F.col("er")) | (F.col("cumsum") != F.col("ec"))
+    ).count() == 0
+    # and the fused plan stays bucket-partitioned
+    assert "SinglePartition" not in _executed_plan(out)
 
 
 def test_ordinals_dense_and_start_offset(spark):
