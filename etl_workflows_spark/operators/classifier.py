@@ -165,13 +165,18 @@ def quality_filter(
         # The sample is small by design (the model needs thousands of
         # rows, not billions), but training makes ~max_iter passes over
         # it (scaler fit + one treeAggregate per L-BFGS iteration).
-        # Materialize it ONCE into a handful of partitions: every fit
-        # pass then runs a few tasks over cached rows instead of
-        # re-running the feature/label DAG across the full corpus's
-        # partitioning. Scoring below stays a full distributed pass.
-        train = labeled.filter(
-            F.pmod(F.xxhash64("doc_id"), 1000) < int(sample_fraction * 1000)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # Cache it ONCE in a handful of partitions: repartition (not
+        # coalesce — coalesce would propagate upstream and serialize the
+        # full-corpus feature scan) so every fit pass runs a few tasks
+        # over cached rows instead of one task per corpus partition.
+        # Scoring below stays a full distributed pass.
+        train = (
+            labeled.filter(
+                F.pmod(F.xxhash64("doc_id"), 1000) < int(sample_fraction * 1000)
+            )
+            .repartition(8)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     model = train_quality_model(train, max_iter=max_iter)
     if sample_fraction is not None:
         train.unpersist()

@@ -93,34 +93,18 @@ def global_ordinals(
     input once; bucket being value-determined makes the two passes agree
     without caching.
     """
-    d = df.withColumn("__bucket", bucket)
-    rows = d.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    if any(r["__bucket"] is None for r in rows):
-        raise ValueError(
-            "global_ordinals: bucket expression produced NULL — sort keys "
-            "must be non-null (filter or coalesce them first)"
-        )
-    counts = sorted((r["__bucket"], r["n"]) for r in rows)
-    offsets: dict[int, int] = {}
-    acc = start - 1
-    for b, n in counts:
-        offsets[b] = acc
-        acc += n
-    if not offsets:
-        return df.withColumn(ordinal_col, F.lit(None).cast("int"))
-    off_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for bn in offsets.items() for x in bn]
-        ),
-        F.col("__bucket"),
+    out = global_rank_and_cumsum(
+        df.withColumn("__ones", F.lit(0)),
+        sort_cols,
+        "__ones",
+        bucket,
+        ordinal_col="__rank64",
+        cum_col="__cum0",
+        start=start,
     )
-    rn = F.row_number().over(
-        W.partitionBy("__bucket").orderBy(*[F.col(c) for c in sort_cols])
-    )
-    return (
-        d.withColumn(ordinal_col, (rn + off_expr).cast("int"))
-        .drop("__bucket")
-    )
+    return out.withColumn(
+        ordinal_col, F.col("__rank64").cast("int")
+    ).drop("__ones", "__rank64", "__cum0")
 
 
 def global_rank_and_cumsum(
@@ -163,7 +147,7 @@ def global_rank_and_cumsum(
         acc_s += s or 0
     if not n_off:
         return df.withColumn(
-            ordinal_col, F.lit(None).cast("int")
+            ordinal_col, F.lit(None).cast("bigint")
         ).withColumn(cum_col, F.lit(None).cast("bigint"))
     n_expr = F.element_at(
         F.create_map(*[F.lit(x) for bn in n_off.items() for x in bn]),
@@ -178,8 +162,10 @@ def global_rank_and_cumsum(
     cum = F.sum(F.col(val_col)).over(
         w.rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # rank stays 64-bit: the fused form exists for corpora where even the
+    # RANKED relation (vocabulary, file list, …) can pass 2^31 rows
     return (
-        d.withColumn(ordinal_col, (rn + n_expr).cast("int"))
+        d.withColumn(ordinal_col, rn.cast("bigint") + n_expr.cast("bigint"))
         .withColumn(cum_col, cum + s_expr)
         .drop("__bucket")
     )
@@ -250,36 +236,10 @@ def global_cumsum(
     changes summation order — use decimal values if bit-exactness across
     plans matters.
     """
-    d = df.withColumn("__bucket", bucket)
-    rows = (
-        d.groupBy("__bucket").agg(F.sum(F.col(val_col)).alias("s")).collect()
+    out = global_rank_and_cumsum(
+        df, sort_cols, val_col, bucket, ordinal_col="__ord0", cum_col=out_col
     )
-    if any(r["__bucket"] is None for r in rows):
-        raise ValueError(
-            "global_cumsum: bucket expression produced NULL — sort keys "
-            "must be non-null (filter or coalesce them first)"
-        )
-    sums = sorted((r["__bucket"], r["s"]) for r in rows)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b, s in sums:
-        offsets[b] = acc
-        acc += s or 0
-    if not offsets:
-        return df.withColumn(out_col, F.lit(None).cast("bigint"))
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for bs in offsets.items() for x in bs]),
-        F.col("__bucket"),
-    )
-    w = (
-        W.partitionBy("__bucket")
-        .orderBy(*[F.col(c) for c in sort_cols])
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        d.withColumn(out_col, F.sum(F.col(val_col)).over(w) + off_expr)
-        .drop("__bucket")
-    )
+    return out.drop("__ord0")
 
 
 def interleave_sources(

@@ -609,16 +609,21 @@ def vocab_coverage(
     ``ordering.global_rank_and_cumsum`` (per-bucket offsets + a
     bucket-partitioned window) — NO single-partition window even when
     the vocabulary itself is web-scale (billions of long-tail types).
-    The frequency table is checkpointed once (vocabulary-sized, bounded)
-    so the offsets pass and the final pass don't re-explode the corpus;
-    its blocks free via the ContextCleaner once the result is dropped.
+    The frequency table is cached (vocabulary-sized, bounded) so the
+    cut-points pass, the offsets pass, and the final pass explode the
+    corpus once, not three times; the cache frees via the ContextCleaner
+    once the result is dropped (lineage is kept, so a caller that holds
+    the plan past an executor-storage eviction just recomputes).
     """
     from etl_workflows_spark.operators.ordering import (
         global_rank_and_cumsum,
         numeric_cut_buckets,
     )
+    from pyspark.storagelevel import StorageLevel
 
-    tc = token_frequencies(docs, text_col).localCheckpoint(eager=True)
+    tc = token_frequencies(docs, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     t2 = tc.withColumn("__nf", -F.col("freq"))
     ranked = global_rank_and_cumsum(
         t2,

@@ -171,7 +171,11 @@ def build_curation_registry(
         return "Success"
 
     def audit_yield(body: dict) -> str:
-        staged_n = S.read_staged(spark, corpus_dir, body["batch"]).count()
+        # the batch ALONE — read_staged's default would fold in the
+        # published head and inflate the ratio on any non-empty corpus
+        staged_n = S.read_staged(
+            spark, corpus_dir, body["batch"], include_head=False
+        ).count()
         landed = ctx.get("landed_n") or 0
         if landed == 0 or staged_n / landed < min_yield:
             raise YieldTooLow()

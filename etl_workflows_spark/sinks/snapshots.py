@@ -943,16 +943,24 @@ def stage(
     return p
 
 
-def read_staged(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+def read_staged(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    include_head: bool = True,
+) -> DataFrame:
     """What the table WOULD be if ``name`` were published now: the staged
-    files, plus (append mode) the current head's files."""
+    files, plus (append mode) the current head's files.
+    ``include_head=False`` reads the staged batch ALONE — for audits whose
+    checks are about the batch itself (row yield, batch-level invariants)
+    rather than the post-publish table state."""
     p = _staged_path(table_dir, name)
     if not os.path.exists(p):
         raise ValueError(f"no staged batch {name!r} under {table_dir}")
     with open(p) as f:
         st = json.load(f)
     files = list(st["files"])
-    if st["mode"] == "append":
+    if st["mode"] == "append" and include_head:
         head = _latest(table_dir)
         if head is not None:
             files = _load_manifest(table_dir, head)["files"] + files

@@ -66,3 +66,22 @@ def test_curation_workflow_rejects_collapsed_batch(spark, tmp_path):
     p2 = _land(spark, tmp_path, "ok", [(7, GOOD)])
     assert runner.run(params={"sourcePath": p2, "batch": "ok"}) == "published ok"
     assert S.read_snapshot(spark, corpus).count() == 1
+
+
+def test_collapsed_batch_rejected_even_on_nonempty_corpus(spark, tmp_path):
+    """The yield audit must judge the BATCH, not the post-publish table:
+    with rows already published, a collapsed batch's ratio would pass if
+    the audit counted staged+head (read_staged's append default)."""
+    corpus, reg = _registry(spark, tmp_path, min_yield=0.5)
+    runner = WorkflowRunner(CURATION_WORKFLOW_YAML, reg)
+    # publish a healthy corpus first (4 surviving docs)
+    good_rows = [(i, GOOD + f" variant {i}") for i in range(1, 5)]
+    p1 = _land(spark, tmp_path, "base", good_rows)
+    assert runner.run(params={"sourcePath": p1, "batch": "base"}) == "published base"
+    assert S.read_snapshot(spark, corpus).count() == 4
+    # collapsed batch: 1 survivor / 4 landed = 0.25 < 0.5 — must reject
+    # even though head(4) + staged(1) over landed(4) would look like 1.25
+    bad = [(10, GOOD + " fresh"), (11, "junk"), (12, "junk"), (13, "junk")]
+    p2 = _land(spark, tmp_path, "bad", bad)
+    assert runner.run(params={"sourcePath": p2, "batch": "bad"}) == "rejected bad"
+    assert S.read_snapshot(spark, corpus).count() == 4
