@@ -106,7 +106,12 @@ def bloom_probe(
         ) != 0
         present = bit if present is None else (present & bit)
     drop = [c for i in range(k) for c in (f"__p{i}", f"__wi{i}", f"__w{i}")]
-    return out.withColumn(out_col, present).drop(*drop)
+    # NULL key ⇒ NULL bit tests ⇒ NULL verdict, which BOTH filter sides
+    # of a firewall split would drop, silently losing the row. A NULL
+    # fingerprint can't certify absence, so it reads "maybe" — the exact
+    # path downstream decides (preserves the no-false-negative contract).
+    verdict = F.when(F.col(key_col).isNull(), F.lit(True)).otherwise(present)
+    return out.withColumn(out_col, verdict).drop(*drop)
 
 
 def bloom_definitely_new(
@@ -155,6 +160,8 @@ bloom AS (
   SELECT pos // {BITS_PER_WORD} AS word_idx,
          BIT_OR(1::BIGINT << CAST(pos % {BITS_PER_WORD} AS INTEGER)) AS word
   FROM positions GROUP BY 1)
-SELECT probe.*, ({" AND ".join(conds)}) AS bloom_maybe
+SELECT probe.*,
+       CASE WHEN {key_expr} IS NULL THEN TRUE
+            ELSE ({" AND ".join(conds)}) END AS bloom_maybe
 FROM probe {" ".join(joins)}
 """

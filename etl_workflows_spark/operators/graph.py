@@ -63,58 +63,19 @@ def pagerank(
     the count of DISTINCT successors). Nodes appearing only as
     destinations still receive rank; nodes with no out-edges contribute
     their mass uniformly to everyone (standard dangling-node fix).
+
+    Bit-identical to :func:`pagerank_weighted` on unit weights over the
+    deduplicated edges (deg == wt, and ``rank * 1 div wt`` is the same
+    integer algebra as ``rank div deg``), so the unweighted form IS that
+    call — one iteration loop to maintain instead of two copies.
     """
-    if iterations < 0:
-        raise ValueError(f"iterations must be >= 0, got {iterations}")
-    damp_num = round(damping * 100)
-    if not 0 <= damp_num <= 100:
-        raise ValueError(f"damping must be in [0, 1], got {damping}")
-    tele_num = 100 - damp_num
-
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    # cut the (possibly deep) upstream lineage once; e is read every iteration
-    e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    return pagerank_weighted(
+        e.withColumn("weight", F.lit(1)),
+        iterations=iterations,
+        damping=damping,
+        scale=scale,
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0).cast("long"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
-
-    r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
-    base = (tele_num * scale) // (100 * n)
-    for _ in range(iterations):
-        dang_row = (
-            r.join(deg, r["node"] == deg["src"], "left_anti")
-            .agg(F.sum("rank").alias("d"))
-            .collect()[0]["d"]
-        )
-        dang_share = (dang_row or 0) // n
-        inflow = (
-            e.join(r, e["src"] == r["node"])
-            .join(deg, "src")
-            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        r = (
-            nodes.join(inflow, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damp_num} * (coalesce(inflow, 0) + {dang_share})) div 100"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return r
 
 
 def pagerank_weighted(
@@ -319,7 +280,7 @@ def pagerank_personalized_oracle_sql(
         p, c = f"r{i}", f"r{i + 1}"
         parts.append(
             f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM {p} "
-            f"WHERE node NOT IN (SELECT src FROM deg)),"
+            f"WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = {p}.node)),"
         )
         parts.append(
             f"{c} AS (SELECT m.node, CAST("
@@ -351,8 +312,9 @@ def pagerank_weighted_oracle_sql(
     damp_num = round(damping * 100)
     tele_num = 100 - damp_num
     parts = [
-        f"WITH edges AS (SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS w "
-        f"FROM ({edges_sql}) WHERE weight > 0 GROUP BY src, dst),",
+        f"WITH edges AS (SELECT src, dst, SUM(w) AS w FROM "
+        f"(SELECT src, dst, CAST(TRUNC(weight) AS BIGINT) AS w "
+        f"FROM ({edges_sql})) WHERE w > 0 GROUP BY src, dst),",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
         "wtot AS (SELECT src, SUM(w) AS wt FROM edges GROUP BY src),",
         "nn AS (SELECT COUNT(*) AS n FROM nodes),",
@@ -362,7 +324,7 @@ def pagerank_weighted_oracle_sql(
         p, c = f"r{i}", f"r{i + 1}"
         parts.append(
             f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM {p} "
-            f"WHERE node NOT IN (SELECT src FROM wtot)),"
+            f"WHERE NOT EXISTS (SELECT 1 FROM wtot WHERE wtot.src = {p}.node)),"
         )
         parts.append(
             f"{c} AS (SELECT n.node, CAST("
@@ -407,7 +369,7 @@ def pagerank_oracle_sql(
         p, c = f"r{i}", f"r{i + 1}"
         parts.append(
             f"d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dang FROM {p} "
-            f"WHERE node NOT IN (SELECT src FROM deg)),"
+            f"WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = {p}.node)),"
         )
         parts.append(
             f"{c} AS (SELECT n.node, CAST("

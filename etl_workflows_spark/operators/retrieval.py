@@ -64,7 +64,11 @@ def bm25_topk(
     )
 
     arr = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__arr")
+        # NULL text → empty doc, not a corrupted corpus: size(split(NULL))
+        # is -1 under Spark's legacy sizeOfNull, which would subtract from
+        # len_sum while still counting the row in N
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__arr"),
     )
     # doc length rides the token explosion — no separate corpus-sized
     # doclen relation to join (or worse, broadcast) later
@@ -200,7 +204,12 @@ def prf_expansion_terms(
     fb_ids = top.select(F.col(id_col))
     fb_toks = (
         docs.join(fb_ids, id_col, "leftsemi")
-        .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .select(
+            id_col,
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("token"),
+        )
     )
     fb_tf = fb_toks.groupBy("token").agg(F.count(F.lit(1)).alias("fb_tf"))
     # corpus df restricted to the feedback vocabulary (broadcast semi)
@@ -209,13 +218,18 @@ def prf_expansion_terms(
         docs.select(
             id_col,
             F.explode(
-                F.array_distinct(F.split(F.col(text_col), " "))
+                F.array_distinct(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                )
             ).alias("token"),
         )
         .join(F.broadcast(vocab), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    # deliberate count(): N is one count-star job over a zero-column scan
+    # (cheapest possible pass); folding it into the corpus_df aggregation
+    # would need a global rollup riding a per-token groupBy — a worse plan
     n_docs = docs.count()
     qset = spark.createDataFrame([(t,) for t in terms], "token string")
     scored = (
@@ -274,12 +288,17 @@ def ranking_agreement(
     """Per-query agreement between two rankers' top-k lists — the eval
     that tells you whether a cheaper ranker can replace an expensive
     one, or how much a fusion moved the ordering. Inputs are
-    (query_id, doc_id, rank) relations (``bm25_topk``/``cosine_rank``/
-    ``rrf_fuse`` shapes). Output per query_id:
+    (query_id, doc_id, rank) relations (``bm25_topk``/``cosine_rank``
+    shapes; for ``rrf_fuse`` output, alias ``fused_rank`` to ``rank``
+    and truncate to k first — fused lists are emitted un-truncated).
+    Output per query_id:
 
     * ``overlap_at_k``   — |A∩B| / k (set agreement, order-blind);
-    * ``footrule_nano``  — Spearman's footrule on the intersection,
-      Σ|rank_a - rank_b| normalized by the max displacement ⌊|I|²/2⌋,
+    * ``footrule_nano``  — Spearman's footrule on the intersection:
+      both rankings are RE-INDEXED within I (positions 1..|I| in each
+      list's original order — raw top-k ranks would blow past the
+      normalizer when the shared docs sit far down one list), then
+      Σ|ia - ib| is normalized by the max displacement ⌊|I|²/2⌋ and
       integerized ×1e9 (exact integer arithmetic end-to-end, so the
       DuckDB twin matches hash-for-hash); NULL when |I| < 2 (footrule
       of an empty/singleton intersection is undefined, not 0 — a
@@ -297,8 +316,17 @@ def ranking_agreement(
         "query_id", F.col(id_col).alias("doc_id"), F.col("rank").alias("rank_b")
     )
     joined = ra.join(rb, ["query_id", "doc_id"])
+    # re-index within the intersection: the windows run over top-k-sized
+    # groups (bounded by k), never the corpus
+    wa = W.partitionBy("query_id").orderBy("rank_a", "doc_id")
+    wb = W.partitionBy("query_id").orderBy("rank_b", "doc_id")
+    joined = joined.select(
+        "query_id",
+        F.row_number().over(wa).alias("ia"),
+        F.row_number().over(wb).alias("ib"),
+    )
     inter = F.count(F.lit(1))
-    fr_raw = F.sum(F.abs(F.col("rank_a") - F.col("rank_b")))
+    fr_raw = F.sum(F.abs(F.col("ia") - F.col("ib")))
     max_disp = F.floor(inter * inter / 2)
     stats = joined.groupBy("query_id").agg(
         (inter.cast("double") / F.lit(float(k))).alias("overlap_at_k"),

@@ -194,14 +194,21 @@ def excise_duplicate_spans(
             ),
         ).alias("__new_text")
     )
+    # join through a reserved temp key: renaming id_col to "doc_id" would
+    # collide (ambiguous reference) when the input carries an unrelated
+    # doc_id column alongside a custom id_col
     out = (
-        docs.withColumnRenamed(id_col, "doc_id")
-        .join(rebuilt, "doc_id", "left")
+        docs.withColumn("__excise_id", F.col(id_col))
+        .join(
+            rebuilt.withColumnRenamed("doc_id", "__excise_id"),
+            "__excise_id",
+            "left",
+        )
         .withColumn(
             text_col, F.coalesce(F.col("__new_text"), F.lit(""))
         )
-        .drop("__new_text")
+        .drop("__new_text", "__excise_id")
     )
     # note: a doc whose every token was excised gets "" via the
     # left-join coalesce, not a dropped row — row count is preserved
-    return out.withColumnRenamed("doc_id", id_col)
+    return out

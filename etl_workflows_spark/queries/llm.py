@@ -1635,12 +1635,22 @@ sem AS (
   FROM semc QUALIFY rank <= 10
 ),
 j AS (
-  SELECT l.query_id, l.rank AS rank_a, s.rank AS rank_b
+  SELECT l.query_id, l.doc_id, l.rank AS rank_a, s.rank AS rank_b
   FROM lex l JOIN sem s ON l.doc_id = s.doc_id
 ),
+ri AS (
+  SELECT query_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rank_a, doc_id
+         ) AS ia,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rank_b, doc_id
+         ) AS ib
+  FROM j
+),
 st AS (
-  SELECT query_id, COUNT(*) AS i, SUM(ABS(rank_a - rank_b)) AS fr
-  FROM j GROUP BY query_id
+  SELECT query_id, COUNT(*) AS i, SUM(ABS(ia - ib)) AS fr
+  FROM ri GROUP BY query_id
 )
 SELECT q.query_id,
        COALESCE(CAST(i AS DOUBLE) / 10.0, 0.0) AS overlap_at_k,

@@ -174,6 +174,15 @@ def test_ranking_agreement_semantics(spark):
     got = ranking_agreement(a, ranks("q", [1, 8, 7, 6]), k=4).first()
     assert got["overlap_at_k"] == 0.25 and got["footrule_nano"] is None
 
+    # shared docs deep in one list: ranks re-index within the
+    # intersection, so the normalized footrule NEVER exceeds 1e9
+    # (raw top-k ranks would give |1-10|+|2-1| = 10 over max_disp 2)
+    k10_a = ranks("q", [1, 2, 101, 102, 103, 104, 105, 106, 107, 108])
+    k10_b = ranks("q", [2, 201, 202, 203, 204, 205, 206, 207, 208, 1])
+    got = ranking_agreement(k10_a, k10_b, k=10).first()
+    assert got["overlap_at_k"] == 0.2
+    assert got["footrule_nano"] == 1_000_000_000
+
 
 def test_prf_expansion_recovers_cooccurring_vocabulary(spark):
     from etl_workflows_spark.operators.retrieval import (
