@@ -79,26 +79,35 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     ≤ k × num_partitions + 1 (the "other" bucket), never the full distinct
     key space.
     """
-    cands = (
-        misra_gries_candidates(df, col, k)
-        .distinct()
-        .withColumnRenamed(col, "__cand")
-    )
-    # Tag rows as their candidate value or NULL via a broadcast left join
-    # (candidates never leave the cluster — at k × num_partitions keys an
-    # isin literal list would be a multi-million-node driver expression
-    # tree at 100 TB), then count per tag: exact candidate frequencies and
-    # (via the grand total) n, one shuffle.
-    tagged = df.select(F.col(col).alias("__v")).join(
-        F.broadcast(cands), F.col("__v") == F.col("__cand"), "left"
-    )
-    counts = tagged.groupBy("__cand").agg(F.count(F.lit(1)).alias("freq"))
+    # counts is tiny (≤ k·partitions + 1 rows) but its lineage is the full
+    # corpus scan — checkpoint before the total collect so the returned
+    # frame doesn't replay the scan for a second full pass
+    counts = _candidate_tag_counts(df, col, k).localCheckpoint(eager=True)
     total = counts.agg(F.sum("freq").alias("n")).collect()[0]["n"] or 0
     return (
         counts.filter(F.col("__cand").isNotNull())
         .filter(F.col("freq") * k > F.lit(total))
         .select(F.col("__cand").alias(col), "freq")
     )
+
+
+def _candidate_tag_counts(df: DataFrame, col: str, k: int) -> DataFrame:
+    """(__cand, freq): exact candidate frequencies plus the NULL "other"
+    bucket, in one shuffle. Rows are tagged as their candidate value or
+    NULL via a broadcast left join — candidates never leave the cluster;
+    at k × num_partitions keys an isin literal list would be a
+    multi-million-node driver expression tree at 100 TB. (Split out so
+    the plan-quality test can assert the broadcast-join shape that
+    heavy_hitters' checkpoint truncates away.)"""
+    cands = (
+        misra_gries_candidates(df, col, k)
+        .distinct()
+        .withColumnRenamed(col, "__cand")
+    )
+    tagged = df.select(F.col(col).alias("__v")).join(
+        F.broadcast(cands), F.col("__v") == F.col("__cand"), "left"
+    )
+    return tagged.groupBy("__cand").agg(F.count(F.lit(1)).alias("freq"))
 
 
 def _batch_candidate_counts(df: DataFrame, col: str, k: int) -> DataFrame:
@@ -265,19 +274,34 @@ def streaming_cms(
     (addition), the maintained sketch equals the batch sketch over the
     full prefix: est_freq answers are IDENTICAL to a from-scratch build,
     which test_streaming_cms_equals_batch asserts across micro-batch
-    boundaries. AvailableNow trigger + checkpoint ⇒ each file counts
-    exactly once."""
+    boundaries.
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    Exactly-once under foreachBatch's at-least-once replay: the state
+    table carries a sentinel row (row = -1, pos = last merged batch id —
+    the bloom-sidecar idiom) written in the SAME overwrite as the
+    counters, so a re-delivered batch id is detected and skipped; the
+    marker and the merge share one atomic(ish) table swap, never two
+    writes that can diverge. Read the counters with
+    :func:`read_cms_state` (strips the sentinel); ``cms_estimate``
+    ignores it naturally (its joins bind row ∈ [0, d))."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         summary = cms_build(batch_df, col, w, d)
         if spark.catalog.tableExists(state_table):
-            merged = cms_merge(spark.table(state_table), summary)
+            cur = spark.table(state_table)
+            done = cur.filter(F.col("row") == -1).select("pos").head()
+            if done is not None and done["pos"] >= batch_id:
+                return  # replayed batch — already merged, no-op
+            merged = cms_merge(cur.filter(F.col("row") >= 0), summary)
         else:
             merged = summary
-        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
-            state_table
+        sentinel = spark.createDataFrame(
+            [(-1, int(batch_id), 0)], merged.schema
         )
+        merged.unionByName(sentinel).localCheckpoint(
+            eager=True
+        ).write.mode("overwrite").saveAsTable(state_table)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -285,6 +309,18 @@ def streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_cms_state(spark, state_table: str) -> DataFrame:
+    """The maintained CMS counters, without the idempotence sentinel."""
+    return spark.table(state_table).filter(F.col("row") >= 0)
+
+
+def read_mg_state(spark, state_table: str) -> DataFrame:
+    """The maintained Misra-Gries summary, without the idempotence
+    sentinel (the NULL-value row carrying the last merged batch id)."""
+    t = spark.table(state_table)
+    return t.filter(F.col(t.columns[0]).isNotNull())
 
 
 def streaming_heavy_hitters(
@@ -306,21 +342,34 @@ def streaming_heavy_hitters(
     Returns the started streaming query (AvailableNow trigger: drains
     what exists, then stops — rerun to process new arrivals; the
     checkpoint makes each file count exactly once).
+
+    Exactly-once under foreachBatch's at-least-once replay: a sentinel
+    row (NULL value, freq = last merged batch id — NULLs can never be
+    real candidates, Misra-Gries excludes them) rides the same overwrite
+    as the summary, so a re-delivered batch id is skipped. Read the
+    summary with :func:`read_mg_state` (strips the sentinel).
     """
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         summary = _batch_candidate_counts(batch_df, col, k)
         if spark.catalog.tableExists(state_table):
-            prev = spark.table(state_table)
+            cur = spark.table(state_table)
+            done = cur.filter(F.col(col).isNull()).select("freq").head()
+            if done is not None and done["freq"] >= batch_id:
+                return  # replayed batch — already merged, no-op
+            prev = cur.filter(F.col(col).isNotNull())
             merged = merge_mg_summaries(prev, summary, col, k)
         else:
             merged = merge_mg_summaries(
                 summary, spark.createDataFrame([], summary.schema), col, k
             )
-        # tiny table (≤ k rows): cut the self-read lineage, then overwrite
-        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
-            state_table
+        sentinel = spark.createDataFrame(
+            [(None, int(batch_id))], merged.schema
         )
+        # tiny table (≤ k rows): cut the self-read lineage, then overwrite
+        merged.unionByName(sentinel).localCheckpoint(
+            eager=True
+        ).write.mode("overwrite").saveAsTable(state_table)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -117,7 +117,19 @@ def refresh_view(
     else:
         delta = S.diff_snapshots(spark, source_dir, last, to_v)
         from_v = last
-    delta_agg = delta.groupBy(*key_cols).agg(*_agg_exprs(measures))
+    # NULL group keys are excluded from maintenance on BOTH paths: the
+    # COW merge rejects them (null-unsafe join keys), so folding them on
+    # the first call only would wedge every later refresh at the first
+    # NULL-key delta — and a NULL key is not a meaningful rollup group
+    for kcol in key_cols:
+        delta = delta.filter(F.col(kcol).isNotNull())
+    # checkpoint: the count below, the bounds collect, and the merge all
+    # read this aggregate — one delta scan instead of three
+    delta_agg = (
+        delta.groupBy(*key_cols)
+        .agg(*_agg_exprs(measures))
+        .localCheckpoint(eager=True)
+    )
     n_keys = delta_agg.count()
     if n_keys == 0:
         return {"up_to_date": True, "view_reflects": to_v}

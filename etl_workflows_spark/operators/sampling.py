@@ -388,15 +388,18 @@ def negative_samples(
     exploded = pairs.select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_rank")
     )
+    # the corpus-contract hash (salted_hash), keyed on query:rank —
+    # byte-identical to hand-building the md5, but there is ONE shared
+    # definition for every sampler's reproducibility claim
     h = F.conv(
         F.substring(
-            F.md5(
+            salted_hash(
                 F.concat(
-                    F.lit(salt + ":"),
                     F.col(query_col).cast("string"),
                     F.lit(":"),
                     F.col("neg_rank").cast("string"),
-                )
+                ),
+                salt,
             ),
             1,
             8,

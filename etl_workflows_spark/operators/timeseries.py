@@ -30,8 +30,11 @@ def ewma(
 ) -> DataFrame:
     """Exponentially weighted moving average per series, in event-time
     order: ``s_0 = x_0; s_t = alpha·x_t + (1-alpha)·s_{t-1}`` (pandas
-    ``ewm(alpha, adjust=False)`` semantics). Output: input rows +
-    ``ewma`` column.
+    ``ewm(alpha, adjust=False)`` semantics). Output is the series
+    projection ``(*key_cols, ts_col, value_col, ewma)`` — extra input
+    columns are dropped (the Arrow-batch schema is fixed up front; join
+    back on the keys if you need them), same contract as
+    ``holt_forecast``.
     """
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")

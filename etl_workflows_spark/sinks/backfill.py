@@ -43,7 +43,13 @@ def backfill_partitions(
     if not values:
         raise ValueError("values must name at least one partition")
     df = rebuild(spark, values).localCheckpoint(eager=True)
-    stray = df.filter(~F.col(partition_col).isin(list(values))).limit(1).collect()
+    # isNull first: ~isin(...) is NULL (not true) for NULL partition
+    # values, which would slip past the guard and land in the Hive
+    # default partition under dynamic overwrite
+    stray = df.filter(
+        F.col(partition_col).isNull()
+        | ~F.col(partition_col).isin(list(values))
+    ).limit(1).collect()
     if stray:
         raise ValueError(
             f"rebuild produced rows outside the requested partitions "

@@ -59,6 +59,18 @@ def zorder_key(
         raise ValueError("zorder_key supports 1-4 clustering columns")
     if bits * len(cols) > 60:
         raise ValueError(f"bits*ndim must fit a long, got {bits}*{len(cols)}")
+    # fail loudly on non-numeric clustering columns: cast('double') on a
+    # string column yields all-NULL min/max and every row would silently
+    # scale to a constant 0 — a "successful" layout job with zero pruning
+    numeric = ("int", "bigint", "smallint", "tinyint", "float", "double",
+               "date", "timestamp", "timestamp_ntz")
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if t not in numeric and not t.startswith("decimal"):
+            raise ValueError(
+                f"zorder_key needs numeric/date columns, got {c}: {t} — "
+                "derive a numeric key first (hash, epoch, length, …)"
+            )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],

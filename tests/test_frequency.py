@@ -79,14 +79,18 @@ def test_heavy_hitters_tags_via_broadcast_join_not_isin_literal(spark):
     """Scale contract: candidate tagging must be a broadcast join, never a
     driver-built isin literal list (k × num_partitions literals at 100 TB
     is a multi-million-node expression tree on the driver)."""
+    from etl_workflows_spark.operators.frequency import _candidate_tag_counts
+
     rows = [(v % 7,) for v in range(5000)]
     df = spark.createDataFrame(rows, "v long").repartition(8)
-    result = heavy_hitters(df, "v", 10)
-    plan = result._jdf.queryExecution().executedPlan().toString()
+    # inspect the tagging stage directly — heavy_hitters checkpoints it,
+    # which truncates the lineage its own plan would show
+    counts = _candidate_tag_counts(df, "v", 10)
+    plan = counts._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # no unbounded literal IN-list over the tag column
     assert "__cand IN (" not in plan and "v IN (" not in plan
-    got = {r["v"] for r in result.collect()}
+    got = {r["v"] for r in heavy_hitters(df, "v", 10).collect()}
     assert got == {i for i in range(7)}
 
 

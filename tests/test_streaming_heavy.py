@@ -5,7 +5,10 @@ file accounting."""
 
 from pyspark.sql import functions as F
 
-from etl_workflows_spark.operators.frequency import streaming_heavy_hitters
+from etl_workflows_spark.operators.frequency import (
+    read_mg_state,
+    streaming_heavy_hitters,
+)
 
 
 def test_streaming_heavy_hitters_multi_batch(spark, tmp_path):
@@ -32,7 +35,7 @@ def test_streaming_heavy_hitters_multi_batch(spark, tmp_path):
     q = streaming_heavy_hitters(stream, "v", k, "hhdb.state", str(tmp_path / "ck"))
     q.awaitTermination(180)
 
-    state = {r["v"]: r["freq"] for r in spark.table("hhdb.state").collect()}
+    state = {r["v"]: r["freq"] for r in read_mg_state(spark, "hhdb.state").collect()}
     assert 0 < len(state) <= k
 
     n = df.count()
@@ -60,8 +63,26 @@ def test_streaming_heavy_hitters_multi_batch(spark, tmp_path):
         str(tmp_path / "ck"),
     )
     q2.awaitTermination(120)
-    after = {r["v"]: r["freq"] for r in spark.table("hhdb.state").collect()}
+    after = {r["v"]: r["freq"] for r in read_mg_state(spark, "hhdb.state").collect()}
     assert after == before
+
+    # at-least-once replay: a FRESH checkpoint re-delivers the same
+    # files under already-merged batch ids — the state sentinel makes
+    # the re-merge a no-op instead of double-counting
+    q3 = streaming_heavy_hitters(
+        spark.readStream.schema("v long").option("maxFilesPerTrigger", 1).parquet(
+            str(src / "part*")
+        ),
+        "v",
+        k,
+        "hhdb.state",
+        str(tmp_path / "ck_replay"),
+    )
+    q3.awaitTermination(120)
+    replayed = {
+        r["v"]: r["freq"] for r in read_mg_state(spark, "hhdb.state").collect()
+    }
+    assert replayed == before
 
 
 def test_streaming_ewma_matches_batch_across_microbatches(spark, tmp_path):
@@ -119,6 +140,7 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
     from etl_workflows_spark.operators.frequency import (
         cms_build,
         cms_estimate,
+        read_cms_state,
         streaming_cms,
     )
 
@@ -140,7 +162,7 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
                       w=256, d=3)
     q.awaitTermination(180)
 
-    maintained = sorted(map(tuple, spark.table("hhdb.cms_state").collect()))
+    maintained = sorted(map(tuple, read_cms_state(spark, "hhdb.cms_state").collect()))
     scratch = sorted(map(tuple, cms_build(df, "tok", w=256, d=3).collect()))
     assert maintained == scratch
 
@@ -160,4 +182,17 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
     q2 = streaming_cms(stream, "tok", "hhdb.cms_state", str(tmp_path / "cms_ck"),
                        w=256, d=3)
     q2.awaitTermination(180)
-    assert sorted(map(tuple, spark.table("hhdb.cms_state").collect())) == scratch
+    assert (
+        sorted(map(tuple, read_cms_state(spark, "hhdb.cms_state").collect()))
+        == scratch
+    )
+
+    # at-least-once replay with a FRESH checkpoint: same files arrive
+    # under already-merged batch ids — the sentinel skips the re-merge
+    q3 = streaming_cms(stream, "tok", "hhdb.cms_state",
+                       str(tmp_path / "cms_ck_replay"), w=256, d=3)
+    q3.awaitTermination(180)
+    assert (
+        sorted(map(tuple, read_cms_state(spark, "hhdb.cms_state").collect()))
+        == scratch
+    )
