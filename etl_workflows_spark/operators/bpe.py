@@ -29,14 +29,17 @@ from typing import List, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.text import tokens as _corpus_tokens
+
 
 def word_frequencies(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """(word, count) over whitespace-split words — the only corpus-sized
-    pass in BPE training."""
+    """(word, count) over corpus-contract words (text.TOKEN_SPLIT_RE —
+    the repo's single tokenization knob) — the only corpus-sized pass in
+    BPE training."""
     return (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        docs.select(F.explode(_corpus_tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -146,7 +149,7 @@ def bpe_encode(
         out_col,
         F.flatten(
             F.transform(
-                F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+                F.filter(_corpus_tokens(F.col(text_col)), lambda w: w != ""),
                 lambda w: _apply_merges_expr(w, merges),
             )
         ),

@@ -44,6 +44,16 @@ def scd2_apply(
       * unchanged      → no-op
       * closed history → untouched, always
     """
+    # fail fast on NULL keys: the full_outer equi-join never matches
+    # NULL = NULL and every output branch requires a non-null side, so a
+    # NULL-key row would be SILENTLY DROPPED from the returned dimension
+    for side, name in ((updates, "updates"), (dim, "dim")):
+        nul = side.filter(F.col(key).isNull()).limit(1).collect()
+        if nul:
+            raise ValueError(
+                f"scd2_apply: NULL {key} in {name} — NULL keys cannot be "
+                "matched and would be silently lost; filter or repair first"
+            )
     history = dim.filter(F.col("valid_to").isNotNull())
     open_rows = dim.filter(F.col("valid_to").isNull())
 
@@ -78,7 +88,7 @@ def scd2_apply(
     return history.unionByName(unchanged).unionByName(closed).unionByName(fresh)
 
 
-def as_of(dim: DataFrame, ts, key: str | None = None) -> DataFrame:
+def as_of(dim: DataFrame, ts) -> DataFrame:
     """Temporal point-in-time view: rows valid at ``ts``."""
     t = F.lit(ts).cast("timestamp")
     return dim.filter(

@@ -71,7 +71,12 @@ def apply_cdc(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    bad = changes.filter(~F.col(op_col).isin(*OPS)).limit(1).collect()
+    # isNull explicitly: ~isin(...) is NULL (filtered out) for a NULL op,
+    # which would bypass the fail-fast AND could shadow a real change for
+    # the same key at a higher version
+    bad = changes.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin(*OPS)
+    ).limit(1).collect()
     if bad:
         raise ValueError(
             f"unknown CDC op {bad[0][op_col]!r}: expected one of {OPS}"
@@ -89,4 +94,10 @@ def apply_cdc(
         out["deleted"] = delete_from(
             spark, target_table, tombstones, key_cols
         )["deleted"]
+    # the merge/delete have fully consumed the collapsed feed — free its
+    # checkpoint blocks NOW instead of waiting out the ContextCleaner
+    # (a cron driver applying batches would otherwise pile one up per run)
+    from etl_workflows_spark.operators.cache import release_checkpoint
+
+    release_checkpoint(final)
     return out

@@ -109,4 +109,13 @@ def enrich_stream(
     dim = spark.table(dim_table)
     if dim_cols is not None:
         dim = dim.select(*keys, *dim_cols)
+    # same guard as operators/scd.temporal_join: a shared non-key column
+    # name would produce ambiguous duplicate columns that only blow up
+    # at stream runtime on the first downstream reference
+    overlap = [c for c in dim.columns if c in events.columns and c not in keys]
+    if overlap:
+        raise ValueError(
+            f"dim columns collide with event columns: {overlap}; pass "
+            "dim_cols or rename before enriching"
+        )
     return events.join(F.broadcast(dim), keys, how)

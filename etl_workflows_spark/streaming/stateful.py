@@ -92,7 +92,9 @@ def _session_fn(gap_ms: int, max_events: int | None, key_name: str):
 
         times: list[int] = []
         for pdf in pdfs:
-            times.extend(int(t) for t in pdf["__ts_ms"])
+            # NULL ts (NaN) has no event-time position — int() would
+            # crash the micro-batch; skip like streaming_ewma does
+            times.extend(int(t) for t in pdf["__ts_ms"] if not pd.isna(t))
         times.sort()
 
         start, last, n = state.get if state.exists else (None, 0, 0)
@@ -175,11 +177,17 @@ def streaming_sessionize_native(
     return (
         ev.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(user_col))
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # session_end = LAST EVENT ts, matching streaming_sessionize
+            # and the batch twin — win.end is last_ts + gap, a different
+            # contract that would silently shift every session by +gap
+            F.max(F.col(ts_col)).alias("session_end"),
+        )
         .select(
             F.col(user_col),
             F.col("win.start").alias("session_start"),
-            F.col("win.end").alias("session_end"),
+            "session_end",
             "n_events",
         )
     )
@@ -247,6 +255,13 @@ def streaming_ewma(
         rows = []
         for pdf in pdfs:
             for t, v in zip(pdf["__ts_ms"], pdf[value_col]):
+                # NULL ts (NaN here) has no event-time position — int()
+                # would crash the whole micro-batch; NULL value would
+                # poison the recursion with NaN FOREVER (NaN is not None,
+                # so it would be persisted as state). Both are skipped:
+                # a row without a time or a value is not an observation.
+                if pd.isna(t) or pd.isna(v):
+                    continue
                 rows.append((int(t), float(v)))
         rows.sort()
         last_ms, s = state.get if state.exists else (-(2**62), None)
