@@ -131,10 +131,18 @@ def canary_scan(
     """
     if not canaries:
         raise ValueError("canaries must be a non-empty list of strings")
-    hits = None
-    for c in canaries:
-        h = docs.filter(F.col(text_col).contains(c)).select(
-            F.col(id_col), F.lit(c).alias("canary")
+    # ONE scan: per row, build the array of matched canaries and explode
+    # the non-null entries — a union of per-canary filters would plan one
+    # FileScan of the corpus PER canary (file scans are not deduplicated
+    # by exchange reuse), N× the promised I/O
+    matches = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(text_col).contains(c), F.lit(c))
+                for c in canaries
+            ]
         )
-        hits = h if hits is None else hits.unionByName(h)
-    return hits
+    )
+    return docs.select(
+        F.col(id_col), F.explode(matches).alias("canary")
+    )

@@ -99,8 +99,14 @@ def fuzzy_self_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cands.withColumn("dist", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("dist") <= max_dist)
+        # length prefilter (|len difference| > d disqualifies for free),
+        # then the threshold-bounded levenshtein — the 3-arg form exits
+        # the DP early and returns -1 past the bound
+        cands.filter(
+            F.abs(F.length("s_a") - F.length("s_b")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("s_a", "s_b", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
     )
 
@@ -131,8 +137,11 @@ def fuzzy_join(
         .dropDuplicates(["left_id", "right_id"])
     )
     return (
-        cands.withColumn("dist", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("dist") <= max_dist)
+        cands.filter(
+            F.abs(F.length("s_a") - F.length("s_b")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("s_a", "s_b", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("left_id", "right_id", "dist")
     )
 

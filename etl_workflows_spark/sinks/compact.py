@@ -41,6 +41,17 @@ def table_layout(
 ) -> tuple[list[str], tuple[int, list[str]] | None]:
     """(partition columns, bucket spec) of a managed table, from the
     catalog — what a compaction rewrite must preserve."""
+    part_cols, bucket, _, _ = table_layout_full(spark, table)
+    return part_cols, bucket
+
+
+def table_layout_full(
+    spark: SparkSession, table: str
+) -> tuple[list[str], tuple[int, list[str]] | None, str, list[str] | None]:
+    """(partition columns, bucket spec, file format, bucket sort columns)
+    — EVERYTHING a staging rewrite must carry over; dropping any of them
+    silently converts the table (e.g. ORC → session-default parquet, or a
+    (k, ts) sort spec collapsing to (k))."""
     part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
     # dict is last-wins: the metadata section follows the column list, so
     # a data column named 'Num Buckets' cannot shadow the real spec
@@ -48,12 +59,23 @@ def table_layout(
         r["col_name"]: r["data_type"]
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
     }
+
+    def _collist(s: str) -> list[str]:
+        return [c.strip(" `") for c in s.strip("[]").split(",") if c.strip(" `")]
+
     bucket = None
+    sort_cols = None
     if meta.get("Num Buckets"):
-        n = int(meta["Num Buckets"])
-        cols = [c.strip(" `") for c in meta["Bucket Columns"].strip("[]").split(",")]
-        bucket = (n, cols)
-    return part_cols, bucket
+        bucket = (int(meta["Num Buckets"]), _collist(meta["Bucket Columns"]))
+        if meta.get("Sort Columns"):
+            sort_cols = _collist(meta["Sort Columns"]) or None
+    fmt = (meta.get("Provider") or "parquet").lower()
+    if fmt not in ("parquet", "orc"):
+        # hive-serde and exotic providers can't round-trip through the
+        # datasource writer — the rewrite normalizes them to parquet
+        # (the pre-existing behavior, now deliberate instead of silent)
+        fmt = "parquet"
+    return part_cols, bucket, fmt, sort_cols
 
 
 def compact_table(
@@ -71,16 +93,35 @@ def compact_table(
     those columns (the poor man's Z-order for a single sort axis);
     ignored for bucketed tables (the bucket spec's own sortBy governs).
     """
+    from pyspark.sql import functions as F
+
     from etl_workflows_spark.sinks.writer import write_table
 
     size = table_bytes(spark, table)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
-    part_cols, bucket = table_layout(spark, table)
+    part_cols, bucket, fmt, bucket_sort = table_layout_full(spark, table)
     df = spark.table(table)
-    if part_cols:
-        # hash on the partition cols capped at n_files tasks: each task
-        # writes only the partition values it holds, bounding file count
-        out = df.repartition(n_files, *part_cols)
+    if bucket:
+        # repartition by the bucket hash into exactly n buckets: each
+        # task holds one bucket's rows, so bucketBy writes ONE file per
+        # bucket (repartition(n) round-robin would give every task every
+        # bucket → n_files × n_buckets files, MORE than before)
+        out = df.repartition(bucket[0], *[F.col(c) for c in bucket[1]])
+    elif part_cols:
+        # cap tasks at n_files, but spread a giant partition value over
+        # several tasks — hashing on part_cols alone funnels each value
+        # into ONE task/file regardless of its size
+        n_parts = max(1, spark.sql(f"SHOW PARTITIONS {table}").count())
+        files_per_part = max(1, math.ceil(n_files / n_parts))
+        keys = [F.col(c) for c in part_cols]
+        if files_per_part > 1:
+            keys.append(
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(files_per_part),
+                )
+            )
+        out = df.repartition(n_files, *keys)
     else:
         out = df.repartition(n_files)
     if sort_by and not bucket:
@@ -91,6 +132,8 @@ def compact_table(
         staging,
         partition_by=part_cols or None,
         bucket_by=bucket,
+        file_format=fmt,
+        bucket_sort_cols=bucket_sort,
     )
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

@@ -30,6 +30,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _partition_spec(p, part_cols: list[str]) -> str:
+    """ALTER TABLE ... PARTITION spec for a row of partition values —
+    single quotes escaped (a value like O'Brien would otherwise break the
+    statement AFTER the data overwrite already ran), NULL rendered as the
+    Hive default-partition token (str(None) would silently match
+    nothing and leave the stale partition alive)."""
+    out = []
+    for c in part_cols:
+        v = p[c]
+        if v is None:
+            v = "__HIVE_DEFAULT_PARTITION__"
+        out.append("{} = '{}'".format(c, str(v).replace("'", "''")))
+    return ", ".join(out)
+
+
 def merge_into(
     spark: SparkSession,
     target_table: str,
@@ -65,7 +80,10 @@ def merge_into(
     ]
     src = source.localCheckpoint(eager=True)  # cut lineage; it's read 3×
     keys = src.select(*key_cols)
-    matched = target.join(F.broadcast(keys), key_cols, "leftsemi").count()
+    # matched counts SOURCE keys present in the target (not target rows:
+    # a target holding duplicate rows per key — e.g. after a crashed
+    # earlier merge — would inflate matched and drive inserted negative)
+    matched = keys.join(target, key_cols, "leftsemi").count()
     inserted = src.count() - matched
 
     # align column order with the target for the union/write
@@ -103,7 +121,7 @@ def merge_into(
         for p in pvals.join(
             merged.select(*part_cols).distinct(), part_cols, "leftanti"
         ).collect():
-            spec = ", ".join(f"{c} = '{p[c]}'" for c in part_cols)
+            spec = _partition_spec(p, part_cols)
             spark.sql(f"ALTER TABLE {target_table} DROP IF EXISTS PARTITION ({spec})")
         return {
             "matched": matched,
@@ -114,10 +132,29 @@ def merge_into(
     survivors = target.join(F.broadcast(keys), key_cols, "leftanti")
     merged = survivors.select(*target.columns).unionByName(src_aligned)
     merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").saveAsTable(f"{target_table}__merge_staging")
-    spark.sql(f"DROP TABLE {target_table}")
-    spark.sql(f"ALTER TABLE {target_table}__merge_staging RENAME TO {target_table}")
+    _staging_swap(spark, target_table, merged, "merge")
     return {"matched": matched, "inserted": inserted, "partitions_rewritten": -1}
+
+
+def _staging_swap(spark: SparkSession, target_table: str, df, op: str) -> None:
+    """Rewrite ``target_table`` from ``df`` via staging + catalog swap,
+    PRESERVING the table's layout — a bare saveAsTable would silently
+    convert an ORC table to the session default and drop any bucket spec
+    (compare compact_table, which carries the full layout through)."""
+    from etl_workflows_spark.sinks.compact import table_layout_full
+    from etl_workflows_spark.sinks.writer import write_table
+
+    _, bucket, fmt, bucket_sort = table_layout_full(spark, target_table)
+    staging = f"{target_table}__{op}_staging"
+    write_table(
+        df,
+        staging,
+        bucket_by=bucket,
+        file_format=fmt,
+        bucket_sort_cols=bucket_sort,
+    )
+    spark.sql(f"DROP TABLE {target_table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {target_table}")
 
 
 def delete_from(
@@ -173,7 +210,7 @@ def delete_from(
         for p in doomed_parts.join(
             survivors.select(*part_cols).distinct(), part_cols, "leftanti"
         ).collect():
-            spec = ", ".join(f"{c} = '{p[c]}'" for c in part_cols)
+            spec = _partition_spec(p, part_cols)
             spark.sql(f"ALTER TABLE {target_table} DROP IF EXISTS PARTITION ({spec})")
         return {"deleted": deleted, "partitions_rewritten": n_parts}
 
@@ -181,7 +218,5 @@ def delete_from(
         *target.columns
     )
     survivors = survivors.localCheckpoint(eager=True)
-    survivors.write.mode("overwrite").saveAsTable(f"{target_table}__delete_staging")
-    spark.sql(f"DROP TABLE {target_table}")
-    spark.sql(f"ALTER TABLE {target_table}__delete_staging RENAME TO {target_table}")
+    _staging_swap(spark, target_table, survivors, "delete")
     return {"deleted": deleted, "partitions_rewritten": -1}

@@ -67,6 +67,7 @@ def write_table(
     bucket_by: tuple[int, list[str]] | None = None,
     file_format: str = "parquet",
     bloom_filter_cols: list[str] | None = None,
+    bucket_sort_cols: list[str] | None = None,
 ) -> str:
     """Write ``df`` to a managed table with the requested disposition.
 
@@ -115,7 +116,11 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     if bucket_by:
         n, cols = bucket_by
-        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+        # default in-bucket sort = the bucket key (what bucketed_pair_join
+        # relies on); bucket_sort_cols overrides for wider sort specs —
+        # a rewrite (compaction, merge staging) passes the original
+        # table's spec through so it survives
+        writer = writer.bucketBy(n, *cols).sortBy(*(bucket_sort_cols or cols))
     try:
         writer.saveAsTable(table)
     except Exception as e:
@@ -142,7 +147,14 @@ def append_if_absent(
     if not spark.catalog.tableExists(table):
         return write_table(df, destination_table, append=False)
     existing = spark.table(table).select(*keys)
-    fresh = df.join(existing, keys, "left_anti")
+    # eqNullSafe: a plain equi anti-join never matches NULL = NULL, so a
+    # NULL-keyed row would be re-appended on EVERY retry — the exact
+    # at-least-once duplicate this sink exists to prevent
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(existing[k])
+        cond = c if cond is None else (cond & c)
+    fresh = df.join(existing, cond, "left_anti")
     return write_table(fresh, destination_table, append=True)
 
 
@@ -151,9 +163,8 @@ def collect_stats(spark, table: str, columns: list[str] | None = None) -> None:
     row counts and NDVs (join reordering, broadcast decisions beyond the
     static size threshold). Run after large loads/compactions; cheap
     relative to the queries it improves at 100 TB."""
-    t = normalize_table_name(table)
-    if columns:
-        cols = ", ".join(columns)
-        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS {cols}")
-    else:
-        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+    from etl_workflows_spark.sinks.stats import analyze
+
+    # one implementation: stats.analyze (which quotes column names —
+    # this wrapper exists for the writer-module call sites)
+    analyze(spark, normalize_table_name(table), columns)
