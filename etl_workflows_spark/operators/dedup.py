@@ -256,6 +256,13 @@ def _lsh_bands(t: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
     shingles to one k-long row before the shuffle, so the exchange
     carries one row per doc — same as the array form.
     """
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"k must be a positive multiple of bands, got k={k} bands="
+            f"{bands} — a remainder would compute minhashes that never "
+            "band (silently changing the 1-(1-j^w)^b recall the "
+            "parameters promise), and bands > k makes empty bands"
+        )
     rows_per_band = k // bands
     ex = t.select("doc_id", F.explode("sh").alias("h"))
     mins = ex.groupBy("doc_id").agg(
@@ -924,16 +931,27 @@ def append_near_dup_fingerprints(
 ) -> None:
     """Register accepted documents in the near-dup index (both tables,
     idempotent: doc_ids already present are skipped, so a retried append
-    cannot double-register a document)."""
+    cannot double-register a document).
+
+    Crash-window discipline: the freshness check keys on ``_sh``, which
+    is written LAST — a crash between the two inserts re-runs the band
+    insert on retry, so the band rows themselves are de-duplicated
+    against the ``_bands`` table (anti-join on doc_id) rather than
+    trusting the ``_sh`` marker. The reverse order (marker first) would
+    skip the retry entirely and leave the bands MISSING — silent false
+    negatives in every future dedup, strictly worse than the extra scan.
+    """
     spark = accepted_docs.sparkSession
     existing = spark.table(f"{index_name}_sh").select("doc_id")
     fresh = accepted_docs.join(existing, "doc_id", "left_anti")
     t = _shingled(fresh, text_col, n, hashed=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _lsh_bands(t, k, bands).write.mode("append").insertInto(
-        f"{index_name}_bands"
-    )
+    bands_rows = _lsh_bands(t, k, bands)
+    seen_bands = spark.table(f"{index_name}_bands").select("doc_id").distinct()
+    bands_rows.join(seen_bands, "doc_id", "left_anti").write.mode(
+        "append"
+    ).insertInto(f"{index_name}_bands")
     t.write.mode("append").insertInto(f"{index_name}_sh")
     t.unpersist()
     spark.catalog.refreshTable(f"{index_name}_bands")

@@ -31,7 +31,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, TOTAL: the norm product is clamped at 1e-12 so
+    a zero vector scores 0.0 instead of NULL. Matches the numpy fast
+    twins (np.maximum(norm, 1e-12)) — without the clamp the exact paths
+    emit NULL for zero vectors (SQL div-by-zero) while the fast paths
+    emit 0.0, and rows silently diverge between twins. For any non-zero
+    pair the clamp is the identity, so oracle results are unchanged."""
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
 def ann_topk_bruteforce(
@@ -222,6 +228,11 @@ def ivf_train_centroids(
         .select(vec_col)
         .collect()
     )
+    if len(seeds) < n_lists:
+        raise ValueError(
+            f"corpus has only {len(seeds)} vectors — need >= n_lists="
+            f"{n_lists} to seed the inverted lists (lower n_lists)"
+        )
     cents = [[float(x) for x in r[0]] for r in seeds]
     dim = len(cents[0])
     for _ in range(iterations):
@@ -626,14 +637,30 @@ def knn_join_fast(
             sims = qm @ cm.T  # (q, batch)
             nb = sims.shape[1]
             kk = min(k, nb)
-            # per-query top-k within this batch (argpartition: O(n))
-            idx = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
             out_q, out_n, out_s = [], [], []
             nids = pdf[id_col].to_numpy()
             for qi in range(sims.shape[0]):
+                s = sims[qi]
+                # argpartition (O(n)) bounds the candidate set, then ALL
+                # boundary ties survive to a deterministic (-sim, id)
+                # sort — bare argpartition keeps an arbitrary subset of
+                # tied similarities (duplicate embeddings are the NORM
+                # in a dedup corpus), breaking equality with knn_join's
+                # (cos_sim desc, neighbor_id asc) global ordering
+                if nb > kk:
+                    part = np.argpartition(-s, kk - 1)
+                    thresh = s[part[kk - 1]]
+                    cand_idx = np.flatnonzero(s >= thresh)
+                else:
+                    cand_idx = np.arange(nb)
+                order = sorted(
+                    range(len(cand_idx)),
+                    key=lambda i: (-s[cand_idx[i]], nids[cand_idx[i]]),
+                )[:kk]
+                sel = cand_idx[order]
                 out_q.extend([qids[qi]] * kk)
-                out_n.extend(nids[idx[qi]])
-                out_s.extend(sims[qi, idx[qi]])
+                out_n.extend(nids[sel])
+                out_s.extend(s[sel])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
             )

@@ -32,7 +32,6 @@ def distinct_token_count(c: Column) -> Column:
 
 
 def stopword_count(c: Column) -> Column:
-    sw = ",".join(f"'{w}'" for w in STOPWORDS)
     return F.size(F.filter(tokens(c), lambda x: x.isin(*STOPWORDS)))
 
 
@@ -341,24 +340,30 @@ def bigram_collocations(
         F.concat_ws(" ", F.col("p")["0"], F.col("p")["1"]).alias("bigram")
     )
     uni = docs.select(F.explode(toks).alias("w"))
-    # corpus totals: exact integers, stable under any execution order
-    nu = float(uni.count())
-    nb = float(pairs.count())
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bcnt_all = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    # corpus totals ride the aggregates already built, as broadcast
+    # 1-row relations — exact integers, fully lazy (eager .count()
+    # actions here would tokenize the corpus twice just to construct
+    # the plan, then execution would re-do both)
+    tot_u = ucnt.agg(F.sum("c").alias("__nu"))
+    tot_b = bcnt_all.agg(F.sum("c_xy").alias("__nb"))
     bcnt = (
-        pairs.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= min_count)
+        bcnt_all.filter(F.col("c_xy") >= min_count)
         .withColumn("w1", F.substring_index("bigram", " ", 1))
         .withColumn("w2", F.substring_index("bigram", " ", -1))
     )
     out = (
         bcnt.join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
         .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
     )
+    nu = F.col("__nu").cast("double")
+    nb = F.col("__nb").cast("double")
     lift = (
-        F.col("c_xy").cast("double") * F.lit(nu) * F.lit(nu)
-        / (F.col("c_x").cast("double") * F.col("c_y").cast("double") * F.lit(nb))
+        F.col("c_xy").cast("double") * nu * nu
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double") * nb)
     )
     return out.select("bigram", "c_xy", "c_x", "c_y", lift.alias("lift"))
 
@@ -385,7 +390,7 @@ def charlm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
     grams = docs.select(F.explode(_char_bigrams(F.col(text_col))).alias("bg"))
     counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     ctx = counts.groupBy(F.substring("bg", 1, 1).alias("h")).agg(
-        F.sum("c").alias("hc"), F.count(F.lit(1)).alias("hv")
+        F.sum("c").alias("hc")
     )
     v = counts.select(F.substring("bg", 2, 1)).distinct().count()
     return (
@@ -410,6 +415,12 @@ def charlm_score(
 
     Scale: explode doc bigrams, ONE broadcast join against the KB-sized
     model, one groupBy doc. Unseen bigrams get a fixed floor logp.
+
+    EVERY doc gets a row: documents too short for a bigram (len < 2 —
+    exactly the junk a perplexity gate exists to flag) come back with
+    NULL mean_logp and n_bigrams = 0 via the left join, instead of
+    silently vanishing from the output and slipping through a
+    ``mean_logp < floor`` filter unscored.
     """
     grams = docs.select(
         F.col(id_col), F.explode(_char_bigrams(F.col(text_col))).alias("bg")
@@ -417,8 +428,17 @@ def charlm_score(
     scored = grams.join(F.broadcast(model), "bg", "left").select(
         id_col, F.coalesce(F.col("logp"), F.lit(unseen_logp)).alias("logp")
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.avg("logp").alias("mean_logp"), F.count(F.lit(1)).alias("n_bigrams")
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "mean_logp",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
     )
 
 
@@ -517,19 +537,19 @@ def distribution_drift(
     scales beyond vocabulary size after the scans.
     """
     def _freqs(d: DataFrame, cname: str) -> DataFrame:
-        toks = d.select(
-            F.explode(F.split(F.col(text_col), " ")).alias("token")
-        ).filter(F.col("token") != "")
+        toks = d.select(F.explode(tokens(F.col(text_col))).alias("token")).filter(
+            F.col("token") != ""
+        )
         return toks.groupBy("token").agg(F.count(F.lit(1)).alias(cname))
 
     o = _freqs(old_docs, "n_old")
     n = _freqs(new_docs, "n_new")
-    tot_o = old_docs.select(
-        F.sum(F.size(F.split(F.col(text_col), " "))).alias("t_old")
-    )
-    tot_n = new_docs.select(
-        F.sum(F.size(F.split(F.col(text_col), " "))).alias("t_new")
-    )
+    # totals are the SUM of the same filtered counts — a raw
+    # size(split(...)) total would count empty-string tokens the
+    # numerators exclude, systematically understating q for any corpus
+    # with doubled/trailing whitespace and reporting spurious drift
+    tot_o = o.agg(F.sum("n_old").alias("t_old"))
+    tot_n = n.agg(F.sum("n_new").alias("t_new"))
     j = (
         o.join(n, "token", "full")
         .select(

@@ -1031,14 +1031,8 @@ n AS (
     FROM documents WHERE doc_id >= 250
   ) WHERE token <> '' GROUP BY token
 ),
-t_o AS (
-  SELECT SUM(LEN(STRING_SPLIT(text, ' '))) AS t_old
-  FROM documents WHERE doc_id < 250
-),
-t_n AS (
-  SELECT SUM(LEN(STRING_SPLIT(text, ' '))) AS t_new
-  FROM documents WHERE doc_id >= 250
-),
+t_o AS (SELECT SUM(n_old) AS t_old FROM o),
+t_n AS (SELECT SUM(n_new) AS t_new FROM n),
 j AS (
   SELECT COALESCE(o.token, n.token) AS token,
          COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
