@@ -32,6 +32,7 @@ Python (a blanked-``__builtins__`` eval can, via
 from __future__ import annotations
 
 import ast
+import logging
 import re
 from types import SimpleNamespace
 from typing import Any, Callable
@@ -39,6 +40,8 @@ from typing import Any, Callable
 import yaml
 
 from etl_workflows_spark.exceptions import EngineError
+
+logger = logging.getLogger(__name__)
 
 _EXPR_RE = re.compile(r"^\$\{(.*)\}$", re.DOTALL)
 
@@ -254,10 +257,9 @@ class WorkflowRunner:
                         raise _Return(self._eval(branch["return"], scope))
                     return branch.get("next")
         if "raise" in body:
-            raised = self._eval(body["raise"], scope)
-            if isinstance(raised, _CallFailure):
-                raise WorkflowError(raised.err)
-            raise WorkflowError(raised)
+            # (scope never holds a _CallFailure — _run_try unwraps to
+            # .err before binding — so no special case is needed here)
+            raise WorkflowError(self._eval(body["raise"], scope))
         if "return" in body:
             raise _Return(self._eval(body["return"], scope))
         if "steps" in body:
@@ -272,6 +274,14 @@ class WorkflowRunner:
         except (_CallFailure, WorkflowError) as exc:
             handler = body["except"]
             err = exc.err if isinstance(exc, _CallFailure) else exc.value
+            if not hasattr(err, "body"):
+                # a raised plain value (or a document bug like an unknown
+                # call target) still binds in the PROTOCOL shape, so the
+                # handler's ${e.body.description} / ${e.code} expressions
+                # work instead of dying on a bare AttributeError
+                err = SimpleNamespace(
+                    body=SimpleNamespace(description=str(err)), code=500
+                )
             scope[handler.get("as", "e")] = err
             self._run_steps(handler["steps"], scope)
             return None
@@ -314,6 +324,7 @@ class WorkflowRunner:
                 )
             )
         except Exception as e:  # unknown error → 500 (main.py:208-210)
+            logger.exception("unhandled error in workflow call %s", fn_name)
             raise _CallFailure(
                 SimpleNamespace(
                     body=SimpleNamespace(description="Unknown error"), code=500

@@ -82,10 +82,13 @@ def load_csv(
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        # coalesce: SUM over zero rows is NULL — an empty (or fully
+        # arity-dropped) load must report 0, not None, so monitoring
+        # arithmetic on the counters never hits a NoneType
         null_counters = [
-            F.sum(F.col(f["name"]).isNull().cast("long")).alias(
-                f"nulls_{f['name']}"
-            )
+            F.coalesce(
+                F.sum(F.col(f["name"]).isNull().cast("long")), F.lit(0)
+            ).alias(f"nulls_{f['name']}")
             for f in schema_doc["fields"]
             if f.get("type", "STRING").upper() != "STRING"
         ]

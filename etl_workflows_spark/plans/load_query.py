@@ -35,7 +35,7 @@ def load_query(
     if use_legacy_sql:
         logger.warning("useLegacySql=True requested; legacy SQL is not supported")
         raise QueryInvalid("Legacy SQL dialect is not supported")
-    sql_text = read_query_file(query)
+    sql_text = read_query_file(query, spark)
     # The reference maps ANY failed query job to CreationFailed / "Error
     # during table creation" (load_query/main.py:58-65) — a different
     # taxonomy than load_csv's LoadJobError. The description strings are a

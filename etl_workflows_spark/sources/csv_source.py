@@ -80,16 +80,23 @@ def make_tokenizer(n_fields: int):
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                row
+            # line-at-a-time, NOT one reader over the whole batch: a line
+            # ending in a dangling escapechar makes csv.reader consume
+            # the NEXT line into the same record, so batch/partition
+            # boundaries would change row output nondeterministically
+            # (and diverge from the line-at-a-time audit twin below)
+            rows = []
+            for s in pdf["line"]:
+                if s is None:
+                    continue
                 for row in csv.reader(
-                    (s for s in pdf["line"] if s is not None),
+                    [s],
                     delimiter=";",
                     quoting=csv.QUOTE_NONE,
                     escapechar="\\",
-                )
-                if len(row) == n_fields
-            ]
+                ):
+                    if len(row) == n_fields:
+                        rows.append(row)
             yield pd.DataFrame(rows, columns=cols, dtype=object)
 
     return tokenize, out_schema

@@ -47,9 +47,11 @@ def read_jsonl(
     a declared schema (``StructType`` or a schema-registry doc).
 
     Default: unparseable lines are dropped (the CSV arity-filter
-    contract). ``keep_corrupt=True`` instead returns them in a
-    ``_corrupt_record`` column with all declared fields NULL — route that
-    to a quarantine sink.
+    contract). ``keep_corrupt=True`` instead keeps them with the raw line
+    in a ``_corrupt_record`` column — split quarantine rows on
+    ``_corrupt_record IS NOT NULL`` (NOT on all-fields-null: PERMISSIVE
+    mode keeps any field that parsed before the failure, so a
+    type-mismatch row can carry the raw line AND populated columns).
     """
     declared = _resolve_schema(schema)
     if not keep_corrupt:
