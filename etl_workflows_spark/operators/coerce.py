@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 # whose CSV loader rejects it — i.e. the reference's END-TO-END behavior
 # is a failed load job, not 1000. NULLing the cell (like every other
 # unparseable value) is the robust reading of that contract.
-_WS_CHARS = " \t\r\n\x0b\x0c\xa0"
+# every char Python's int()/float() edge-strip (str.isspace()) that is
+# representable in ISO-8859-1: ASCII whitespace, the \x1c-\x1f separator
+# controls, NEL (\x85), NBSP (\xa0) — omitting any of them NULLs a cell
+# the reference parses
+_WS_CHARS = " \t\r\n\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0"
 # After edge-stripping: optional sign, digits.
 _INT_RE = r"^[+-]?[0-9]+$"
 # After edge-stripping: sign, then decimal/scientific ("1", "1.", ".5",

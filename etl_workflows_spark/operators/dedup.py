@@ -915,9 +915,18 @@ def near_dup_incremental(
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
-    out = batch.join(dup_ids, "doc_id", "left_anti")
-    # t backs the returned lazy plan (same caller-release contract as
-    # near_dup_pairs_lsh); it is small — one shard, not the corpus
+    # materialize before returning so the shard-sized persisted shingle
+    # relation can be released HERE — a lazy return would hand an
+    # invisible persist to every caller (the streaming firewall leaked
+    # one CacheManager entry per micro-batch this way); the checkpoint
+    # is shard-sized and frees via release_checkpoint / ContextCleaner
+    out = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    t.unpersist()
+    from etl_workflows_spark.operators.cache import release_all_checkpoints
+
+    release_all_checkpoints(batch, keep=(out,))
     return out
 
 

@@ -79,8 +79,25 @@ def train_pq_codebooks(
 
     for _ in range(iterations):
         codes = _assign_codes(embeddings, books, id_col, vec_col)
-        # distributed centroid update: explode (sub, code, pos, x), mean
+        # distributed centroid update: explode (sub, code, pos, x), mean.
+        # x is divided by the FULL-vector L2 norm first — assignment,
+        # encoding, and ADC all operate on L2-normalized vectors, so the
+        # means must live in the same space (raw-space means with
+        # non-unit-norm inputs let the ||c||^2 term dominate the argmin
+        # and collapse the codebooks)
         vec = embeddings.select(id_col, vec_col)
+        vnorm = F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("v"), lambda x: x.cast("double") * x.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            F.lit(1e-12),
+        )
         sums = (
             codes.join(vec, id_col)
             .select(
@@ -90,6 +107,7 @@ def train_pq_codebooks(
             .select(
                 "sub_id",
                 "code",
+                vnorm.alias("__n"),
                 F.posexplode(
                     F.slice(
                         F.col("v"), F.col("sub_id") * sub + 1, sub
@@ -97,11 +115,11 @@ def train_pq_codebooks(
                 ).alias("pos", "x"),
             )
             .groupBy("sub_id", "code", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("mval"))
+            .agg(
+                F.avg(F.col("x").cast("double") / F.col("__n")).alias("mval")
+            )
             .collect()
         )
-        # NOTE: means are over RAW (unnormalized-subspace) values of the
-        # L2-normalized full vectors — exactly the PQ training objective.
         new_books = [b.copy() for b in books]
         for r in sums:
             new_books[r["sub_id"]][r["code"]][r["pos"]] = r["mval"]

@@ -85,21 +85,26 @@ def audience_overlap(
     judge the ratio. One pass over sketch rows; raw data never re-read —
     the audience-overlap question (users in BOTH segments) answered at
     rollup cost."""
-    fa = sketches.filter(F.col(dim_col) == seg_a)
-    fb = sketches.filter(F.col(dim_col) == seg_b)
-    both = fa.unionByName(fb)
-    a = fa.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_a")
-    )
-    b = fb.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_b")
-    )
-    u = both.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_union")
-    )
+    # ONE conditional aggregation over one filtered scan — three
+    # separate agg jobs + two crossJoins would read the sketch relation
+    # three times for a module whose point is answering at rollup cost
     return (
-        a.crossJoin(b)
-        .crossJoin(u)
+        sketches.filter(F.col(dim_col).isin(seg_a, seg_b))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(
+                    F.when(F.col(dim_col) == seg_a, F.col("sketch"))
+                )
+            ).alias("est_a"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(
+                    F.when(F.col(dim_col) == seg_b, F.col("sketch"))
+                )
+            ).alias("est_b"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "est_union"
+            ),
+        )
         .select(
             "est_a",
             "est_b",

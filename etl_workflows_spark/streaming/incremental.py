@@ -66,10 +66,19 @@ def incremental_csv_load(
     raw = lines.mapInPandas(tokenize, schema=out_schema)
     cleaned = coerce_columns(raw, schema_doc)
 
+    # same name mapping + database bootstrap as every batch sink — a
+    # reference-style 'project.dataset.table' fed straight to toTable
+    # would resolve 'project' as a catalog and fail
+    from etl_workflows_spark.sinks.writer import normalize_table_name
+
+    spark = cleaned.sparkSession
+    table = normalize_table_name(destination_table)
+    if "." in table:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{table.split('.')[0]}`")
     query = (
         cleaned.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
-        .toTable(destination_table)
+        .toTable(table)
     )
     query.awaitTermination()
 
@@ -136,6 +145,20 @@ def streaming_dedup(
     )
 
 
+def _refresh_if_exists(spark, *tables: str) -> None:
+    """Refresh the caller-session file index for every table a
+    foreachBatch sink may have written (appends run in the micro-batch's
+    cloned session; the caller's cached index would serve stale reads).
+    Guarded: a run over an empty source executes zero batches and may
+    never create the table — that no-op first run must not fail."""
+    from etl_workflows_spark.sinks.writer import normalize_table_name
+
+    for t in tables:
+        name = normalize_table_name(t)
+        if spark.catalog.tableExists(name):
+            spark.catalog.refreshTable(name)
+
+
 def stream_to_table_idempotent(
     stream_df: DataFrame,
     destination_table: str,
@@ -169,15 +192,7 @@ def stream_to_table_idempotent(
         .start()
         .awaitTermination()
     )
-    # foreachBatch appends run in the micro-batch's cloned session; the
-    # caller's session holds a cached file index for the table from any
-    # earlier read — refresh so the appends are visible immediately.
-    # (Guarded: a run over an empty source executes zero batches and never
-    # creates the table — that no-op first run must not fail.)
-    spark = stream_df.sparkSession
-    table = normalize_table_name(destination_table)
-    if spark.catalog.tableExists(table):
-        spark.catalog.refreshTable(table)
+    _refresh_if_exists(stream_df.sparkSession, destination_table)
 
 
 def stream_to_snapshots(
@@ -261,11 +276,12 @@ def streaming_near_dup_firewall(
     )
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        # near_dup_incremental returns a checkpoint-backed (materialized)
+        # frame and has already released its internal shingle persist —
+        # the two writes below reuse the same materialization
         survivors = near_dup_incremental(
             batch_df, index_name, threshold, text_col, n, k, bands
-        ).localCheckpoint(eager=True)
-        # materialized once: the plan below feeds two writes, and a lazy
-        # plan would re-run the whole LSH pipeline for each
+        )
         try:
             append_if_absent(survivors, corpus_table, ["doc_id"])
             append_near_dup_fingerprints(
@@ -283,10 +299,12 @@ def streaming_near_dup_firewall(
         .start()
         .awaitTermination()
     )
-    spark = docs_stream.sparkSession
-    table = normalize_table_name(corpus_table)
-    if spark.catalog.tableExists(table):
-        spark.catalog.refreshTable(table)
+    _refresh_if_exists(
+        docs_stream.sparkSession,
+        corpus_table,
+        f"{index_name}_bands",
+        f"{index_name}_sh",
+    )
 
 
 def streaming_exact_dedup_firewall(
@@ -306,10 +324,11 @@ def streaming_exact_dedup_firewall(
     way; the sidecar is folded forward after each accepted batch).
 
     Retry semantics match the near-dup firewall: corpus append is keyed
-    on doc_id, index/sidecar updates happen after the corpus commit, and
-    a replayed batch no-ops end-to-end. The bloom sidecar may overcount
-    after a crash-replay (bit_or of the same batch twice is idempotent —
-    set bits stay set — so even that is harmless).
+    on doc_id, the sidecar is folded BEFORE fingerprint registration
+    (bit-idempotent, so a replayed fold is harmless; the reverse order
+    would leave a permanent sidecar hole if a crash landed between the
+    two appends — false "definitely new" verdicts forever after), and a
+    replayed batch no-ops end-to-end.
 
     One AvailableNow run; returns when all available input is committed.
     """
@@ -330,9 +349,17 @@ def streaming_exact_dedup_firewall(
         ).localCheckpoint(eager=True)
         try:
             append_if_absent(survivors, corpus_table, ["doc_id"])
-            append_fingerprints(survivors, index_table, text_col)
+            # bloom fold BEFORE fingerprint registration: the sidecar
+            # fold is bit-idempotent (re-folding the same batch sets the
+            # same bits), but the reverse order has a crash window —
+            # fingerprints committed, bloom not — after which the replay
+            # computes EMPTY survivors (the index already has the fps)
+            # and the sidecar is left with a PERMANENT hole: a later doc
+            # with the same text probes "definitely new" and a duplicate
+            # enters the corpus
             if bloom_table is not None:
                 append_bloom_sidecar(survivors, bloom_table, text_col)
+            append_fingerprints(survivors, index_table, text_col)
         finally:
             release_checkpoint(survivors)
 
@@ -343,7 +370,7 @@ def streaming_exact_dedup_firewall(
         .start()
         .awaitTermination()
     )
-    spark = docs_stream.sparkSession
-    table = normalize_table_name(corpus_table)
-    if spark.catalog.tableExists(table):
-        spark.catalog.refreshTable(table)
+    refresh = [corpus_table, index_table]
+    if bloom_table is not None:
+        refresh.append(bloom_table)
+    _refresh_if_exists(docs_stream.sparkSession, *refresh)

@@ -27,18 +27,25 @@ from etl_workflows_spark.operators.expectations import (
 )
 
 
-def _failure_flags(df: DataFrame, rules: List[Expectation]) -> DataFrame:
-    """Row-level '__failed' list column: names of every rule the row
-    violates (empty array = clean). Row-scoped kinds only — aggregate
-    kinds (unique, row_count_between) have no per-row quarantine meaning."""
-    row_kinds = ("not_null", "between", "isin", "matches")
-    bad = [r for r in rules if r.kind not in row_kinds]
+ROW_KINDS = ("not_null", "between", "isin", "matches")
+
+
+def _require_row_scoped(rules: List[Expectation]) -> None:
+    """One validator for both entry points — aggregate kinds (unique,
+    row_count_between) have no per-row quarantine meaning."""
+    bad = [r for r in rules if r.kind not in ROW_KINDS]
     if bad:
         raise ValueError(
             "quarantine_stream handles row-scoped rules only; got "
             f"{sorted(r.kind for r in bad)} — check aggregate rules with "
             "check_expectations on the destination table instead"
         )
+
+
+def _failure_flags(df: DataFrame, rules: List[Expectation]) -> DataFrame:
+    """Row-level '__failed' list column: names of every rule the row
+    violates (empty array = clean)."""
+    _require_row_scoped(rules)
     flags = F.array_compact(
         F.array(
             *[
@@ -74,17 +81,26 @@ def quarantine_stream(
 
     # validate rule kinds BEFORE the stream starts — inside foreachBatch
     # the error would surface as an opaque StreamingQueryException
-    row_kinds = ("not_null", "between", "isin", "matches")
-    bad = [r for r in rules if r.kind not in row_kinds]
-    if bad:
-        raise ValueError(
-            "quarantine_stream handles row-scoped rules only; got "
-            f"{sorted(r.kind for r in bad)} — check aggregate rules with "
-            "check_expectations on the destination table instead"
-        )
+    _require_row_scoped(rules)
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        flagged = _failure_flags(batch_df, rules).dropDuplicates(keys)
+        # DETERMINISTIC within-batch survivor per key: bare
+        # dropDuplicates picks whichever row a task saw first, so a
+        # checkpoint replay could keep the OTHER row of a mixed
+        # clean/dirty pair and route the key to the other table — the
+        # exact double-appearance the docstring rules out
+        from pyspark.sql.window import Window
+
+        flagged = _failure_flags(batch_df, rules)
+        order = [F.col(c) for c in flagged.columns if c not in keys]
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.asc_nulls_first(c) for c in order]
+        )
+        flagged = (
+            flagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         clean = flagged.filter(F.size("__failed") == 0).drop("__failed")
         dirty = flagged.filter(F.size("__failed") > 0).withColumn(
             "failed_rules", F.array_join(F.col("__failed"), ",")
