@@ -107,6 +107,11 @@ def pagerank_weighted(
             F.col(dst).alias("dst"),
             F.col(weight).cast("long").alias("w"),
         )
+        # NULL endpoints are malformed edges, not nodes: they would
+        # inflate N (diluting every real node's teleport share), absorb
+        # mass as permanent dangling "nodes", and emit a NULL-node rank
+        # row — and the oracle twins' SQL semantics diverge on them
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .filter(F.col("w") > 0)
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
@@ -186,7 +191,11 @@ def pagerank_personalized(
         raise ValueError(f"damping must be in [0, 1], got {damping}")
     tele_num = 100 - damp_num
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
     e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -103,12 +103,27 @@ def score_documents(
                 if not cur:
                     return
                 scores = fn([t for _, t, _ in cur])
+                if len(scores) != len(cur):
+                    raise ValueError(
+                        f"model_fn returned {len(scores)} scores for "
+                        f"{len(cur)} texts — a bare zip would silently "
+                        "drop documents from the output"
+                    )
                 max_len = max(n for _, _, n in cur)
                 real = sum(n for _, _, n in cur)
                 padded = max_len * len(cur)
                 for (i, _, n), s in zip(cur, scores):
                     out.append(
-                        (int(i), float(s), int(n), len(cur), real, padded)
+                        (
+                            # NULL ids arrive as NaN — int() would crash
+                            # the task; keep the row with a NULL id
+                            None if pd.isna(i) else int(i),
+                            float(s),
+                            int(n),
+                            len(cur),
+                            real,
+                            padded,
+                        )
                     )
                 cur.clear()
 
@@ -167,4 +182,9 @@ def padding_efficiency(scored: DataFrame) -> float:
         F.sum(F.col("batch_real_tokens") * F.col("__w")).alias("real"),
         F.sum(F.col("batch_padded_tokens") * F.col("__w")).alias("padded"),
     ).collect()[0]
+    if row["real"] is None or not row["padded"]:
+        raise ValueError(
+            "padding_efficiency needs at least one scored micro-batch "
+            "(got an empty scored relation)"
+        )
     return float(row["real"]) / float(row["padded"])

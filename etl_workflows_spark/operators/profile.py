@@ -30,13 +30,18 @@ def profile_table(
     # index-based aliases + df[c] references: column names containing
     # dots or other F.col-special characters must profile fine — this
     # operator's whole contract is "runs over any table"
+    dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
+        # map columns support neither countDistinct nor min/max — profile
+        # their JSON rendering instead of failing the WHOLE table
+        # (nullability is preserved: to_json(NULL map) is NULL)
+        v = F.to_json(df[c]) if dtypes[c].startswith("map") else df[c]
         aggs += [
-            F.count(df[c]).alias(f"__nn_{i}"),
-            distinct(df[c]).alias(f"__nd_{i}"),
-            F.min(df[c]).cast("string").alias(f"__min_{i}"),
-            F.max(df[c]).cast("string").alias(f"__max_{i}"),
+            F.count(v).alias(f"__nn_{i}"),
+            distinct(v).alias(f"__nd_{i}"),
+            F.min(v).cast("string").alias(f"__min_{i}"),
+            F.max(v).cast("string").alias(f"__max_{i}"),
         ]
     row = df.agg(*aggs)
     per_col = F.array(

@@ -59,12 +59,14 @@ def merge_rollup(
             .alias("sum_value"),
         )
     )
-    # Materialize (executor-side) before overwriting the table being read —
-    # localCheckpoint severs the plan's dependency on the files the
-    # overwrite is about to replace, without pulling rows to the driver.
-    merged.localCheckpoint(eager=True).write.mode("overwrite").format(
-        "parquet"
-    ).saveAsTable(rollup_table)
+    # Staging + catalog swap (the merge/compact discipline), NOT
+    # checkpoint-then-overwrite: localCheckpoint blocks are executor-local
+    # with severed lineage, so losing an executor mid-overwrite would
+    # leave the rollup dropped/partial with no way to recompute — the
+    # swap keeps the old table intact until the new one is fully written.
+    from etl_workflows_spark.sinks.merge import _staging_swap
+
+    _staging_swap(spark, rollup_table, merged, "rollup")
 
 
 def rollup_apply_changes(
@@ -88,7 +90,11 @@ def rollup_apply_changes(
     An update travels as (D old-row, I new-row) — exactly what a CDC
     decoder emits.
     """
-    bad = changes.filter(~F.col(op_col).isin("I", "D")).limit(1).collect()
+    # isNull explicitly: ~isin is NULL (filtered out) for NULL ops, which
+    # would bypass validation and then count as +1 inserts via otherwise()
+    bad = changes.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin("I", "D")
+    ).limit(1).collect()
     if bad:
         raise ValueError(
             f"unknown change op {bad[0][op_col]!r}: rollup changes must "
@@ -110,11 +116,9 @@ def rollup_apply_changes(
     # groups fully retracted: count 0 ⇒ no remaining fact rows back them
     zero = spark.table(rollup_table).filter(F.col("n_events") == 0)
     if zero.limit(1).collect():
-        kept = (
-            spark.table(rollup_table)
-            .filter(F.col("n_events") != 0)
-            .localCheckpoint(eager=True)
-        )
-        kept.write.mode("overwrite").format("parquet").saveAsTable(
-            rollup_table
-        )
+        from etl_workflows_spark.sinks.merge import _staging_swap
+
+        # the staging write reads the live table (still intact), so no
+        # checkpoint is needed before the swap
+        kept = spark.table(rollup_table).filter(F.col("n_events") != 0)
+        _staging_swap(spark, rollup_table, kept, "purge")

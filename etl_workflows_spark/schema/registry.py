@@ -79,6 +79,15 @@ def parse_schema_doc(doc: Any) -> dict[str, Any]:
             raise SchemaInvalid()
         if str(field["type"]).upper() not in _BQ_TO_SPARK:
             raise SchemaInvalid()
+        # modes are validated as strictly as types: a typo'd 'REQIRED'
+        # silently degrading to NULLABLE would load data under the wrong
+        # constraints with no error
+        if str(field.get("mode", "NULLABLE")).upper() not in (
+            "NULLABLE",
+            "REQUIRED",
+            "REPEATED",
+        ):
+            raise SchemaInvalid()
     return doc
 
 

@@ -64,7 +64,16 @@ def _promote_single_part(
     dest = jvm.org.apache.hadoop.fs.Path(
         jvm.org.apache.hadoop.fs.Path(bucket_dir), final_name
     )
+    if part is None:
+        fs.delete(tmp_path, True)
+        raise ValueError(
+            "no part file produced — the staged DataFrame wrote zero "
+            "partitions (empty input scan?)"
+        )
     if fs.exists(dest):
         fs.delete(dest, False)
-    fs.rename(part, dest)
+    # Hadoop rename reports failure by returning FALSE, not raising —
+    # ignoring it and deleting tmp would destroy the only copy
+    if not fs.rename(part, dest):
+        raise IOError(f"rename {part} -> {dest} failed (FileSystem returned false)")
     fs.delete(tmp_path, True)
