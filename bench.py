@@ -347,16 +347,53 @@ def main() -> None:
         "calib_jvm_sec": calib,
     }
     if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0":
-        out["scaled"] = _scaled_pass(spark, sf_dir)
+        scaled = _scaled_pass(spark, sf_dir)
         # 10×-data / 1×-data time ratio per shared query: the direct
         # linearity evidence (≪10 = launch-floor amortization or
         # sublinear plans; ~10 = linear; >10 needs a look)
-        out["scaling_ratio"] = {
-            q: round(out["scaled"]["queries"][q] / t, 2)
+        ratios = {
+            q: round(scaled["queries"][q] / t, 2)
             for q, t in timings.items()
-            if q in out["scaled"]["queries"] and t > 0
+            if q in scaled["queries"] and t > 0
         }
-    print(json.dumps(out))
+        # The scaled per-query detail goes to (a) its own stdout line and
+        # (b) a durable file — NOT the final line. Round 4's driver
+        # artifact came back "parsed": null because the single combined
+        # line outgrew the driver's stdout tail capture; the compact
+        # headline JSON must be the LAST line printed.
+        scaled_full = {"scaled": scaled, "scaling_ratio": ratios}
+        print(json.dumps(scaled_full))
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_SCALED_LOCAL.json"), "w") as f:
+                json.dump({**out, **scaled_full}, f, indent=1)
+        except OSError:
+            pass
+        out["scaled_total"] = scaled["value"]
+        out["scaled_factor"] = scaled["factor"]
+        out["scaling_ratio_max"] = max(ratios.values()) if ratios else None
+    # The driver captures only a ~2000-char stdout window; the final line
+    # must fit inside it to parse. If the per-query dict has outgrown the
+    # budget, elide the FASTEST entries (launch-floor ~0.15 s rows carry
+    # the least information) — their timings are still on the full-detail
+    # line above and in BENCH_SCALED_LOCAL.json. The headline total always
+    # covers ALL queries.
+    final = dict(out)
+    budget = 1900
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > budget:
+        print(json.dumps({"queries_full": timings}, separators=(",", ":")))
+        kept = dict(timings)
+        elided = 0
+        for name in sorted(timings, key=timings.get):
+            if len(line) <= budget:
+                break
+            del kept[name]
+            elided += 1
+            final["queries"] = kept
+            final["queries_elided"] = elided
+            line = json.dumps(final, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

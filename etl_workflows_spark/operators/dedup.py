@@ -926,7 +926,12 @@ def near_dup_incremental(
     t.unpersist()
     from etl_workflows_spark.operators.cache import release_all_checkpoints
 
-    release_all_checkpoints(batch, keep=(out,))
+    # release only the checkpoints THIS call introduced (inside
+    # dedup_near_duplicates' clustering loop) — new_docs' own
+    # checkpoint-backed blocks belong to the caller, who may reuse the
+    # input after we return; sweeping them would leave unrecoverable
+    # missing-block failures (localCheckpoint severed their lineage)
+    release_all_checkpoints(batch, keep=(out, new_docs))
     return out
 
 

@@ -100,8 +100,14 @@ def token_balanced_shards(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    # NULL text must count as 0 tokens, not size(NULL) = -1 (which would
+    # corrupt the global cumulative sum and every downstream shard_id).
     d = docs.select(
-        key_col, token_count(F.col(text_col)).cast("long").alias("n_tokens")
+        key_col,
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(token_count(F.col(text_col)))
+        .cast("long")
+        .alias("n_tokens"),
     )
     cum = global_cumsum(
         d,

@@ -631,9 +631,9 @@ def vocab_coverage(
     the vocabulary itself is web-scale (billions of long-tail types).
     The frequency table is cached (vocabulary-sized, bounded) so the
     cut-points pass, the offsets pass, and the final pass explode the
-    corpus once, not three times; the cache frees via the ContextCleaner
-    once the result is dropped (lineage is kept, so a caller that holds
-    the plan past an executor-storage eviction just recomputes).
+    corpus once, not three times; the result (≤ len(thresholds) rows) is
+    materialized eagerly so the cache is unpersisted before returning —
+    persists are CacheManager entries the ContextCleaner never reaps.
     """
     from etl_workflows_spark.operators.ordering import (
         global_rank_and_cumsum,
@@ -657,7 +657,7 @@ def vocab_coverage(
     thr = docs.sparkSession.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )
-    return (
+    out = (
         ranked.crossJoin(F.broadcast(tot))
         .join(
             F.broadcast(thr),
@@ -674,3 +674,10 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+    # materialize the (≤ len(thresholds))-row result so the persisted
+    # frequency relation can be unpersisted HERE: DataFrame persists are
+    # CacheManager entries the ContextCleaner never reaps, so a lazy
+    # return would leak executor storage for the session
+    out = out.localCheckpoint(eager=True)
+    tc.unpersist()
+    return out

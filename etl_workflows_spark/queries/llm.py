@@ -168,10 +168,10 @@ def token_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_SHARDS_ORACLE = """
 SELECT doc_id,
-       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(LEN(STRING_SPLIT(text, ' ')), 0) AS BIGINT) AS n_tokens,
        CAST(FLOOR(
-         (SUM(LEN(STRING_SPLIT(text, ' '))) OVER (ORDER BY doc_id)
-          - LEN(STRING_SPLIT(text, ' '))) / 1000
+         (SUM(COALESCE(LEN(STRING_SPLIT(text, ' ')), 0)) OVER (ORDER BY doc_id)
+          - COALESCE(LEN(STRING_SPLIT(text, ' ')), 0)) / 1000
        ) AS INTEGER) AS shard_id
 FROM documents
 """

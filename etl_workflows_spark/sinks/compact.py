@@ -115,9 +115,15 @@ def compact_table(
         files_per_part = max(1, math.ceil(n_files / n_parts))
         keys = [F.col(c) for c in part_cols]
         if files_per_part > 1:
+            # salt over HASHABLE columns only — xxhash64 on MapType is
+            # disallowed in Spark, and a table carrying a map column
+            # would otherwise fail to compact at all
+            hashable = [
+                c for c, t in df.dtypes if not t.startswith("map<")
+            ] or part_cols
             keys.append(
                 F.pmod(
-                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.xxhash64(*[F.col(c) for c in hashable]),
                     F.lit(files_per_part),
                 )
             )

@@ -92,10 +92,29 @@ def quarantine_stream(
         from pyspark.sql.window import Window
 
         flagged = _failure_flags(batch_df, rules)
-        order = [F.col(c) for c in flagged.columns if c not in keys]
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.asc_nulls_first(c) for c in order]
-        )
+        # order only by ORDERABLE columns — a map column in the stream
+        # would fail AnalysisException under orderBy (dropDuplicates only
+        # hashed the keys, so it tolerated maps). Non-orderable columns
+        # still break survivor ties deterministically via an xxhash64
+        # digest of their JSON rendering.
+        orderable = [
+            c
+            for c, t in flagged.dtypes
+            if c not in keys and not t.startswith("map<")
+        ]
+        mapcols = [
+            c
+            for c, t in flagged.dtypes
+            if c not in keys and t.startswith("map<")
+        ]
+        order = [F.asc_nulls_first(F.col(c)) for c in orderable]
+        if mapcols:
+            order.append(
+                F.asc_nulls_first(
+                    F.xxhash64(*[F.to_json(F.col(c)) for c in mapcols])
+                )
+            )
+        w = Window.partitionBy(*keys).orderBy(*order)
         flagged = (
             flagged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
