@@ -631,14 +631,81 @@ def rollback(table_dir: str, version: int) -> int:
     )
 
 
+# Keyed-DML pruning knobs: below _EXACT_PRUNE_MAX_KEYS distinct source
+# keys the driver collects the exact key set (tightest possible file
+# pruning, bounded memory); above it, pruning runs off <= _PRUNE_BUCKETS
+# per-bucket [min, max] covering intervals computed IN-PLAN — a
+# backfill-scale merge (10^7-10^8 distinct keys) never lands the full key
+# set on the driver. _BROADCAST_MAX_KEYS gates F.broadcast on the
+# semi/anti joins; larger sources fall back to a shuffle join.
+_EXACT_PRUNE_MAX_KEYS = 100_000
+_PRUNE_BUCKETS = 128
+_BROADCAST_MAX_KEYS = 1_000_000
+
+
+def _source_prune_intervals(keys: DataFrame, prune_col: str) -> list:
+    """Bounded covering intervals [(lo, hi), ...] of the source's
+    ``prune_col``, sorted by lo. Exact distinct values (zero-width
+    intervals) when the approximate distinct count is small; otherwise
+    per-uniform-bucket [min, max] intervals for numeric/temporal keys
+    (one groupBy, <= _PRUNE_BUCKETS rows to the driver) or the single
+    global [min, max] for other types. Every path is CONSERVATIVE: the
+    union of intervals covers all source keys, so interval pruning can
+    only mark extra files affected, never skip a matching one."""
+    from pyspark.sql import functions as F
+
+    row = keys.agg(
+        F.min(prune_col).alias("lo"),
+        F.max(prune_col).alias("hi"),
+        F.approx_count_distinct(prune_col).alias("n"),
+    ).collect()[0]
+    if row["lo"] is None:
+        return []
+    if row["n"] <= _EXACT_PRUNE_MAX_KEYS:
+        vals = sorted(
+            r[0] for r in keys.select(prune_col).distinct().collect()
+        )
+        return [(v, v) for v in vals]
+    lo, hi = row["lo"], row["hi"]
+    dt = dict(keys.dtypes)[prune_col]
+    if dt == "date":
+        num = F.datediff(F.col(prune_col), F.lit(lo)).cast("double")
+        span = float((hi - lo).days)
+    elif dt == "timestamp":
+        num = F.col(prune_col).cast("double") - F.lit(lo).cast(
+            "timestamp"
+        ).cast("double")
+        span = (hi - lo).total_seconds()
+    elif dt in ("tinyint", "smallint", "int", "bigint", "float", "double") \
+            or dt.startswith("decimal"):
+        num = F.col(prune_col).cast("double") - float(lo)
+        span = float(hi) - float(lo)
+    else:
+        return [(lo, hi)]  # non-numeric: plain global range pruning
+    if not span > 0:
+        return [(lo, hi)]
+    bucket = F.least(
+        F.lit(_PRUNE_BUCKETS - 1),
+        F.floor(num / span * _PRUNE_BUCKETS),
+    )
+    rows = (
+        keys.groupBy(bucket.alias("__b"))
+        .agg(F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi"))
+        .collect()
+    )
+    return sorted((r["lo"], r["hi"]) for r in rows)
+
+
 def _prune_by_key_range(
-    m: dict, prune_col: str, key_vals: list
+    m: dict, prune_col: str, intervals: list
 ) -> tuple[list[str], list[str]]:
     """(affected, kept) split of a manifest's files: a file is affected
-    iff its recorded [min, max] for ``prune_col`` can contain any of the
-    sorted ``key_vals`` — or it has no stats (conservative)."""
+    iff its recorded [min, max] for ``prune_col`` intersects any of the
+    lo-sorted covering ``intervals`` — or it has no stats (conservative).
+    """
     from bisect import bisect_left
 
+    starts = [iv[0] for iv in intervals]
     stats = m.get("stats", {})
     affected, kept = [], []
     for rel in m["files"]:
@@ -647,10 +714,13 @@ def _prune_by_key_range(
             affected.append(rel)  # no stats → cannot exclude
             continue
         lo, hi = rng
-        i = bisect_left(key_vals, lo)
-        (affected if i < len(key_vals) and key_vals[i] <= hi else kept).append(
-            rel
+        # candidate intervals: the first with start > hi can't intersect;
+        # the one just before it may straddle [lo, hi] from the left
+        i = bisect_left(starts, lo)
+        hit = (i < len(intervals) and intervals[i][0] <= hi) or (
+            i > 0 and intervals[i - 1][1] >= lo
         )
+        (affected if hit else kept).append(rel)
     return affected, kept
 
 
@@ -725,9 +795,15 @@ def merge_into_snapshot(
     of rewriting the table — the Iceberg/Delta MERGE cost model on plain
     parquet.
 
-    Scale shape: the source side is MERGE-small by convention (same as
-    sinks/merge.py): its keys broadcast into the anti-join and its first
-    key column's values are collected for pruning. Returns
+    Scale shape: driver traffic is BOUNDED regardless of source size —
+    pruning collects the exact distinct key set only below
+    ``_EXACT_PRUNE_MAX_KEYS`` and otherwise <= ``_PRUNE_BUCKETS``
+    per-bucket [min, max] covering intervals computed in-plan; the
+    semi/anti joins broadcast the keys only below
+    ``_BROADCAST_MAX_KEYS`` rows and shuffle-join beyond that. A
+    CDC-sized upsert keeps the old tight plan; a backfill-scale merge
+    (10^7+ distinct keys) degrades gracefully instead of landing the key
+    set on the driver. Returns
     ``{version, matched, inserted, files_rewritten, files_total}``.
     """
     if not key_cols:
@@ -763,23 +839,26 @@ def merge_into_snapshot(
                     "idempotent_skip": True}
 
     src = source.select(*target_cols).localCheckpoint(eager=True)
+    n_src = src.count()
     keys = src.select(*key_cols)
     _reject_null_keys(keys, key_cols, "MERGE")
     prune_col = key_cols[0]
-    key_vals = sorted(
-        r[0] for r in src.select(prune_col).distinct().collect()
-    )
-    affected, kept = _prune_by_key_range(m, prune_col, key_vals)
+    intervals = _source_prune_intervals(keys, prune_col)
+    affected, kept = _prune_by_key_range(m, prune_col, intervals)
 
     from pyspark.sql import functions as F
 
     schema = T.StructType.fromJson(json.loads(m["schema"]))
     if affected:
+        # size-gated broadcast: CDC-batch sources hash-broadcast into the
+        # semi/anti joins; a backfill-scale source falls back to a
+        # shuffle join rather than shipping GBs to every task
+        jk = F.broadcast(keys) if n_src <= _BROADCAST_MAX_KEYS else keys
         hit = spark.read.schema(schema).parquet(
             *[os.path.join(table_dir, f) for f in affected]
         )
-        matched = hit.join(F.broadcast(keys), key_cols, "leftsemi").count()
-        survivors = hit.join(F.broadcast(keys), key_cols, "leftanti")
+        matched = hit.join(jk, key_cols, "leftsemi").count()
+        survivors = hit.join(jk, key_cols, "leftanti")
         rewritten = survivors.select(*target_cols).unionByName(src)
     else:
         matched = 0
@@ -796,7 +875,7 @@ def merge_into_snapshot(
     return {
         "version": v,
         "matched": matched,
-        "inserted": src.count() - matched,
+        "inserted": n_src - matched,
         "files_rewritten": len(affected),
         "files_total": len(m["files"]),
     }
@@ -831,10 +910,11 @@ def delete_from_snapshot(
             return {"version": existing, "deleted": 0, "files_rewritten": 0,
                     "files_total": len(m["files"]), "idempotent_skip": True}
     keys = source_keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    n_keys = keys.count()
     _reject_null_keys(keys, key_cols, "DELETE")
     prune_col = key_cols[0]
-    key_vals = sorted(r[0] for r in keys.select(prune_col).collect())
-    affected, kept = _prune_by_key_range(m, prune_col, key_vals)
+    intervals = _source_prune_intervals(keys, prune_col)
+    affected, kept = _prune_by_key_range(m, prune_col, intervals)
     if not affected:
         return {"version": head, "deleted": 0, "files_rewritten": 0,
                 "files_total": len(m["files"])}
@@ -842,8 +922,9 @@ def delete_from_snapshot(
     hit = spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, f) for f in affected]
     )
-    doomed = hit.join(F.broadcast(keys), key_cols, "leftsemi").count()
-    survivors = hit.join(F.broadcast(keys), key_cols, "leftanti")
+    jk = F.broadcast(keys) if n_keys <= _BROADCAST_MAX_KEYS else keys
+    doomed = hit.join(jk, key_cols, "leftsemi").count()
+    survivors = hit.join(jk, key_cols, "leftanti")
     new_files = _write_data_files(survivors, table_dir)
     new_stats = _file_stats(table_dir, new_files, [prune_col])
     new_blooms = _build_blooms(

@@ -116,3 +116,86 @@ def test_vocab_coverage_releases_its_cache(spark, sf_dir):
         # no CacheManager entry may outlive the call — persists are not
         # reaped by the ContextCleaner
         assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def _snap_batch(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(1)
+
+
+def test_merge_wide_key_source_never_collects_key_set(
+    spark, tmp_path, monkeypatch
+):
+    """Backfill-scale MERGE: above the exact-prune threshold, pruning
+    runs off <= _PRUNE_BUCKETS in-plan covering intervals and the
+    semi/anti joins drop the forced broadcast — the full distinct key
+    set never lands on the driver. Forced here by shrinking the
+    thresholds; results must stay exact and pruning must still skip the
+    non-overlapping file."""
+    from etl_workflows_spark.sinks import snapshots as S
+
+    monkeypatch.setattr(S, "_EXACT_PRUNE_MAX_KEYS", 10)
+    monkeypatch.setattr(S, "_BROADCAST_MAX_KEYS", 10)
+    # intercept every DataFrame.collect: nothing may collect more rows
+    # than the interval budget while the thresholds force the wide path
+    # (patch the CONCRETE class — pyspark 4's instances don't resolve
+    # collect through the pyspark.sql.DataFrame base)
+    DataFrame = type(spark.range(1))
+
+    real_collect = DataFrame.collect
+    sizes = []
+
+    def spy(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    d = str(tmp_path / "t")
+    for lo in (0, 1000, 2000):
+        S.commit(_snap_batch(spark, lo, lo + 1000), d, stat_cols=["id"])
+    # 600 distinct keys confined to the middle file's range + inserts
+    src = spark.createDataFrame(
+        [(i, -1) for i in range(1200, 1800)] + [(9000 + i, -1) for i in range(5)],
+        ["id", "v"],
+    )
+    res = S.merge_into_snapshot(spark, src, d, ["id"])
+    assert res["files_rewritten"] == 1, res
+    assert res["matched"] == 600 and res["inserted"] == 5
+    assert max(sizes) <= S._PRUNE_BUCKETS + 1, sizes
+    out = S.read_snapshot(spark, d)
+    assert out.count() == 3005
+    assert out.filter("id = 1500").collect()[0]["v"] == -1
+    assert out.filter("id = 500").collect()[0]["v"] == 1000
+
+
+def test_delete_wide_key_interval_pruning(spark, tmp_path, monkeypatch):
+    from etl_workflows_spark.sinks import snapshots as S
+
+    monkeypatch.setattr(S, "_EXACT_PRUNE_MAX_KEYS", 10)
+    monkeypatch.setattr(S, "_BROADCAST_MAX_KEYS", 10)
+    d = str(tmp_path / "t")
+    for lo in (0, 1000, 2000):
+        S.commit(_snap_batch(spark, lo, lo + 1000), d, stat_cols=["id"])
+    doomed = spark.range(2100, 2400).selectExpr("id")
+    res = S.delete_from_snapshot(spark, doomed, d, ["id"])
+    assert res["deleted"] == 300
+    assert res["files_rewritten"] == 1, res
+    assert S.read_snapshot(spark, d).count() == 2700
+
+
+def test_source_prune_intervals_cover_all_keys(spark, monkeypatch):
+    """The interval path is conservative by construction: every source
+    key lies inside some returned interval, and the interval count is
+    bounded. Strings above the threshold fall back to one global range."""
+    from etl_workflows_spark.sinks import snapshots as S
+
+    monkeypatch.setattr(S, "_EXACT_PRUNE_MAX_KEYS", 10)
+    keys = spark.range(0, 5000).selectExpr("id * 7 AS k")
+    ivs = S._source_prune_intervals(keys, "k")
+    assert 1 < len(ivs) <= S._PRUNE_BUCKETS
+    assert ivs == sorted(ivs)
+    vals = [r["k"] for r in keys.collect()]
+    assert all(any(lo <= v <= hi for lo, hi in ivs) for v in vals)
+    skeys = spark.range(0, 200).selectExpr("concat('k', id) AS k")
+    sivs = S._source_prune_intervals(skeys, "k")
+    assert sivs == [("k0", "k99")]
