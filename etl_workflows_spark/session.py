@@ -39,7 +39,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Size shuffles for the target, not the Spark default of 200.
+        # ``shuffle.partitions`` is the non-AQE fallback; with AQE
+        # coalescing on, every exchange STARTS from
+        # ``initialPartitionNum`` (set high, 8× cores here, 10-20× on a
+        # real fleet — see cluster_conf) and AQE merges down to the
+        # advisory size. Starting high and coalescing is the direction
+        # that survives a 100× scale-up: AQE can merge small partitions
+        # at runtime but can never split an under-partitioned
+        # non-skewed exchange upward.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(shuffle_partitions * 8, 256)),
+        )
         # Arrow batches for every Python<->JVM exchange (Pandas UDFs etc.).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Runtime row-level join pruning: when one side of a shuffle join
@@ -87,6 +99,13 @@ def cluster_conf(
     """
     return {
         "spark.sql.shuffle.partitions": str(total_cores * 3),
+        # pre-coalesce width for every AQE exchange: generous (20× cores)
+        # so a 100 TB shuffle starts fine-grained and AQE merges down to
+        # the advisory size — the cap on per-partition shuffle size this
+        # sets is what keeps reducers spill-free at the target scale
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            total_cores * 20
+        ),
         "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024 * 1024),
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(

@@ -69,8 +69,17 @@ def compare(spark_df, oracle_df) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # Usage: oracle_check.py [sf_dir] [--out artifact.json] [query ...]
+    import json
+
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -78,6 +87,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -85,26 +95,49 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error {e}")
+            results[name] = {"status": "fail", "err": f"spark error {e}"}
             n_fail += 1
             continue
         if name not in ORACLE_SQL:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             n_rows_only += 1
             continue
         try:
             odf = con.execute(ORACLE_SQL[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error {e}")
+            results[name] = {"status": "fail", "err": f"oracle error {e}"}
             n_fail += 1
             continue
         problems = compare(sdf, odf)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "err": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(sdf)} rows")
+            results[name] = {
+                "status": "pass",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"artifact written: {out_path}")
     return 1 if n_fail else 0
 
 
