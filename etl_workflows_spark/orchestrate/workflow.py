@@ -47,10 +47,26 @@ _EXPR_RE = re.compile(r"^\$\{(.*)\}$", re.DOTALL)
 
 # -- ${} expression interpreter (AST whitelist, no eval) ---------------------
 
+# ``**`` is deliberately absent (a hostile doc's 9**9**9 would wedge the
+# interpreter); sequence repetition is size-capped for the same reason.
+_MAX_REPEAT_LEN = 1_000_000
+_MAX_EXPR_LEN = 4_096
+
+
+def _safe_mult(a, b):
+    for seq, n in ((a, b), (b, a)):
+        if isinstance(seq, (str, bytes, list, tuple)) and isinstance(n, int):
+            if len(seq) * max(n, 0) > _MAX_REPEAT_LEN:
+                raise ExpressionError(
+                    f"sequence repetition exceeds {_MAX_REPEAT_LEN} elements"
+                )
+    return a * b
+
+
 _BIN_OPS = {
     ast.Add: lambda a, b: a + b,
     ast.Sub: lambda a, b: a - b,
-    ast.Mult: lambda a, b: a * b,
+    ast.Mult: _safe_mult,
     ast.Div: lambda a, b: a / b,
     ast.FloorDiv: lambda a, b: a // b,
     ast.Mod: lambda a, b: a % b,
@@ -76,11 +92,18 @@ def _eval_expression(text: str, scope: dict[str, Any]) -> Any:
     lambdas, starred/dunder anything are structurally rejected — untrusted
     workflow documents cannot reach arbitrary Python.
     """
+    if len(text) > _MAX_EXPR_LEN:
+        raise ExpressionError(
+            f"expression exceeds {_MAX_EXPR_LEN} characters"
+        )
     try:
         tree = ast.parse(text.strip(), mode="eval")
-    except SyntaxError as exc:
+    except (SyntaxError, ValueError, RecursionError, MemoryError) as exc:
         raise ExpressionError(f"invalid expression: {text!r}") from exc
-    return _eval_node(tree.body, scope)
+    try:
+        return _eval_node(tree.body, scope)
+    except RecursionError as exc:
+        raise ExpressionError("expression nesting too deep") from exc
 
 
 def _eval_node(node: ast.AST, scope: dict[str, Any]) -> Any:

@@ -275,3 +275,84 @@ def test_reference_etl_cars_yaml_verbatim(spark, fixtures_dir, tmp_path):
     WorkflowRunner(doc, registry).run()
     assert spark.table("refwf.big_US_cars").count() == 17
     spark.sql("USE default")
+
+
+def test_expression_sandbox_adversarial_battery():
+    """Security-pinning battery for the ${} AST whitelist: every known
+    escape/DoS family is STRUCTURALLY rejected (ExpressionError), never
+    evaluated, never allowed to wedge the interpreter."""
+    from etl_workflows_spark.orchestrate.workflow import (
+        ExpressionError,
+        _eval_expression,
+    )
+
+    scope = {"x": 1, "s": "abc", "xs": [1, 2, 3]}
+    hostile = [
+        # dunder chains, every spelling
+        "().__class__.__mro__[1].__subclasses__()",
+        "x.__class__",
+        "s.__init__",
+        "xs.__getitem__",
+        # call nodes (even of whitelisted results)
+        "abs(x)",
+        "s.upper()",
+        "(x + 1).bit_length()",
+        # comprehensions / generators / lambdas / walrus / starred
+        "[i for i in xs]",
+        "{i: i for i in xs}",
+        "(i for i in xs)",
+        "lambda: 1",
+        "(y := 5)",
+        "[*xs]",
+        # f-strings, await, conditional expression (not whitelisted)
+        "f'{x}'",
+        # power tower DoS (Pow is structurally absent)
+        "9 ** 9 ** 9",
+        # sequence-repetition DoS (Mult is size-capped)
+        "'a' * 99999999",
+        "xs * 99999999",
+        "99999999 * 'a'",
+        "('a' * 1000) * 99999",
+    ]
+    for expr in hostile:
+        with pytest.raises(ExpressionError, match="."):
+            _eval_expression(expr, dict(scope))
+    # oversized / pathologically nested expressions fail fast, not with
+    # a RecursionError that could kill the worker thread
+    with pytest.raises(ExpressionError):
+        _eval_expression("x" + " + x" * 2000, dict(scope))
+    with pytest.raises(ExpressionError):
+        _eval_expression("-" * 5000 + "x", dict(scope))
+    # under the length cap, deep-but-parseable nesting evaluates safely
+    assert _eval_expression("-" * 900 + "x", dict(scope)) == 1
+
+
+def test_expression_sandbox_property(monkeypatch):
+    """Property: random expression strings either evaluate to a plain
+    value or raise ExpressionError — no other exception type escapes the
+    evaluator (hostile YAML can't crash the runner loop)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_workflows_spark.orchestrate.workflow import (
+        ExpressionError,
+        _eval_expression,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def check(expr):
+        try:
+            _eval_expression(expr, {"x": 1, "s": "abc"})
+        except ExpressionError:
+            pass
+
+    check()
+
+
+def test_expression_benign_mult_still_works():
+    from etl_workflows_spark.orchestrate.workflow import _eval_expression
+
+    assert _eval_expression("'ab' * 3", {}) == "ababab"
+    assert _eval_expression("[0] * 4", {}) == [0, 0, 0, 0]
+    assert _eval_expression("6 * 7", {}) == 42
