@@ -61,6 +61,79 @@ def stub_model(texts: list[str]) -> list[float]:
     return out
 
 
+# Deterministic fitted-looking parameters for benches/demos that need a
+# REAL compute kernel without an in-container training run: plausible
+# signs (longer, stopword-bearing, lexically diverse text scores higher;
+# digit/caps-heavy text lower) over the classifier's 6 features.
+FIXED_QUALITY_PARAMS = {
+    "weights": [0.8, 1.2, 1.5, -0.3, -2.0, -1.5],
+    "intercept": -0.5,
+    "mean": [3.5, 0.7, 0.12, 5.5, 0.02, 0.03],
+    "std": [1.0, 0.2, 0.08, 1.5, 0.05, 0.06],
+}
+
+
+def quality_logistic_model_fn(
+    weights: list[float],
+    intercept: float,
+    mean: list[float],
+    std: list[float],
+) -> Callable[[list[str]], list[float]]:
+    """Compile the quality classifier's fitted parameters
+    (operators/classifier.py FEATURES order) into a REAL numpy scoring
+    kernel for the batched inference path: per-text feature extraction
+    (token/char counts, stopword/digit/caps ratios — the exact
+    semantics of ``classifier.quality_features``'s Catalyst
+    expressions) + standardization + sigmoid. This is what
+    ``score_documents`` measures when the bench wants model compute,
+    not just batch shaping; parity with the in-plan
+    ``classifier.score_quality`` is test-pinned."""
+    import math
+
+    import numpy as np
+
+    from etl_workflows_spark.operators.text import STOPWORDS
+
+    stop = frozenset(STOPWORDS)
+
+    def model_fn(texts: list[str]) -> list[float]:
+        n = len(texts)
+        feats = np.empty((n, 6), dtype=np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            toks = t.split(" ")  # split(' ', -1) semantics, like Spark
+            n_tok = len(toks)
+            ntf = float(max(n_tok, 1))
+            ncf = float(max(len(t), 1))
+            feats[i, 0] = math.log1p(float(n_tok))
+            feats[i, 1] = len(set(toks)) / ntf
+            feats[i, 2] = sum(1 for x in toks if x in stop) / ntf
+            feats[i, 3] = ncf / ntf
+            feats[i, 4] = sum(1 for c in t if "0" <= c <= "9") / ncf
+            feats[i, 5] = sum(1 for c in t if "A" <= c <= "Z") / ncf
+        margin = np.full(n, float(intercept))
+        for j in range(6):
+            if std[j] == 0.0:  # StandardScaler maps zero-variance to 0
+                continue
+            margin += weights[j] * (feats[:, j] - mean[j]) / std[j]
+        return (1.0 / (1.0 + np.exp(-margin))).tolist()
+
+    return model_fn
+
+
+def fitted_quality_model_fn(model) -> Callable[[list[str]], list[float]]:
+    """``quality_logistic_model_fn`` with parameters extracted from a
+    fitted ``classifier.train_quality_model`` PipelineModel (same
+    extraction as ``classifier.score_quality``)."""
+    scaler, lr = model.stages[1], model.stages[2]
+    return quality_logistic_model_fn(
+        lr.coefficients.toArray().tolist(),
+        float(lr.intercept),
+        scaler.mean.toArray().tolist(),
+        scaler.std.toArray().tolist(),
+    )
+
+
 def score_documents(
     docs: DataFrame,
     max_batch_tokens: int = 4096,

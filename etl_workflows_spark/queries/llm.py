@@ -1764,14 +1764,23 @@ FROM documents
 def score_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus scoring through the inference batching plumbing
     (operators/inference.py): length-sorted token-budget micro-batches,
-    padding telemetry per batch, deterministic stub scorer (no ML
-    runtime in this container — the batch SHAPE is the artifact under
-    test; rows-only check, the scorer is an iterative hash no SQL
-    engine replays)."""
-    from etl_workflows_spark.operators.inference import score_documents
+    padding telemetry per batch, and a REAL numpy logistic kernel
+    (feature extraction + standardize + sigmoid over fixed deterministic
+    parameters) so the bench measures model compute + batch shaping,
+    not just the plumbing. Rows-only check: the per-batch telemetry
+    columns depend on partition boundaries no SQL engine replays; the
+    kernel's score parity with in-plan scoring is pinned in
+    tests/test_inference.py."""
+    from etl_workflows_spark.operators.inference import (
+        FIXED_QUALITY_PARAMS,
+        quality_logistic_model_fn,
+        score_documents,
+    )
 
     return score_documents(
-        table(spark, sf_dir, "documents"), max_batch_tokens=2048
+        table(spark, sf_dir, "documents"),
+        max_batch_tokens=2048,
+        model_fn=quality_logistic_model_fn(**FIXED_QUALITY_PARAMS),
     )
 
 

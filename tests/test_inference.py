@@ -85,3 +85,65 @@ def test_strict_mode_requires_real_model(spark):
         d.limit(5), strict=True, model_fn=lambda ts: [0.5] * len(ts)
     )
     assert {r["score"] for r in out.collect()} == {0.5}
+
+
+def test_real_logistic_kernel_parity_with_inplan_scoring(spark, sf_dir):
+    """The numpy model_fn (quality_logistic_model_fn) must reproduce the
+    in-plan closed-form sigmoid (classifier.score_quality) from the SAME
+    fitted parameters — the batched path is then a real-model scorer,
+    not just batch shaping."""
+    import os
+
+    from etl_workflows_spark.operators.classifier import (
+        quality_features,
+        score_quality,
+        train_quality_model,
+        weak_labels,
+    )
+    from etl_workflows_spark.operators.inference import (
+        fitted_quality_model_fn,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    labeled = weak_labels(quality_features(docs))
+    model = train_quality_model(labeled)
+    inplan = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(model, quality_features(docs)).collect()
+    }
+    batched = {
+        r["doc_id"]: r["score"]
+        for r in score_documents(
+            docs, max_batch_tokens=512, model_fn=fitted_quality_model_fn(model)
+        ).collect()
+    }
+    assert set(batched) == set(inplan)
+    worst = max(abs(batched[k] - inplan[k]) for k in inplan)
+    assert worst < 1e-9, worst
+
+
+def test_padding_win_holds_under_real_kernel(spark):
+    """Length-sorted batching's padding-efficiency win must survive a
+    model_fn that actually computes (the win is a property of batch
+    SHAPE, not of the stub)."""
+    from etl_workflows_spark.operators.inference import (
+        FIXED_QUALITY_PARAMS,
+        quality_logistic_model_fn,
+    )
+
+    fn = quality_logistic_model_fn(**FIXED_QUALITY_PARAMS)
+    d = _docs(spark)
+    sorted_eff = padding_efficiency(
+        score_documents(d, max_batch_tokens=64, model_fn=fn)
+    )
+    unsorted_eff = padding_efficiency(
+        score_documents(
+            d, max_batch_tokens=64, model_fn=fn, sort_by_length=False
+        )
+    )
+    assert sorted_eff > unsorted_eff
+    assert sorted_eff > 0.9
