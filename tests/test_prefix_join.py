@@ -184,3 +184,69 @@ def test_containment_prefix_finds_doc_inside_doc(spark):
     }
     assert (1, 2) in got       # inner ⊂ outer
     assert (2, 1) not in got   # not symmetric
+
+
+def test_bloom_preverify_bound_is_exact_safe(spark):
+    """popcount(sig_a XOR sig_b) must NEVER exceed |A Δ B| — the bound
+    the pre-verify rejects on. Checked exhaustively over random pairs."""
+    import random
+
+    from etl_workflows_spark.operators.dedup import _bloom_sig, _xor_popcount
+
+    rng = random.Random(7)
+    rows = []
+    universe = [rng.getrandbits(63) - 2**62 for _ in range(400)]
+    for i in range(60):
+        a = rng.sample(universe, rng.randint(1, 120))
+        b = rng.sample(universe, rng.randint(1, 120))
+        rows.append((i, a, b, len(set(a) ^ set(b))))
+    df = spark.createDataFrame(
+        rows, "id int, a array<bigint>, b array<bigint>, d int"
+    ).select(
+        "id",
+        "d",
+        _bloom_sig("a").alias("sa"),
+        _bloom_sig("b").alias("sb"),
+    )
+    bad = df.filter(_xor_popcount("sa", "sb") > F.col("d")).count()
+    assert bad == 0
+
+
+def test_bloom_preverify_actually_cuts_candidates(spark):
+    """Docs engineered so the prefix filter CANNOT prune (every pair
+    shares a rare shingle) but almost no pair passes t=0.8: the
+    signature filter must reject most candidates before the full
+    verify, and the survivors must still contain every true pair."""
+    from etl_workflows_spark.operators.dedup import (
+        _prefix_candidates,
+        _shingled,
+        _signature_preverify,
+        near_dup_pairs_exact,
+    )
+
+    # 30 docs where every pair (i, j) shares one 3-token block (so the
+    # shared shingles have global frequency exactly 2 — the rarest tier,
+    # which the value tie-break scatters into prefixes) but any two docs
+    # are ~2% Jaccard: the prefix filter keeps many spurious candidates
+    # that the signature filter must reject. Plus one true pair 100/101.
+    def text(i):
+        parts = []
+        for j in range(30):
+            if j == i:
+                continue
+            lo, hi = min(i, j), max(i, j)
+            parts.append(f"a{lo}x{hi} b{lo}x{hi} c{lo}x{hi} s s")
+        return " ".join(parts)
+
+    rows = [(i, text(i)) for i in range(30)]
+    base = " ".join(f"shared{j}" for j in range(40))
+    rows += [(100, base), (101, base + " tail")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingled(docs, "text", 3, hashed=True)
+    cands = _prefix_candidates(sh, 0.8)
+    survivors = _signature_preverify(sh, cands, 0.8)
+    n_c, n_s = cands.count(), survivors.count()
+    assert n_c >= 20, n_c  # the prefix filter alone can't prune these
+    assert n_s <= n_c / 3, (n_c, n_s)  # the signature filter can
+    true_pairs = _pairs(near_dup_pairs_exact(docs, threshold=0.8))
+    assert true_pairs <= _pairs(survivors)  # and it never drops a real pair
