@@ -256,6 +256,78 @@ def _snapshot_lookup_legs(spark, scaled_dir: str) -> dict:
     }
 
 
+def _snapshot_dml_legs(spark, scaled_dir: str) -> dict:
+    """Table-layer round-trip at 10× data: build a range-clustered
+    snapshot table from the scaled documents corpus, run one CDC-sized
+    MERGE (keys confined to a narrow doc_id range — the file-pruning
+    case the manifest stats exist for), one keyed DELETE, one vacuum,
+    and a read-verify. Each leg timed once (they're mutations); the
+    table is rebuilt per bench run so timings are reproducible."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.sinks import snapshots as SNAP
+
+    dml_dir = os.path.join(
+        "/tmp/etlws_snap_bench",
+        os.path.basename(scaled_dir.rstrip("/")) + "_dml",
+    )
+    shutil.rmtree(dml_dir, ignore_errors=True)
+    docs = spark.read.parquet(
+        os.path.join(scaled_dir, "documents.parquet")
+    ).repartitionByRange(16, "doc_id")
+    legs: dict[str, float] = {}
+
+    t0 = _time.perf_counter()
+    SNAP.commit(docs, dml_dir, stat_cols=["doc_id"])
+    legs["snapshot_build_x10"] = round(_time.perf_counter() - t0, 3)
+
+    ids = [r["doc_id"] for r in spark.read.parquet(
+        os.path.join(scaled_dir, "documents.parquet")
+    ).select("doc_id").orderBy("doc_id").limit(1200).collect()]
+    lo, hi = ids[0], ids[999]
+    schema_cols = docs.columns
+    src = (
+        spark.read.parquet(os.path.join(scaled_dir, "documents.parquet"))
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [patched]")))
+        .select(*schema_cols)
+    )
+    t0 = _time.perf_counter()
+    res_m = SNAP.merge_into_snapshot(spark, src, dml_dir, ["doc_id"])
+    legs["snapshot_merge_cdc_x10"] = round(_time.perf_counter() - t0, 3)
+
+    doomed = spark.createDataFrame(
+        [(i,) for i in ids[1000:1200]], "doc_id long"
+    )
+    t0 = _time.perf_counter()
+    res_d = SNAP.delete_from_snapshot(spark, doomed, dml_dir, ["doc_id"])
+    legs["snapshot_delete_x10"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    SNAP.vacuum(dml_dir, keep_last=1, min_age_seconds=0)
+    legs["snapshot_vacuum_x10"] = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    n = SNAP.read_snapshot(spark, dml_dir).count()
+    legs["snapshot_read_verify_x10"] = round(_time.perf_counter() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "snapshot_dml_check": {
+                    "merge_files_rewritten": res_m["files_rewritten"],
+                    "merge_files_total": res_m["files_total"],
+                    "deleted": res_d["deleted"],
+                    "rows_after": n,
+                }
+            }
+        )
+    )
+    return legs
+
+
 def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
     from etl_workflows_spark.queries.analytics import skewed_join_salted
     from tools.scale_data import ensure_scaled
@@ -305,6 +377,7 @@ def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
     timings.update(_snapshot_lookup_legs(spark, scaled_dir))
+    timings.update(_snapshot_dml_legs(spark, scaled_dir))
     return {
         "factor": factor,
         "dir": scaled_dir,
