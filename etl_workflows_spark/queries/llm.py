@@ -387,6 +387,31 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH
+    (similarity.similar_pairs_banded) — the scale twin of the
+    oracle-checked brute-force `similar_pairs`; candidates travel as ids,
+    O(n·bands) shuffle. Rows-only (approximate recall, measured against
+    the exact twin in tests/test_semantic_dedup.py)."""
+    return similarity.similar_pairs_banded(
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.5,
+        n_planes=4,
+        bands=16,
+    )
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    cells, within-cell cosine-duplicate groups, one keeper per group
+    (similarity.semantic_dedup). Rows-only (k-means + iterative
+    components; semantics pinned vs a planted-duplicate ground truth in
+    tests/test_semantic_dedup.py)."""
+    return similarity.semantic_dedup(
+        table(spark, sf_dir, "embeddings"), threshold=0.5, n_lists=8
+    )
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture sampling: per-source hash-threshold fractions
     (reproducible across engines — the oracle picks the same rows)."""
@@ -2524,6 +2549,8 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "train_val_split_counts": train_val_split_counts,
     "similar_pairs": similar_pairs,
+    "embedding_near_dup_banded": embedding_near_dup_banded,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "embedding_label_stats": embedding_label_stats,
     "repetition_signals": repetition_signals,
     "pack_sequences": pack_sequences_query,

@@ -29,6 +29,8 @@ ROWS_ONLY = {
     "audience_overlap_events",  # HLL estimates
     "multimodal_phash_pairs",  # Arrow-kernel pixel packing + DCT
     "score_documents_batched",  # iterative hash scorer — no SQL twin
+    "embedding_near_dup_banded",  # LSH recall — exact twin similar_pairs
+    "semantic_dedup_embeddings",  # k-means + iterative components
 }
 
 

@@ -1,0 +1,116 @@
+"""Embedding-space dedup: banded hyperplane-LSH pair recall vs the exact
+twin, and SemDeDup keeper semantics on planted duplicate groups."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators.similarity import (
+    semantic_dedup,
+    similar_pairs_banded,
+    similar_pairs_bruteforce,
+)
+
+DIM = 16
+
+
+def _unit(rng):
+    v = [rng.gauss(0, 1) for _ in range(DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _perturb(v, rng, eps=0.05):
+    w = [x + rng.gauss(0, eps) for x in v]
+    n = math.sqrt(sum(x * x for x in w))
+    return [x / n for x in w]
+
+
+def _corpus(spark, n_base=60, dup_groups=8, copies=3, seed=11):
+    """n_base independent unit vectors plus dup_groups groups of `copies`
+    tiny perturbations of a shared vector (cosine ~0.995 within group)."""
+    rng = random.Random(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_base):
+        rows.append((vid, _unit(rng)))
+        vid += 1
+    truth = []
+    for _ in range(dup_groups):
+        base = _unit(rng)
+        group = []
+        for _ in range(copies):
+            rows.append((vid, _perturb(base, rng)))
+            group.append(vid)
+            vid += 1
+        truth.append(group)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, truth
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_banded_pairs_recall_vs_exact(spark):
+    df, _ = _corpus(spark)
+    exact = _pairs(similar_pairs_bruteforce(df, threshold=0.9))
+    assert len(exact) >= 8  # the planted groups are really there
+    banded = _pairs(
+        similar_pairs_banded(df, threshold=0.9, dim=DIM, n_planes=6, bands=8)
+    )
+    # exact precision by construction; recall bound from the banding
+    # parameters (~0.98 expected at cos>=0.9) — require >= 0.9
+    assert banded <= exact
+    assert len(banded) >= 0.9 * len(exact), (len(banded), len(exact))
+
+
+def test_banded_pairs_prune_candidates(spark):
+    """Unrelated vectors must not all become candidates: the banded join
+    at high threshold inspects far fewer pairs than n(n-1)/2."""
+    df, _ = _corpus(spark, n_base=120, dup_groups=0)
+    got = similar_pairs_banded(
+        df, threshold=0.9, dim=DIM, n_planes=6, bands=8
+    )
+    assert got.count() == 0  # no high-cosine pairs exist, none invented
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    df, truth = _corpus(spark)
+    out = semantic_dedup(df, threshold=0.9, n_lists=4, id_col="vec_id")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == df.count()  # every vector gets a verdict
+    for group in truth:
+        keepers = {rows[v]["keeper_vec_id"] for v in group}
+        # a planted group collapses to one keeper UNLESS k-means split it
+        # across cells (SemDeDup's documented accepted miss); with 4
+        # cells and cosine ~0.995 perturbations that split is rare —
+        # require at least that every group member maps to a keeper <=
+        # itself and the group never has more keepers than cells
+        assert all(rows[v]["keeper_vec_id"] <= v for v in group)
+        assert len(keepers) <= 2, (group, keepers)
+    # overall: a substantial fraction of planted copies deduplicated
+    n_kept = sum(1 for r in rows.values() if r["is_keeper"])
+    n_dupes = sum(len(g) - 1 for g in truth)
+    assert n_kept <= df.count() - 0.6 * n_dupes
+    # keeper ids are group members, keepers mark themselves
+    for r in rows.values():
+        assert rows[r["keeper_vec_id"]]["is_keeper"]
+
+
+def test_semantic_dedup_no_dupes_keeps_everything(spark):
+    df, _ = _corpus(spark, n_base=40, dup_groups=0)
+    out = semantic_dedup(df, threshold=0.9, n_lists=4)
+    assert out.filter(~F.col("is_keeper")).count() == 0
+    assert out.count() == 40
+
+
+def test_semantic_dedup_deterministic_replay(spark):
+    df, _ = _corpus(spark)
+    a = {tuple(r) for r in semantic_dedup(df, threshold=0.9, n_lists=4).collect()}
+    b = {tuple(r) for r in semantic_dedup(df, threshold=0.9, n_lists=4).collect()}
+    assert a == b
