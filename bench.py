@@ -111,6 +111,9 @@ HEADLINE = [
     # window shuffle), dataloader shard assignment (bucketed prefix sum)
     "soft_dedup_docs",
     "token_shards_docs",
+    # round-5: embedding-space dedup scale paths
+    "embedding_near_dup_banded",
+    "semantic_dedup_embeddings",
 ]
 
 
