@@ -74,7 +74,15 @@ def token_windows(
 def _duplicated_hits(w: DataFrame) -> DataFrame:
     """Occurrences of corpus-wide duplicated windows.  groupBy + leftsemi
     (not COUNT OVER PARTITION BY win): partial aggregation halves the
-    shuffle and AQE can split the hot boilerplate keys."""
+    shuffle and AQE can split the hot boilerplate keys.
+
+    ``w`` is referenced twice (the dup-key aggregate and the semi join's
+    probe side) — it is materialized once here, because without that the
+    whole tokenize+explode upstream re-runs for each reference (no CSE
+    across self-referencing plans; measured ~25% of the x10 wall). The
+    checkpoint blocks free via the ContextCleaner once the result is
+    dropped (same contract as the prefix join's persisted shingles)."""
+    w = w.localCheckpoint(eager=True)
     dup_keys = (
         w.groupBy("win")
         .agg(F.count(F.lit(1)).alias("__c"))
