@@ -391,25 +391,33 @@ def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane LSH
     (similarity.similar_pairs_banded) — the scale twin of the
     oracle-checked brute-force `similar_pairs`; candidates travel as ids,
-    O(n·bands) shuffle. Rows-only (approximate recall, measured against
-    the exact twin in tests/test_semantic_dedup.py)."""
+    O(n·bands) shuffle. Benched at the realistic near-dup threshold 0.9
+    with 8-plane buckets: loose buckets (few planes / low threshold)
+    make every bucket a dense clique and candidates explode — the same
+    threshold economics as the prefix join, measured in bench.py.
+    Rows-only (approximate recall, measured against the exact twin in
+    tests/test_semantic_dedup.py)."""
     return similarity.similar_pairs_banded(
         table(spark, sf_dir, "embeddings"),
-        threshold=0.5,
-        n_planes=4,
-        bands=16,
+        threshold=0.9,
+        n_planes=8,
+        bands=6,
     )
 
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
     cells, within-cell cosine-duplicate groups, one keeper per group
-    (similarity.semantic_dedup). Rows-only (k-means + iterative
-    components; semantics pinned vs a planted-duplicate ground truth in
-    tests/test_semantic_dedup.py)."""
-    return similarity.semantic_dedup(
-        table(spark, sf_dir, "embeddings"), threshold=0.5, n_lists=8
-    )
+    (similarity.semantic_dedup). n_lists ~ sqrt(n) — the paper's sizing:
+    cells of ~sqrt(n) keep the within-cell pairwise work at n^1.5 total
+    instead of n^2/k (a fixed small k at 10x data made each cell a 625-row
+    clique — measured 12 s; sqrt-sized cells run it in ~2 s). Rows-only
+    (k-means + iterative components; semantics pinned vs a
+    planted-duplicate ground truth in tests/test_semantic_dedup.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()  # parquet-metadata count: cheap
+    n_lists = max(8, int(n ** 0.5))
+    return similarity.semantic_dedup(emb, threshold=0.9, n_lists=n_lists)
 
 
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,3 +114,43 @@ def test_semantic_dedup_deterministic_replay(spark):
     a = {tuple(r) for r in semantic_dedup(df, threshold=0.9, n_lists=4).collect()}
     b = {tuple(r) for r in semantic_dedup(df, threshold=0.9, n_lists=4).collect()}
     assert a == b
+
+
+def test_banded_fast_buckets_match_jvm_path(spark):
+    """The numpy sign-bit kernel and the pure-JVM expression path must
+    produce the same pairs on the planted corpus (sign flips require
+    |dot| at float-rounding scale — absent by construction here)."""
+    df, _ = _corpus(spark, n_base=30, dup_groups=4)
+    fast = _pairs(
+        similar_pairs_banded(
+            df, threshold=0.9, dim=DIM, n_planes=6, bands=8, fast=True
+        )
+    )
+    jvm = _pairs(
+        similar_pairs_banded(
+            df, threshold=0.9, dim=DIM, n_planes=6, bands=8, fast=False
+        )
+    )
+    assert fast == jvm
+
+
+def test_ivf_assign_fast_matches_jvm(spark):
+    from etl_workflows_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_fast,
+        ivf_train_centroids,
+    )
+
+    df, _ = _corpus(spark, n_base=50, dup_groups=2)
+    cents = ivf_train_centroids(df, n_lists=4, fast=True)
+    slow = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(df, cents).collect()
+    }
+    fast = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign_fast(df, cents).collect()
+    }
+    agree = sum(1 for k in slow if slow[k] == fast[k])
+    # exact agreement expected away from argmax ties; allow one tie row
+    assert agree >= len(slow) - 1, (agree, len(slow))
