@@ -442,6 +442,77 @@ def charlm_score(
     )
 
 
+def word_bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020) with a WORD
+    bigram model trained on the corpus itself: per document the mean
+    log2-probability of its bigrams under add-one smoothing, and the
+    perplexity 2^(-mean). Low-probability documents are boilerplate /
+    wrong-language / template junk relative to the corpus.
+
+    Unlike ``charlm_*`` (alphabet²-sized model → broadcast join), the
+    word-bigram model is VOCABULARY²-sized — big data itself — so
+    scoring is a distributed equi-join of the doc-bigram relation
+    against the count relations (map-side-combined aggs, AQE
+    skew-splittable joins), never a broadcast.
+
+    Smoothing is add-one so every log2 argument is an EXACT integer
+    (count+1, context+V) — cross-engine float drift is ≤1 ulp per term
+    (the token_entropy convention), keeping the operator value-hash
+    oracle-checkable. Documents with <2 tokens carry no bigrams and are
+    absent by contract (they are the charlm gate's job).
+
+    Separation requires the corpus to HAVE bigram concentration: on a
+    structureless corpus (independent random tokens) conditionals are
+    flat and word salad is not distinguishable by a conditional LM —
+    use the charlm / ngram-novelty gates for that failure mode.
+
+    Returns (doc_id, n_bigrams, avg_log2_prob, perplexity).
+    """
+    toks = tokens(F.col(text_col))
+    d = docs.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    m = F.size("__t") - 1
+    z = F.arrays_zip(F.slice("__t", 1, m), F.slice("__t", 2, m))
+    # bigram relation is referenced twice (count training + scoring
+    # join) — materialize once, same contract as spans._duplicated_hits
+    b = (
+        d.select(F.col(id_col), F.explode(z).alias("bg"))
+        .select(
+            F.col(id_col),
+            F.col("bg.0").alias("w1"),
+            F.col("bg.1").alias("w2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    c12 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        b.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log2((F.col("c12") + 1).cast("double"))
+                - F.log2((F.col("c1") + F.col("v")).cast("double"))
+            ).alias("__avg"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round("__avg", 6).alias("avg_log2_prob"),
+            F.round(F.pow(F.lit(2.0), -F.col("__avg")), 6).alias(
+                "perplexity"
+            ),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     min_docs: int = 3,

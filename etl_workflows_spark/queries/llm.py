@@ -2475,6 +2475,45 @@ FROM w JOIN c USING (win) GROUP BY doc_id
 """
 
 
+def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style word-bigram LM perplexity per document
+    (text.word_bigram_lm_scores): the model is trained on the corpus
+    itself and is vocabulary²-sized — scored by distributed equi-joins,
+    not a broadcast (contrast charlm's KB model). Add-one smoothing
+    keeps every log2 argument an exact integer, so the entry is
+    value-hash oracle-checked."""
+    return text.word_bigram_lm_scores(table(spark, sf_dir, "documents"))
+
+
+_LM_PERPLEXITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+  FROM t WHERE LEN(toks) >= 2
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1
+), v AS (
+  SELECT COUNT(*) AS v FROM c1
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(LOG2(c12.c12 + 1) - LOG2(c1.c1 + v.v)), 6)
+         AS avg_log2_prob,
+       ROUND(POWER(2.0, -AVG(LOG2(c12.c12 + 1) - LOG2(c1.c1 + v.v))), 6)
+         AS perplexity
+FROM b
+JOIN c12 USING (w1, w2)
+JOIN c1 USING (w1)
+CROSS JOIN v
+GROUP BY b.doc_id
+"""
+
+
 def token_entropy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Shannon entropy of the token distribution (bits) —
     the information-density screen that separates varied prose from
@@ -2535,6 +2574,7 @@ QUERIES = {
     "lang_id_confusion": lang_id_confusion,
     "ngram_novelty_docs": ngram_novelty_docs,
     "token_entropy_sources": token_entropy_sources,
+    "lm_perplexity_docs": lm_perplexity_docs,
     "dup_overlap_sources": dup_overlap_sources,
     "lexical_diversity_docs": lexical_diversity_docs,
     "vocab_coverage_docs": vocab_coverage_docs,
@@ -2621,6 +2661,7 @@ ORACLE_SQL = {
     "lang_id_confusion": _LANG_CONFUSION_ORACLE,
     "ngram_novelty_docs": _NGRAM_NOVELTY_ORACLE,
     "token_entropy_sources": _TOKEN_ENTROPY_ORACLE,
+    "lm_perplexity_docs": _LM_PERPLEXITY_ORACLE,
     "dup_overlap_sources": _DUP_OVERLAP_ORACLE,
     "lexical_diversity_docs": _LEXICAL_DIVERSITY_ORACLE,
     "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,

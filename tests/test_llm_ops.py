@@ -564,3 +564,42 @@ def test_ivf_append_extends_persisted_index(spark, sf_dir, tmp_path):
     # and the index remains queryable end-to-end over the union
     res = similarity.ann_topk_ivf(lists, cents2, query_vec_id=450, k=5, nprobe=8)
     assert res.count() == 5
+
+
+def test_word_bigram_lm_separates_typical_from_atypical(spark):
+    """On a corpus with real bigram concentration (Markov-templated
+    sentences), corpus-typical phrasing must out-score word salad under
+    the corpus-trained conditional bigram LM. (A structureless random
+    corpus has flat conditionals and CANNOT be separated this way —
+    that's the charlm/novelty gates' job, documented in the operator.)
+    """
+    import random
+
+    from etl_workflows_spark.operators.text import word_bigram_lm_scores
+
+    rng = random.Random(3)
+    templates = [
+        "the cat sat on the mat",
+        "the dog ran in the park",
+        "a bird flew over the house",
+        "the cat ran in the house",
+        "a dog sat on the grass",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(templates) for _ in range(5)))
+        for i in range(200)
+    ]
+    rows.append((900001, "the cat sat on the mat the dog ran in the park"))
+    rows.append((900002, "zzq qqz xqx jjzz vvqk wkx zzq plor mnxx trz wkx"))
+    probe = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r
+        for r in word_bigram_lm_scores(probe).collect()
+        if r["doc_id"] in (900001, 900002)
+    }
+    assert scores[900001]["perplexity"] < scores[900002]["perplexity"], scores
+    assert scores[900001]["n_bigrams"] == 11
+    short = spark.createDataFrame(
+        [(1, "solo")], "doc_id long, text string"
+    )
+    assert word_bigram_lm_scores(short).count() == 0  # <2 tokens: absent
