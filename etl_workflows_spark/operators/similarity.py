@@ -239,6 +239,35 @@ def _band_buckets_fast(
     return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
+def banded_lsh_params(
+    n_vectors: int,
+    threshold: float,
+    target_bucket: int = 32,
+    recall_target: float = 0.95,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(n_planes, bands) sized for the corpus — the 100× scaling rule.
+
+    Fixed plane counts do NOT survive growth: bucket occupancy is
+    n / 2^planes, so candidate pairs grow n²/2^planes — quadratic at
+    fixed planes. Holding bucket occupancy CONSTANT instead
+    (planes ≈ log2(n / target_bucket)) keeps candidates ≈
+    bands · n · target_bucket/2 — linear in n — and recall is then
+    re-bought with bands: P(candidate | cos=t) per band is p^planes
+    with p = 1 − arccos(t)/π, so bands = ⌈ln(1−recall)/ln(1−p^planes)⌉.
+    ``max_bands`` caps the low-threshold blowup (low thresholds belong
+    to other machinery — same economics as the prefix join)."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    n_planes = max(4, math.ceil(math.log2(max(n_vectors / target_bucket, 2))))
+    per_band = p**n_planes
+    if per_band >= 1.0:
+        return n_planes, 2
+    bands = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - per_band))
+    return n_planes, int(min(max(bands, 2), max_bands))
+
+
 def similar_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -308,16 +337,51 @@ def similar_pairs_banded(
     )
     va = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
+    paired = cands.join(va, "id_a").join(vb, "id_b")
+    if not fast:
+        return paired.select(
             "id_a",
             "id_b",
             cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") > threshold)
+        ).filter(F.col("cos_sim") > threshold)
+
+    # vectorized verify: per-pair zip_with cosine is interpreted HOF
+    # work (~64 lambda evals per candidate); one numpy batch computes
+    # the same row-wise dot products in C
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = embeddings.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType, True),
+            T.StructField("id_b", id_field.dataType, True),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
     )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf["va"]), dtype=np.float64)
+            b = np.array(list(pdf["vb"]), dtype=np.float64)
+            cs = np.einsum("ij,ij->i", a, b) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            keep = cs > threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos_sim": cs[keep],
+                }
+            )
+
+    return paired.mapInPandas(verify, out_schema)
 
 
 def semantic_dedup(
@@ -356,17 +420,51 @@ def semantic_dedup(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
     ).localCheckpoint(eager=True)
     a, b = assigned.alias("ca"), assigned.alias("cb")
-    pairs = (
-        a.join(
-            b,
-            (F.col("ca.list_id") == F.col("cb.list_id"))
-            & (F.col("ca.id") < F.col("cb.id")),
-        )
-        .filter(cosine(F.col("ca.v"), F.col("cb.v")) >= threshold)
-        .select(
-            F.col("ca.id").alias("doc_a"), F.col("cb.id").alias("doc_b")
-        )
+    # within-cell pairs; the cosine verify runs as a vectorized numpy
+    # batch (per-pair zip_with cosine is interpreted HOF work — same
+    # kernel rationale as similar_pairs_banded's verify)
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    raw_pairs = a.join(
+        b,
+        (F.col("ca.list_id") == F.col("cb.list_id"))
+        & (F.col("ca.id") < F.col("cb.id")),
+    ).select(
+        F.col("ca.id").alias("doc_a"),
+        F.col("ca.v").alias("va"),
+        F.col("cb.id").alias("doc_b"),
+        F.col("cb.v").alias("vb"),
     )
+    id_type = assigned.schema["id"].dataType
+    pair_schema = T.StructType(
+        [
+            T.StructField("doc_a", id_type, True),
+            T.StructField("doc_b", id_type, True),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.array(list(pdf["va"]), dtype=np.float64)
+            vb = np.array(list(pdf["vb"]), dtype=np.float64)
+            cs = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            keep = cs >= threshold
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].to_numpy()[keep],
+                    "doc_b": pdf["doc_b"].to_numpy()[keep],
+                }
+            )
+
+    pairs = raw_pairs.mapInPandas(verify, pair_schema)
     comps = cluster_duplicates(pairs)
     keepers = comps.groupBy("cluster").agg(
         F.min("doc_id").alias("keeper_vec_id")

@@ -395,13 +395,15 @@ def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 8-plane buckets: loose buckets (few planes / low threshold)
     make every bucket a dense clique and candidates explode — the same
     threshold economics as the prefix join, measured in bench.py.
-    Rows-only (approximate recall, measured against the exact twin in
+    Parameters self-size to the corpus (similarity.banded_lsh_params:
+    planes ~ log2(n/bucket) keeps bucket occupancy — and so candidate
+    count — LINEAR in n; bands re-buy the recall target). Rows-only
+    (approximate recall, measured against the exact twin in
     tests/test_semantic_dedup.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n_planes, bands = similarity.banded_lsh_params(emb.count(), 0.9)
     return similarity.similar_pairs_banded(
-        table(spark, sf_dir, "embeddings"),
-        threshold=0.9,
-        n_planes=8,
-        bands=6,
+        emb, threshold=0.9, n_planes=n_planes, bands=bands
     )
 
 

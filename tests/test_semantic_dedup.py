@@ -154,3 +154,40 @@ def test_ivf_assign_fast_matches_jvm(spark):
     agree = sum(1 for k in slow if slow[k] == fast[k])
     # exact agreement expected away from argmax ties; allow one tie row
     assert agree >= len(slow) - 1, (agree, len(slow))
+
+
+def test_banded_lsh_params_scale_linearly(spark):
+    """The sizing rule must keep bucket occupancy (candidate density)
+    constant as the corpus grows, and hold the recall target by raising
+    bands — planes grow with log2(n), never the bucket size."""
+    import math
+
+    from etl_workflows_spark.operators.similarity import banded_lsh_params
+
+    p = 1.0 - math.acos(0.9) / math.pi
+    for n in (1_000, 100_000, 10_000_000):
+        planes, bands = banded_lsh_params(n, 0.9, target_bucket=32)
+        assert planes == max(4, math.ceil(math.log2(n / 32)))
+        # expected bucket occupancy stays ~target
+        assert n / 2**planes <= 32 + 1e-9
+        # recall target held
+        recall = 1 - (1 - p**planes) ** bands
+        assert recall >= 0.95, (n, planes, bands, recall)
+    # low thresholds hit the band cap instead of exploding
+    _, bands_low = banded_lsh_params(10_000_000, 0.5)
+    assert bands_low == 64
+
+
+def test_banded_recall_with_auto_params(spark):
+    df, _ = _corpus(spark)
+    from etl_workflows_spark.operators.similarity import banded_lsh_params
+
+    n_planes, bands = banded_lsh_params(df.count(), 0.9, target_bucket=16)
+    exact = _pairs(similar_pairs_bruteforce(df, threshold=0.9))
+    banded = _pairs(
+        similar_pairs_banded(
+            df, threshold=0.9, dim=DIM, n_planes=n_planes, bands=bands
+        )
+    )
+    assert banded <= exact
+    assert len(banded) >= 0.9 * len(exact)
