@@ -569,19 +569,40 @@ def dedup_embedding_cosine(
     threshold: float = 0.95,
     emb_id: str = "vec_id",
     doc_id: str = "doc_id",
+    method: str = "exact",
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: semantic duplicates share a
     high-cosine embedding pair even when their text diverges.
 
-    Pairs come from ``similarity.similar_pairs_bruteforce`` (swap in the
-    LSH variant's buckets at corpus scale); clustering and keep-one reuse
-    the same machinery as textual dedup — the pair graph is the interface.
+    Pairs come from ``similarity.similar_pairs_bruteforce``
+    (``method="exact"``, the oracle twin) or the banded hyperplane-LSH
+    join with corpus-sized parameters (``method="banded"`` — the scale
+    path, candidates linear in n via ``banded_lsh_params``); clustering
+    and keep-one reuse the same machinery as textual dedup — the pair
+    graph is the interface.
     """
     from etl_workflows_spark.operators import similarity
 
-    pairs = similarity.similar_pairs_bruteforce(
-        embeddings, threshold=threshold, id_col=emb_id
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    if method == "exact":
+        raw = similarity.similar_pairs_bruteforce(
+            embeddings, threshold=threshold, id_col=emb_id
+        )
+    elif method == "banded":
+        n_planes, bands = similarity.banded_lsh_params(
+            embeddings.count(), threshold
+        )
+        raw = similarity.similar_pairs_banded(
+            embeddings,
+            threshold=threshold,
+            n_planes=n_planes,
+            bands=bands,
+            id_col=emb_id,
+        )
+    else:
+        raise ValueError(f"method must be 'exact' or 'banded', got {method!r}")
+    pairs = raw.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
     clusters = cluster_duplicates(pairs)
     losers = (
         clusters.groupBy("cluster")

@@ -271,7 +271,7 @@ def banded_lsh_params(
 def similar_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 6,
     bands: int = 8,
     id_col: str = "vec_id",
@@ -291,6 +291,11 @@ def similar_pairs_banded(
     higher recall or lower thresholds (measured against the exact twin
     in tests). Shuffle cost is O(n·bands) + candidates, never O(n²).
     """
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        if first is None:
+            raise ValueError("embeddings relation is empty")
+        dim = len(first[0])  # one-row probe; hyperplanes need the width
     t = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )

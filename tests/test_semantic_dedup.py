@@ -191,3 +191,31 @@ def test_banded_recall_with_auto_params(spark):
     )
     assert banded <= exact
     assert len(banded) >= 0.9 * len(exact)
+
+
+def test_dedup_embedding_cosine_banded_matches_exact(spark):
+    """The banded scale path of dedup_embedding_cosine must keep the
+    same survivors as the exact pair graph on the planted corpus
+    (recall target 0.95 -> occasional missed pair is tolerated as at
+    most ONE extra survivor)."""
+    from etl_workflows_spark.operators.dedup import dedup_embedding_cosine
+
+    df, _ = _corpus(spark)
+    docs = df.selectExpr("vec_id AS doc_id", "'x' AS text")
+    exact = {
+        r["doc_id"]
+        for r in dedup_embedding_cosine(
+            df, docs, threshold=0.9, method="exact"
+        ).collect()
+    }
+    banded = {
+        r["doc_id"]
+        for r in dedup_embedding_cosine(
+            df, docs, threshold=0.9, method="banded"
+        ).collect()
+    }
+    assert exact <= banded
+    assert len(banded) - len(exact) <= 1
+
+    with pytest.raises(ValueError, match="method"):
+        dedup_embedding_cosine(df, docs, method="bogus")
