@@ -160,6 +160,13 @@ SCALED = [
     "score_documents_batched",
     "soft_dedup_docs",
     "token_shards_docs",
+    # round-5: embedding dedup at 10× vectors (banded pairs stay
+    # near-linear via self-sized planes/bands; SemDeDup's Σ|cell|² with
+    # n_lists ~ √n is the paper's n^1.5 contract — expect ratio ~4) and
+    # the corpus-trained bigram LM
+    "embedding_near_dup_banded",
+    "semantic_dedup_embeddings",
+    "lm_perplexity_docs",
 ]
 
 
