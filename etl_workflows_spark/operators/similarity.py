@@ -424,31 +424,33 @@ def semantic_dedup(
     assigned = ivf_assign_fast(embeddings, cents, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
     ).localCheckpoint(eager=True)
-    a, b = assigned.alias("ca"), assigned.alias("cb")
-    # within-cell pairs; the cosine verify runs as a vectorized numpy
-    # batch (per-pair zip_with cosine is interpreted HOF work — same
-    # kernel rationale as similar_pairs_banded's verify)
+    out = _semantic_verdicts(assigned, threshold, id_col)
+    from etl_workflows_spark.operators.cache import release_checkpoint
+
+    release_checkpoint(assigned)
+    return out
+
+
+def _rowwise_cosine_pairs(
+    paired: DataFrame,
+    a_id: str,
+    b_id: str,
+    threshold: float,
+    id_type,
+) -> DataFrame:
+    """(a_id, b_id) pairs whose ``va``/``vb`` columns reach the cosine
+    threshold — one vectorized numpy batch per Arrow chunk (per-pair
+    zip_with cosine is interpreted HOF work)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    raw_pairs = a.join(
-        b,
-        (F.col("ca.list_id") == F.col("cb.list_id"))
-        & (F.col("ca.id") < F.col("cb.id")),
-    ).select(
-        F.col("ca.id").alias("doc_a"),
-        F.col("ca.v").alias("va"),
-        F.col("cb.id").alias("doc_b"),
-        F.col("cb.v").alias("vb"),
-    )
-    id_type = assigned.schema["id"].dataType
-    pair_schema = T.StructType(
+    schema = T.StructType(
         [
-            T.StructField("doc_a", id_type, True),
-            T.StructField("doc_b", id_type, True),
+            T.StructField(a_id, id_type, True),
+            T.StructField(b_id, id_type, True),
         ]
     )
 
@@ -464,12 +466,39 @@ def semantic_dedup(
             keep = cs >= threshold
             yield pd.DataFrame(
                 {
-                    "doc_a": pdf["doc_a"].to_numpy()[keep],
-                    "doc_b": pdf["doc_b"].to_numpy()[keep],
+                    a_id: pdf[a_id].to_numpy()[keep],
+                    b_id: pdf[b_id].to_numpy()[keep],
                 }
             )
 
-    pairs = raw_pairs.mapInPandas(verify, pair_schema)
+    return paired.mapInPandas(verify, schema)
+
+
+def _semantic_verdicts(
+    assigned: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """(id_col, keeper_vec_id, is_keeper) verdicts over a cell-assigned
+    relation (id, v, list_id): within-cell cosine-duplicate groups via
+    transitive closure, min-id keeper per group. Shared by
+    ``semantic_dedup`` (trained cells) and
+    ``semantic_dedup_incremental`` (frozen index cells)."""
+    from etl_workflows_spark.operators.cache import release_checkpoint
+    from etl_workflows_spark.operators.dedup import cluster_duplicates
+
+    a, b = assigned.alias("ca"), assigned.alias("cb")
+    raw_pairs = a.join(
+        b,
+        (F.col("ca.list_id") == F.col("cb.list_id"))
+        & (F.col("ca.id") < F.col("cb.id")),
+    ).select(
+        F.col("ca.id").alias("doc_a"),
+        F.col("ca.v").alias("va"),
+        F.col("cb.id").alias("doc_b"),
+        F.col("cb.v").alias("vb"),
+    )
+    pairs = _rowwise_cosine_pairs(
+        raw_pairs, "doc_a", "doc_b", threshold, assigned.schema["id"].dataType
+    )
     comps = cluster_duplicates(pairs)
     keepers = comps.groupBy("cluster").agg(
         F.min("doc_id").alias("keeper_vec_id")
@@ -491,10 +520,83 @@ def semantic_dedup(
             ).alias("is_keeper"),
         )
     ).localCheckpoint(eager=True)
+    release_checkpoint(comps)
+    return out
+
+
+def semantic_dedup_incremental(
+    new_embeddings: DataFrame,
+    index_path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop arriving vectors that are SEMANTIC duplicates of a persisted
+    IVF-indexed corpus OR of each other — the embedding-space twin of
+    ``dedup.near_dup_incremental`` (same daily-shard contract):
+
+    1. within-batch SemDeDup against the index's FROZEN centroids (no
+       retrain — the batch must see the same cell geometry the corpus
+       was indexed under), one keeper per duplicate group;
+    2. keepers verify against ONLY the matching index cells: the batch's
+       distinct ``list_id`` set (≤ n_lists ints) prunes the lists
+       parquet at file-listing time (``list_id`` is a partition column),
+       so cost is O(|batch| + matching cells), never O(|corpus|);
+    3. exact cosine (vectorized batch kernel) decides.
+
+    Returns the accepted rows of ``new_embeddings``. Callers register
+    survivors via ``ivf_append(accepted, index_path)`` once downstream
+    writes commit — the same crash-window/retry contract as the text
+    firewall. Cross-cell duplicates are accepted misses (SemDeDup's
+    documented trade; raise n_lists-at-build or use the text firewall
+    for exact-recall requirements).
+    """
     from etl_workflows_spark.operators.cache import release_checkpoint
 
+    spark = new_embeddings.sparkSession
+    lists, cents = read_ivf_index(spark, index_path)
+    assigned = (
+        ivf_assign_fast(new_embeddings, cents, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id")
+        .localCheckpoint(eager=True)
+    )
+    verdicts = _semantic_verdicts(assigned, threshold, id_col)
+    keepers = assigned.join(
+        verdicts.filter("is_keeper").select(F.col(id_col).alias("id")),
+        "id",
+        "leftsemi",
+    )
+    # batch-touched cells only: a bounded collect (≤ n_lists ints) that
+    # turns the corpus side into a partition-pruned file listing
+    touched = [r["list_id"] for r in assigned.select("list_id").distinct().collect()]
+    corpus = lists.filter(F.col("list_id").isin(touched)).select(
+        F.col("list_id"),
+        F.col(id_col).alias("old_id"),
+        F.col(vec_col).alias("vb"),
+    )
+    paired = keepers.alias("nb").join(corpus, "list_id").select(
+        F.col("id").alias("new_id"),
+        F.col("v").alias("va"),
+        F.col("old_id"),
+        F.col("vb"),
+    )
+    dup_ids = (
+        _rowwise_cosine_pairs(
+            paired, "new_id", "old_id", threshold,
+            assigned.schema["id"].dataType,
+        )
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+    )
+    out = (
+        new_embeddings.join(
+            keepers.select(F.col("id").alias(id_col)), id_col, "leftsemi"
+        )
+        .join(dup_ids.select(F.col("id").alias(id_col)), id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
     release_checkpoint(assigned)
-    release_checkpoint(comps)
+    release_checkpoint(verdicts)
     return out
 
 

@@ -219,3 +219,57 @@ def test_dedup_embedding_cosine_banded_matches_exact(spark):
 
     with pytest.raises(ValueError, match="method"):
         dedup_embedding_cosine(df, docs, method="bogus")
+
+
+def test_semantic_dedup_incremental_firewall(spark, tmp_path):
+    """Cross-batch semantic firewall: batch vectors near-duplicating the
+    indexed corpus (or each other) are dropped without a corpus scan;
+    novel vectors pass; replay is idempotent; registration via
+    ivf_append makes the next batch see them."""
+    from etl_workflows_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        semantic_dedup_incremental,
+        write_ivf_index,
+    )
+
+    rng = random.Random(23)
+    corpus_vecs = [_unit(rng) for _ in range(40)]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    idx, cents = build_ivf_index(corpus, n_lists=4, id_col="vec_id")
+    write_ivf_index(idx, cents, path)
+
+    novel = _unit(rng)
+    batch = spark.createDataFrame(
+        [
+            (100, _perturb(corpus_vecs[3], rng)),   # dup of indexed vec
+            (101, novel),                            # novel
+            (102, _perturb(novel, rng)),             # within-batch dup
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    acc = semantic_dedup_incremental(batch, path, threshold=0.9)
+    ids = {r["vec_id"] for r in acc.collect()}
+    assert 100 not in ids            # corpus duplicate dropped
+    assert ids == {101}              # keeper of the within-batch pair
+    # replay: same batch, same verdicts (deterministic, no state mutated)
+    ids2 = {
+        r["vec_id"]
+        for r in semantic_dedup_incremental(batch, path, threshold=0.9).collect()
+    }
+    assert ids2 == ids
+    # register survivors; a re-send of the novel vector is now a dup
+    ivf_append(acc, path)
+    resend = spark.createDataFrame(
+        [(200, _perturb(novel, rng))], "vec_id long, embedding array<float>"
+    )
+    assert semantic_dedup_incremental(resend, path, threshold=0.9).count() == 0
+    # and a genuinely new vector still passes
+    fresh = spark.createDataFrame(
+        [(201, _unit(rng))], "vec_id long, embedding array<float>"
+    )
+    assert semantic_dedup_incremental(fresh, path, threshold=0.9).count() == 1
