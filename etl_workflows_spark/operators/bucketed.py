@@ -30,6 +30,7 @@ tests/test_bucketed_join.py):
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -76,7 +77,7 @@ def ensure_bucketed(
     key: str,
     n_buckets: int,
     scope: str = "",
-    path: str = "/tmp/etlws_bucketed",
+    path: str | None = None,
 ) -> str:
     """Idempotent per-session ensure: create the bucketed table once,
     reuse it on every later call in the same session.
@@ -85,7 +86,14 @@ def ensure_bucketed(
     in-memory catalog forgets it on restart), so a fresh session pays the
     one-time bucketed write again — that is the honest cost model of
     "shuffle once at load": per catalog lifetime, not per query.
+
+    The default storage path is salted with the PID: the catalog entry
+    cannot outlive the process anyway, so a shared fixed path buys no
+    reuse — it only lets a concurrent session's overwrite delete files
+    this session is mid-read on (FAILED_READ_FILE.FILE_NOT_EXIST).
     """
+    if path is None:
+        path = f"/tmp/etlws_bucketed/{os.getpid()}"
     name = f"bkt_{base_name}_{_tag(scope)}_{n_buckets}" if scope else (
         f"bkt_{base_name}_{n_buckets}"
     )
