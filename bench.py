@@ -111,10 +111,11 @@ HEADLINE = [
     # window shuffle), dataloader shard assignment (bucketed prefix sum)
     "soft_dedup_docs",
     "token_shards_docs",
-    # round-5: embedding-space dedup scale paths + corpus-trained LM
+    # round-5: embedding-space dedup scale paths + corpus-trained LMs
     "embedding_near_dup_banded",
     "semantic_dedup_embeddings",
     "lm_perplexity_docs",
+    "charlm_scores_docs",
 ]
 
 

@@ -2516,6 +2516,49 @@ GROUP BY b.doc_id
 """
 
 
+def charlm_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM quality scores (text.charlm_train/score):
+    the KB-sized model trains on the corpus and BROADCASTS into the
+    scoring join (contrast lm_perplexity_docs' distributed
+    vocabulary²-sized model). Add-one smoothing → ln of integer ratios
+    → value-hash oracle-checked."""
+    d = table(spark, sf_dir, "documents")
+    model = text.charlm_train(d)
+    scored = text.charlm_score(d, model)
+    return scored.select(
+        "doc_id",
+        F.round("mean_logp", 6).alias("mean_logp"),
+        "n_bigrams",
+    )
+
+
+_CHARLM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, LOWER(text) AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)), i -> SUBSTR(t, i, 2))) AS bg
+  FROM d WHERE LEN(t) >= 2
+), counts AS (
+  SELECT bg, COUNT(*) AS c FROM g GROUP BY bg
+), ctx AS (
+  SELECT SUBSTR(bg, 1, 1) AS h, SUM(c) AS hc FROM counts GROUP BY h
+), v AS (
+  SELECT COUNT(DISTINCT SUBSTR(bg, 2, 1)) AS v FROM counts
+), model AS (
+  SELECT bg, LN((c + 1.0) / (hc + v.v)) AS logp
+  FROM counts JOIN ctx ON SUBSTR(counts.bg, 1, 1) = ctx.h CROSS JOIN v
+), sc AS (
+  SELECT doc_id, AVG(logp) AS mean_logp, COUNT(*) AS n_bigrams
+  FROM g JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT d2.doc_id,
+       ROUND(sc.mean_logp, 6) AS mean_logp,
+       COALESCE(sc.n_bigrams, 0) AS n_bigrams
+FROM documents d2 LEFT JOIN sc ON d2.doc_id = sc.doc_id
+"""
+
+
 def token_entropy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Shannon entropy of the token distribution (bits) —
     the information-density screen that separates varied prose from
@@ -2577,6 +2620,7 @@ QUERIES = {
     "ngram_novelty_docs": ngram_novelty_docs,
     "token_entropy_sources": token_entropy_sources,
     "lm_perplexity_docs": lm_perplexity_docs,
+    "charlm_scores_docs": charlm_scores_docs,
     "dup_overlap_sources": dup_overlap_sources,
     "lexical_diversity_docs": lexical_diversity_docs,
     "vocab_coverage_docs": vocab_coverage_docs,
@@ -2664,6 +2708,7 @@ ORACLE_SQL = {
     "ngram_novelty_docs": _NGRAM_NOVELTY_ORACLE,
     "token_entropy_sources": _TOKEN_ENTROPY_ORACLE,
     "lm_perplexity_docs": _LM_PERPLEXITY_ORACLE,
+    "charlm_scores_docs": _CHARLM_ORACLE,
     "dup_overlap_sources": _DUP_OVERLAP_ORACLE,
     "lexical_diversity_docs": _LEXICAL_DIVERSITY_ORACLE,
     "vocab_coverage_docs": _VOCAB_COVERAGE_ORACLE,
