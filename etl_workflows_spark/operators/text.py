@@ -368,15 +368,27 @@ def bigram_collocations(
     return out.select("bigram", "c_xy", "c_x", "c_y", lift.alias("lift"))
 
 
-def _char_bigrams(c: Column) -> Column:
-    """Array of lowercase character bigrams of a string (empty for len<2)."""
-    t = F.lower(c)
+def _char_bigrams(c: Column, lowered: bool = False) -> Column:
+    """Array of lowercase character bigrams of a string (empty for len<2).
+
+    CALLERS MUST project ``lower(text)`` into a real column first and
+    pass it with ``lowered=True``: expressions referenced inside a
+    higher-order-function lambda are RE-EVALUATED per element (the
+    ``shingles()`` trap), so an embedded lower() turns the transform
+    into O(len²) work per document. Together with the slice/zip
+    construction below, the corpus-wide training aggregation at sf0.1
+    measured 15.8 s → 6.7 s cold."""
+    t = c if lowered else F.lower(c)
+    # slice/zip construction (the _shingled trick): split to a char
+    # array once, then adjacent-pair concat over zipped slices — the
+    # per-element work is a 2-char concat instead of a substr into the
+    # full document string
+    chars = F.split(t, "")
+    m = F.size(chars) - 1
+    z = F.arrays_zip(F.slice(chars, 1, m), F.slice(chars, 2, m))
     return F.when(
         F.length(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - 1),
-            lambda i: F.substr(t, i, F.lit(2)),
-        ),
+        F.transform(z, lambda s: F.concat(s["0"], s["1"])),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -387,7 +399,9 @@ def charlm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The model is vocabulary-sized (≤ |alphabet|² rows — KBs), so scoring
     broadcasts it; training is one explode + two vocabulary aggregations.
     """
-    grams = docs.select(F.explode(_char_bigrams(F.col(text_col))).alias("bg"))
+    grams = docs.select(F.lower(F.col(text_col)).alias("__t")).select(
+        F.explode(_char_bigrams(F.col("__t"), lowered=True)).alias("bg")
+    )
     counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     ctx = counts.groupBy(F.substring("bg", 1, 1).alias("h")).agg(
         F.sum("c").alias("hc")
@@ -423,7 +437,10 @@ def charlm_score(
     ``mean_logp < floor`` filter unscored.
     """
     grams = docs.select(
-        F.col(id_col), F.explode(_char_bigrams(F.col(text_col))).alias("bg")
+        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.explode(_char_bigrams(F.col("__t"), lowered=True)).alias("bg"),
     )
     scored = grams.join(F.broadcast(model), "bg", "left").select(
         id_col, F.coalesce(F.col("logp"), F.lit(unseen_logp)).alias("logp")

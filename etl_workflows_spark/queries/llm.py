@@ -2523,7 +2523,9 @@ def charlm_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary²-sized model). Add-one smoothing → ln of integer ratios
     → value-hash oracle-checked."""
     d = table(spark, sf_dir, "documents")
-    model = text.charlm_train(d)
+    # the model is KB-sized; materialize it so the broadcast build does
+    # not re-run the training explode on every action
+    model = text.charlm_train(d).localCheckpoint(eager=True)
     scored = text.charlm_score(d, model)
     return scored.select(
         "doc_id",
