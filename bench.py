@@ -299,7 +299,14 @@ def _snapshot_dml_legs(spark, scaled_dir: str) -> dict:
     ids = [r["doc_id"] for r in spark.read.parquet(
         os.path.join(scaled_dir, "documents.parquet")
     ).select("doc_id").orderBy("doc_id").limit(1200).collect()]
-    lo, hi = ids[0], ids[999]
+    if len(ids) < 2:
+        print(json.dumps({"snapshot_dml_check": f"skipped: corpus too small ({len(ids)} docs)"}))
+        return legs
+    # key windows scale with the corpus — ~5/6 of the collected ids feed
+    # the MERGE, the rest the DELETE (a corpus under 1200 docs used to
+    # IndexError on ids[999] and abort the whole scaled pass)
+    n_merge = min(1000, max(1, (len(ids) * 5) // 6))
+    lo, hi = ids[0], ids[n_merge - 1]
     schema_cols = docs.columns
     src = (
         spark.read.parquet(os.path.join(scaled_dir, "documents.parquet"))
@@ -312,7 +319,8 @@ def _snapshot_dml_legs(spark, scaled_dir: str) -> dict:
     legs["snapshot_merge_cdc_x10"] = round(_time.perf_counter() - t0, 3)
 
     doomed = spark.createDataFrame(
-        [(i,) for i in ids[1000:1200]], "doc_id long"
+        [(i,) for i in (ids[n_merge:n_merge + 200] or ids[-1:])],
+        "doc_id long",
     )
     t0 = _time.perf_counter()
     res_d = SNAP.delete_from_snapshot(spark, doomed, dml_dir, ["doc_id"])

@@ -116,17 +116,22 @@ def compact_table(
         keys = [F.col(c) for c in part_cols]
         if files_per_part > 1:
             # salt over HASHABLE columns only — xxhash64 on MapType is
-            # disallowed in Spark, and a table carrying a map column
-            # would otherwise fail to compact at all
+            # disallowed in Spark at ANY nesting depth, and a table
+            # carrying a map column would otherwise fail to compact at
+            # all. If EVERY column contains a map, hash the rows' JSON
+            # rendering instead (to_json accepts any type) — falling back
+            # to part_cols would reintroduce the very AnalysisException
+            # this branch exists to avoid.
+            from etl_workflows_spark.schema.types import is_hashable
+
             hashable = [
-                c for c, t in df.dtypes if not t.startswith("map<")
-            ] or part_cols
-            keys.append(
-                F.pmod(
-                    F.xxhash64(*[F.col(c) for c in hashable]),
-                    F.lit(files_per_part),
-                )
-            )
+                f.name for f in df.schema.fields if is_hashable(f.dataType)
+            ]
+            if hashable:
+                salt_src = F.xxhash64(*[F.col(c) for c in hashable])
+            else:
+                salt_src = F.xxhash64(F.to_json(F.struct(*df.columns)))
+            keys.append(F.pmod(salt_src, F.lit(files_per_part)))
         out = df.repartition(n_files, *keys)
     else:
         out = df.repartition(n_files)

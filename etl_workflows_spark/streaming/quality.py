@@ -92,26 +92,30 @@ def quarantine_stream(
         from pyspark.sql.window import Window
 
         flagged = _failure_flags(batch_df, rules)
-        # order only by ORDERABLE columns — a map column in the stream
-        # would fail AnalysisException under orderBy (dropDuplicates only
+        # order only by ORDERABLE columns — a map ANYWHERE in a column's
+        # type (top-level map, array<map<...>>, struct with a map field)
+        # fails AnalysisException under orderBy (dropDuplicates only
         # hashed the keys, so it tolerated maps). Non-orderable columns
         # still break survivor ties deterministically via an xxhash64
-        # digest of their JSON rendering.
+        # digest of their JSON rendering (to_json accepts any type).
+        from etl_workflows_spark.schema.types import is_orderable
+
+        field_types = {f.name: f.dataType for f in flagged.schema.fields}
         orderable = [
             c
-            for c, t in flagged.dtypes
-            if c not in keys and not t.startswith("map<")
+            for c in field_types
+            if c not in keys and is_orderable(field_types[c])
         ]
-        mapcols = [
+        unorderable = [
             c
-            for c, t in flagged.dtypes
-            if c not in keys and t.startswith("map<")
+            for c in field_types
+            if c not in keys and not is_orderable(field_types[c])
         ]
         order = [F.asc_nulls_first(F.col(c)) for c in orderable]
-        if mapcols:
+        if unorderable:
             order.append(
                 F.asc_nulls_first(
-                    F.xxhash64(*[F.to_json(F.col(c)) for c in mapcols])
+                    F.xxhash64(*[F.to_json(F.col(c)) for c in unorderable])
                 )
             )
         w = Window.partitionBy(*keys).orderBy(*order)
