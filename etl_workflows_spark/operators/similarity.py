@@ -271,7 +271,10 @@ def banded_lsh_params(
     n / 2^planes, so candidate pairs grow n²/2^planes — quadratic at
     fixed planes. Holding bucket occupancy CONSTANT instead
     (planes ≈ log2(n / target_bucket)) keeps candidates ≈
-    bands · n · target_bucket/2 — linear in n — and recall is then
+    bands · n · target_bucket/2 — linear in n per band (the bands
+    recall re-buy grows ~log n, so total candidates are the standard
+    LSH n^(1+ρ): measured exponent 1.3-1.45/decade vs frozen params'
+    2.00, tools/scaling_probe.py + test_scaling_probe) — recall is then
     re-bought with bands: P(candidate | cos=t) per band is p^planes
     with p = 1 − arccos(t)/π, so bands = ⌈ln(1−recall)/ln(1−p^planes)⌉.
     ``max_bands`` caps the low-threshold blowup (low thresholds belong

@@ -250,3 +250,35 @@ def test_bloom_preverify_actually_cuts_candidates(spark):
     assert n_s <= n_c / 3, (n_c, n_s)  # the signature filter can
     true_pairs = _pairs(near_dup_pairs_exact(docs, threshold=0.8))
     assert true_pairs <= _pairs(survivors)  # and it never drops a real pair
+
+
+def test_cms_and_exact_order_produce_identical_pairs(spark, sf_dir):
+    """Round-6: the CMS-ordered scale path and the exact-frequency path
+    are the SAME operator — any shared total order satisfies the prefix
+    theorem, so verified output is byte-identical; only candidate counts
+    may differ."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.8):
+        cms = _pairs(near_dup_pairs_prefix(docs, threshold=t, order="cms"))
+        ex = _pairs(near_dup_pairs_prefix(docs, threshold=t, order="exact"))
+        assert cms == ex, f"threshold {t}"
+
+
+def test_inline_sig_filter_is_exact_safe(spark, sf_dir):
+    """The with_sig candidate set must contain every verified pair (the
+    popcount bound only ever removes non-pairs) and must not exceed the
+    unfiltered candidate set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingled(docs, "text", 3, hashed=True)
+    plain = _pairs(_prefix_candidates(sh, 0.8, order="cms"))
+    sig = _pairs(_prefix_candidates(sh, 0.8, order="cms", with_sig=True))
+    assert sig <= plain
+    truth = _pairs(near_dup_pairs_exact(docs, threshold=0.8))
+    assert truth <= sig
+
+
+def test_with_sig_requires_cms_order(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _shingled(docs, "text", 3, hashed=True)
+    with pytest.raises(ValueError):
+        _prefix_candidates(sh, 0.8, order="exact", with_sig=True)
