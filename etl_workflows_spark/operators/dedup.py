@@ -465,33 +465,39 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("cluster", F.col("id"))
     )
     converged = False
+    prev_ckpt = None
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.id)
             .groupBy(F.col("doc_a").alias("id"))
             .agg(F.min("cluster").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so the
+        # convergence check is a SCAN of the freshly-materialized 8-byte
+        # rows, not another join job per iteration
+        new_ckpt = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
                 ).alias("cluster"),
+                F.col("cluster").alias("__prev"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            new_ckpt.filter(F.col("cluster") != F.col("__prev"))
             .limit(1)
             .count()
         )
         # the previous iteration's checkpoint has now served its last
-        # read (the changed-count above) — free its blocks NOW
-        release_checkpoint(labels)
-        labels = new_labels
+        # read (the neighbor_min above) — free its blocks NOW; release
+        # the CHECKPOINTED frame, not the column-pruned view of it
+        if prev_ckpt is not None:
+            release_checkpoint(prev_ckpt)
+        prev_ckpt = new_ckpt
+        labels = new_ckpt.select("id", "cluster")
         if changed == 0:
             converged = True
             break
