@@ -1601,6 +1601,7 @@ def cross_split_leakage(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sketch=None,
 ) -> DataFrame:
     """Split-leakage AUDIT: eval documents whose shingle Jaccard against
     ANY train document reaches ``threshold`` — the check you run on an
@@ -1630,8 +1631,12 @@ def cross_split_leakage(
     # CMS-ordered prefixes (cf. _cms_prefix_rows): both sides sort by
     # the UNION's sketch — one shared total order, recall exactly 1 —
     # and carry their bloom-signature words inline, so the whole
-    # candidate stage is one map-only pass + one equi-join
-    sketch = prefix_order_sketch(both)
+    # candidate stage is one map-only pass + one equi-join. A caller
+    # auditing a frozen corpus can pass its cached ``prefix_order_sketch``
+    # (ANY shared total order preserves the theorem, so a sketch built
+    # over a superset of both sides is equally valid).
+    if sketch is None:
+        sketch = prefix_order_sketch(both)
     prefixes = _cms_prefix_rows(
         both, threshold, sketch, with_sig=True, extra_cols=["side"]
     )

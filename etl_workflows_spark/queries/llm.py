@@ -237,6 +237,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 5 != 0),
         d.filter(F.col("doc_id") % 5 == 0),
         threshold=0.8,
+        # train+eval partition the whole corpus, so the cached corpus
+        # sketch IS the union sketch — one frequency pass per corpus
+        sketch=_prefix_sketch(spark, sf_dir),
     )
 
 
