@@ -901,14 +901,63 @@ def near_dup_incremental(
     band hashes are seed-compatible only with themselves. Callers append
     survivors via ``append_near_dup_fingerprints`` once downstream
     writes commit (same retry contract as ``dedup_incremental``).
+
+    Within-batch dedup is shard-sized by definition, so its verified
+    pair graph is collected behind a bounded gate (≤ 100k pairs — the
+    same bounded-driver design as the snapshot DML key gates) and
+    resolved with a driver union-find keeping the min-id member per
+    component — identical survivors to ``cluster_duplicates``' min-label
+    fixpoint, at one collect instead of per-iteration checkpoint+count
+    jobs (measured: the iterative path dominated the firewall's
+    per-batch cost). Batches whose pair graph exceeds the gate fall
+    back to the distributed clustering path. One shingle pass serves
+    both the within-batch dedup and the index probe.
     """
     spark = new_docs.sparkSession
-    batch = dedup_near_duplicates(
-        new_docs, threshold, text_col=text_col, n=n, k=k, bands=bands
-    )
-    t = _shingled(batch, text_col, n, hashed=True).persist(
+    t_all = _shingled(new_docs, text_col, n, hashed=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    pairs = near_dup_pairs_lsh(
+        new_docs, threshold, n=n, k=k, bands=bands, text_col=text_col,
+        shingled=t_all,
+    )
+    gate = 100_000
+    sample = pairs.select("doc_a", "doc_b").limit(gate + 1).collect()
+    if len(sample) <= gate:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in sample:
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                # union by smaller root so the component root IS min-id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        losers = sorted(x for x in parent if find(x) != x)
+        if losers:
+            from pyspark.sql import types as T
+
+            id_type = new_docs.schema["doc_id"].dataType
+            losers_df = spark.createDataFrame(
+                [(x,) for x in losers],
+                T.StructType([T.StructField("doc_id", id_type)]),
+            )
+            batch = new_docs.join(
+                F.broadcast(losers_df), "doc_id", "left_anti"
+            )
+        else:
+            batch = new_docs
+        t = t_all.join(batch.select("doc_id"), "doc_id", "leftsemi")
+    else:
+        batch = dedup_near_duplicates(
+            new_docs, threshold, text_col=text_col, n=n, k=k, bands=bands
+        )
+        t = t_all.join(batch.select("doc_id"), "doc_id", "leftsemi")
     new_bands = _lsh_bands(t, k, bands)
     idx_bands = spark.table(f"{index_name}_bands")
     cands = (
@@ -954,7 +1003,7 @@ def near_dup_incremental(
     out = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
         eager=True
     )
-    t.unpersist()
+    t_all.unpersist()
     from etl_workflows_spark.operators.cache import release_all_checkpoints
 
     # release only the checkpoints THIS call introduced (inside
