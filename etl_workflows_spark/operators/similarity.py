@@ -500,13 +500,23 @@ def _rowwise_cosine_pairs(
 
 
 def _semantic_verdicts(
-    assigned: DataFrame, threshold: float, id_col: str
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    uf_gate: int | None = None,
 ) -> DataFrame:
     """(id_col, keeper_vec_id, is_keeper) verdicts over a cell-assigned
     relation (id, v, list_id): within-cell cosine-duplicate groups via
     transitive closure, min-id keeper per group. Shared by
     ``semantic_dedup`` (trained cells) and
-    ``semantic_dedup_incremental`` (frozen index cells)."""
+    ``semantic_dedup_incremental`` (frozen index cells).
+
+    ``uf_gate`` (batch-sized callers only): collect the verified pair
+    graph behind a bounded gate and resolve components with a driver
+    union-find — identical keepers to the min-label fixpoint at one
+    collect instead of per-iteration jobs (same bounded-driver design
+    as ``dedup.near_dup_incremental``). Graphs exceeding the gate fall
+    back to the distributed path automatically."""
     from etl_workflows_spark.operators.cache import release_checkpoint
     from etl_workflows_spark.operators.dedup import cluster_duplicates
 
@@ -524,28 +534,72 @@ def _semantic_verdicts(
     pairs = _rowwise_cosine_pairs(
         raw_pairs, "doc_a", "doc_b", threshold, assigned.schema["id"].dataType
     )
-    comps = cluster_duplicates(pairs)
-    keepers = comps.groupBy("cluster").agg(
-        F.min("doc_id").alias("keeper_vec_id")
-    )
-    labeled = comps.join(keepers, "cluster").select(
-        F.col("doc_id").alias("id"), "keeper_vec_id"
-    )
-    out = (
-        assigned.select("id")
-        .join(labeled, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("keeper_vec_id"), F.col("id")).alias(
-                "keeper_vec_id"
-            ),
-            (
-                F.coalesce(F.col("keeper_vec_id"), F.col("id"))
-                == F.col("id")
-            ).alias("is_keeper"),
+    comps = None
+    labeled = None
+    use_distributed = True
+    if uf_gate is not None:
+        sample = pairs.select("doc_a", "doc_b").limit(uf_gate + 1).collect()
+        if len(sample) <= uf_gate:
+            use_distributed = False
+            parent: dict = {}
+
+            def find(x):
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for r in sample:
+                ra, rb = find(r["doc_a"]), find(r["doc_b"])
+                if ra != rb:
+                    # attach the larger root under the smaller so every
+                    # component's root IS its min id (the keeper rule)
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            mapping = [(x, find(x)) for x in parent]
+            if mapping:
+                from pyspark.sql import types as T
+
+                id_type = assigned.schema["id"].dataType
+                labeled = F.broadcast(
+                    assigned.sparkSession.createDataFrame(
+                        mapping,
+                        T.StructType(
+                            [
+                                T.StructField("id", id_type),
+                                T.StructField("keeper_vec_id", id_type),
+                            ]
+                        ),
+                    )
+                )
+            # no duplicate pairs at all → labeled stays None and the
+            # left join below makes every vector its own keeper
+    if use_distributed:
+        comps = cluster_duplicates(pairs)
+        keepers = comps.groupBy("cluster").agg(
+            F.min("doc_id").alias("keeper_vec_id")
         )
+        labeled = comps.join(keepers, "cluster").select(
+            F.col("doc_id").alias("id"), "keeper_vec_id"
+        )
+    verdicts = assigned.select("id")
+    if labeled is not None:
+        verdicts = verdicts.join(labeled, "id", "left")
+    else:
+        verdicts = verdicts.withColumn(
+            "keeper_vec_id", F.lit(None).cast(assigned.schema["id"].dataType)
+        )
+    out = verdicts.select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("keeper_vec_id"), F.col("id")).alias(
+            "keeper_vec_id"
+        ),
+        (
+            F.coalesce(F.col("keeper_vec_id"), F.col("id")) == F.col("id")
+        ).alias("is_keeper"),
     ).localCheckpoint(eager=True)
-    release_checkpoint(comps)
+    if comps is not None:
+        release_checkpoint(comps)
     return out
 
 
@@ -585,7 +639,9 @@ def semantic_dedup_incremental(
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id")
         .localCheckpoint(eager=True)
     )
-    verdicts = _semantic_verdicts(assigned, threshold, id_col)
+    # batch-sized input → gated driver union-find for the within-batch
+    # components (falls back to the distributed fixpoint over the gate)
+    verdicts = _semantic_verdicts(assigned, threshold, id_col, uf_gate=100_000)
     keepers = assigned.join(
         verdicts.filter("is_keeper").select(F.col(id_col).alias("id")),
         "id",

@@ -126,3 +126,44 @@ def test_fuzzy_pairs_equal_naive_levenshtein(spark, names, d):
         if i < j and lev(a, b) <= d
     }
     assert got == want
+
+
+def test_incremental_uf_matches_distributed_clustering(spark):
+    """Round-6: near_dup_incremental's gated driver union-find must pick
+    the SAME survivors as the distributed min-label clustering on a
+    dup-heavy batch — min-id per component, both paths. Checked against
+    an empty index so only the within-batch step differentiates them."""
+    import random
+
+    from etl_workflows_spark.operators import dedup
+
+    rng = random.Random(606)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    vid = 0
+    groups = []
+    for _ in range(12):
+        base = " ".join(rng.choice(vocab) for _ in range(30))
+        group = []
+        for _ in range(rng.randrange(1, 4)):
+            rows.append((vid, base + " " + rng.choice(vocab)))
+            group.append(vid)
+            vid += 1
+        groups.append(group)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in ("ufeq_idx_bands", "ufeq_idx_sh"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dedup.build_near_dup_index(empty, "ufeq_idx", n_buckets=4)
+    uf_ids = {
+        r["doc_id"]
+        for r in dedup.near_dup_incremental(docs, "ufeq_idx", 0.5).collect()
+    }
+    dist_ids = {
+        r["doc_id"]
+        for r in dedup.dedup_near_duplicates(docs, 0.5).collect()
+    }
+    assert uf_ids == dist_ids
+    # and the survivors are exactly the min ids of the LSH components —
+    # a dup-heavy batch must actually collapse
+    assert len(uf_ids) < len(rows)
