@@ -1091,6 +1091,7 @@ def containment_pairs_prefix(
     n: int = 3,
     text_col: str = "text",
     hashed: bool = False,
+    sketch=None,
 ) -> DataFrame:
     """Scale path for directional CONTAINMENT (same output as
     ``containment_pairs_exact``, recall exactly 1) — the one-sided
@@ -1117,32 +1118,47 @@ def containment_pairs_prefix(
     sh = _shingled(docs, text_col, n, hashed=hashed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    tok = sh.select("doc_id", F.explode("sh").alias("s"))
-    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
-    sorted_sets = (
-        tok.join(freq, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct(F.col("f"), F.col("s")))),
-                lambda x: x["s"],
-            ).alias("ss")
+    if hashed:
+        # hashed scale path: one map-only CMS sort pass emits the FULL
+        # sorted postings (plen marks the prefix boundary) — the exact
+        # twin of the prefix join's CMS construction; recall 1 under any
+        # shared total order. The unhashed default keeps the
+        # exact-frequency build (string shingles don't enter the numpy
+        # kernel, and the oracle entry needs bit-for-bit string output).
+        if sketch is None:
+            sketch = prefix_order_sketch(sh)
+        full_all = _cms_sorted_rows(sh, threshold, sketch)
+        prefixes = full_all.filter(F.col("p") < F.col("plen")).drop("plen")
+        full = full_all.drop("plen")
+    else:
+        tok = sh.select("doc_id", F.explode("sh").alias("s"))
+        freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        sorted_sets = (
+            tok.join(freq, "s")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("f"), F.col("s")))
+                    ),
+                    lambda x: x["s"],
+                ).alias("ss")
+            )
         )
-    )
-    sz = F.size("ss")
-    prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
-    prefixes = sorted_sets.select(
-        "doc_id",
-        sz.alias("n"),
-        F.posexplode(F.slice("ss", 1, prefix_len)).alias("p", "s"),
-    )
-    # full postings WITH positions in the same global order (for the
-    # positional bound on the containing side)
-    full = sorted_sets.select(
-        "doc_id",
-        sz.alias("n"),
-        F.posexplode("ss").alias("p", "s"),
-    )
+        sz = F.size("ss")
+        prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+        prefixes = sorted_sets.select(
+            "doc_id",
+            sz.alias("n"),
+            F.posexplode(F.slice("ss", 1, prefix_len)).alias("p", "s"),
+        )
+        # full postings WITH positions in the same global order (for the
+        # positional bound on the containing side)
+        full = sorted_sets.select(
+            "doc_id",
+            sz.alias("n"),
+            F.posexplode("ss").alias("p", "s"),
+        )
     a, b = prefixes.alias("pa"), full.alias("pb")
     # overlap needed: ceil(t·|A|), one unit of integer slack (cf.
     # _prefix_candidates) — the exact verify decides boundaries
@@ -1449,6 +1465,73 @@ def _cms_prefix_rows(
         [f"sig{j}" for j in range(4)] if with_sig else []
     )
     return rows.select(*carry, F.posexplode("prefix").alias("p", "s"))
+
+
+def _cms_sorted_rows(
+    sh: DataFrame, threshold: float, sketch, w_bits: int = _CMS_W_BITS
+) -> DataFrame:
+    """(doc_id, n, plen, p, s) FULL sorted-posting rows in the CMS total
+    order — the containment join's construction, which needs every
+    position of the containing side, not just the prefix. Same map-only
+    kernel economics as ``_cms_prefix_rows``; ``plen`` marks where the
+    contained side's prefix ends so callers slice with a filter instead
+    of a second pass."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d, w = sketch.shape
+    sk = sketch
+    id_type = sh.schema["doc_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, True),
+            T.StructField("n", T.IntegerType(), False),
+            T.StructField("plen", T.IntegerType(), False),
+            T.StructField("ss", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    thr = float(threshold)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arrays = [np.asarray(a, dtype=np.int64) for a in pdf["sh"]]
+            flat = np.concatenate(arrays)
+            counts = np.min(
+                np.stack(
+                    [
+                        sk[r, _cms_hash(flat, _CMS_MULTS[r], w_bits)]
+                        for r in range(d)
+                    ]
+                ),
+                axis=0,
+            )
+            offsets = np.cumsum([0] + [len(a) for a in arrays])
+            sorted_sets, sizes, plens = [], [], []
+            for i, a in enumerate(arrays):
+                c = counts[offsets[i] : offsets[i + 1]]
+                order = np.lexsort((a, c))
+                m = len(a)
+                sorted_sets.append(a[order].tolist())
+                sizes.append(m)
+                plens.append(int(m - np.ceil(thr * m) + 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n": np.asarray(sizes, dtype=np.int32),
+                    "plen": np.asarray(plens, dtype=np.int32),
+                    "ss": sorted_sets,
+                }
+            )
+
+    rows = sh.select("doc_id", "sh").mapInPandas(kernel, out_schema)
+    return rows.select(
+        "doc_id", "n", "plen", F.posexplode("ss").alias("p", "s")
+    )
 
 
 def _prefix_candidates(

@@ -282,3 +282,19 @@ def test_with_sig_requires_cms_order(spark, sf_dir):
     sh = _shingled(docs, "text", 3, hashed=True)
     with pytest.raises(ValueError):
         _prefix_candidates(sh, 0.8, order="exact", with_sig=True)
+
+
+def test_containment_hashed_cms_matches_unhashed_exact(spark, sf_dir):
+    """Round-6: the hashed containment path (CMS-ordered full postings)
+    must emit the same (doc_a, doc_b) pairs as the unhashed
+    exact-frequency path — the total order changed, the theorem didn't;
+    only 64-bit shingle-hash collisions could differ, absent on this
+    corpus."""
+    from etl_workflows_spark.operators.dedup import containment_pairs_prefix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    unhashed = _pairs(containment_pairs_prefix(docs, threshold=0.8))
+    hashed = _pairs(
+        containment_pairs_prefix(docs, threshold=0.8, hashed=True)
+    )
+    assert hashed == unhashed
