@@ -428,6 +428,32 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", simhash16(text_col).alias("simhash"))
 
 
+def driver_union_find(edges) -> dict:
+    """Min-root union-find over an iterable of (a, b) edges → a
+    ``{member: component_min}`` map for every node that is NOT its
+    component's minimum (roots are absent — they keep themselves).
+
+    The driver-side twin of ``cluster_duplicates``' min-label fixpoint,
+    used behind bounded collect gates by ``near_dup_incremental`` and
+    ``similarity._semantic_verdicts``: unions always attach the larger
+    root under the smaller, so every component's root IS its min id —
+    identical keeper semantics to the distributed path."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent if find(x) != x}
+
+
 def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id, cluster).
 
@@ -924,21 +950,9 @@ def near_dup_incremental(
     gate = 100_000
     sample = pairs.select("doc_a", "doc_b").limit(gate + 1).collect()
     if len(sample) <= gate:
-        parent: dict = {}
-
-        def find(x):
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        for r in sample:
-            ra, rb = find(r["doc_a"]), find(r["doc_b"])
-            if ra != rb:
-                # union by smaller root so the component root IS min-id
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        losers = sorted(x for x in parent if find(x) != x)
+        losers = sorted(
+            driver_union_find((r["doc_a"], r["doc_b"]) for r in sample)
+        )
         if losers:
             from pyspark.sql import types as T
 

@@ -541,22 +541,13 @@ def _semantic_verdicts(
         sample = pairs.select("doc_a", "doc_b").limit(uf_gate + 1).collect()
         if len(sample) <= uf_gate:
             use_distributed = False
-            parent: dict = {}
+            from etl_workflows_spark.operators.dedup import driver_union_find
 
-            def find(x):
-                while parent.get(x, x) != x:
-                    parent[x] = parent.get(parent[x], parent[x])
-                    x = parent[x]
-                return x
-
-            for r in sample:
-                ra, rb = find(r["doc_a"]), find(r["doc_b"])
-                if ra != rb:
-                    # attach the larger root under the smaller so every
-                    # component's root IS its min id (the keeper rule)
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            mapping = [(x, find(x)) for x in parent]
+            mapping = list(
+                driver_union_find(
+                    (r["doc_a"], r["doc_b"]) for r in sample
+                ).items()
+            )
             if mapping:
                 from pyspark.sql import types as T
 

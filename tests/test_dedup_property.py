@@ -167,3 +167,45 @@ def test_incremental_uf_matches_distributed_clustering(spark):
     # and the survivors are exactly the min ids of the LSH components —
     # a dup-heavy batch must actually collapse
     assert len(uf_ids) < len(rows)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        max_size=120,
+    )
+)
+def test_driver_union_find_matches_dfs_components(edges):
+    """driver_union_find == reference DFS components with min-id keepers,
+    on arbitrary edge lists (self-loops, duplicates, any order)."""
+    from etl_workflows_spark.operators.dedup import driver_union_find
+
+    got = driver_union_find(edges)
+    # reference: DFS components over the undirected graph
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict = {}
+    seen: set = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.append(x)
+            stack.extend(adj[x] - seen)
+        lo = min(comp)
+        for x in comp:
+            if x != lo:
+                want[x] = lo
+    assert got == want
