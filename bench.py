@@ -391,6 +391,19 @@ def _ann_recall_legs(spark, scaled_dir: str) -> tuple[dict, dict]:
     t, truth = run_batch(lambda q: SIM.ann_topk_bruteforce(emb, q, k=k))
     legs["ann_bruteforce_8q_x10"] = t
 
+    # the one-pass multi-query shape (ann_topk_bruteforce_batch): all 8
+    # queries served by a single corpus scan + one rank window — the
+    # offline counterpart of the per-query serving loop above
+    t0 = _time.perf_counter()
+    batch_rows = SIM.ann_topk_bruteforce_batch(emb, qids, k=k).collect()
+    legs["ann_bruteforce_batch8_x10"] = round(_time.perf_counter() - t0, 3)
+    batch_preds: dict = {}
+    for r in batch_rows:
+        batch_preds.setdefault(r["query_vec_id"], []).append(r["vec_id"])
+    assert all(
+        set(batch_preds.get(q, [])) == set(truth[q]) for q in qids
+    ), "batch ANN diverged from per-query truth"
+
     lsh_index = SIM.build_ann_index(emb, dim=dim, n_planes=8).persist()
     lsh_index.count()
     t, lsh_pred = run_batch(

@@ -216,6 +216,56 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_topk_batch(
+    spark: SparkSession,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: dict,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k for MANY queries in one pass over the code table: all
+    queries' lookup tables ship as ONE broadcast relation keyed by
+    query id (q × m × k_codes rows — driver-sized), scoring is a single
+    posexplode + join + groupBy, and per-query top-k is a rank window.
+    Returns (query_vec_id, vec_id, adc_score) — identical rows to q
+    separate ``pq_adc_topk`` calls. ``queries`` maps query id → vector.
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut_rows = []
+    for qid, vec in queries.items():
+        q = np.asarray(vec, dtype=np.float64)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        for s in range(m):
+            qs = q[s * sub : (s + 1) * sub]
+            for c, cent in enumerate(codebooks[s]):
+                lut_rows.append(
+                    (qid, s, c, float(np.dot(qs, np.asarray(cent))))
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "query_vec_id long, sub_id int, code int, dot double"
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        codes.select(id_col, F.posexplode("codes").alias("sub_id", "code"))
+        .join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy("query_vec_id", id_col)
+        .agg(F.sum("dot").alias("adc_score"))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def pq_reconstruction_error(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],

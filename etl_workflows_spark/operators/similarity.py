@@ -68,6 +68,46 @@ def ann_topk_bruteforce(
     )
 
 
+def ann_topk_bruteforce_batch(
+    embeddings: DataFrame,
+    query_vec_ids: list,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for MANY stored vectors in ONE
+    corpus pass — the offline/batch shape the per-query form's docstring
+    promises: the q query rows broadcast, the corpus is scanned once,
+    and per-query top-k comes from a rank window over the q·n score
+    rows (one shuffle keyed on query id; per-query
+    TakeOrderedAndProject can't serve multiple queries). Returns
+    (query_vec_id, vec_id, cos_sim) with ranks ≤ k, ties broken by id —
+    row-for-row identical to q separate ``ann_topk_bruteforce`` calls.
+    """
+    from pyspark.sql.window import Window
+
+    q = embeddings.filter(F.col(id_col).isin(list(query_vec_ids))).select(
+        F.col(id_col).alias("query_vec_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_vec_id"))
+        .select(
+            "query_vec_id",
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def similar_pairs_bruteforce(
     embeddings: DataFrame,
     threshold: float = 0.5,
@@ -890,6 +930,67 @@ def ann_topk_ivf(
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ann_topk_ivf_batch(
+    index: DataFrame,
+    centroids: list[list[float]],
+    queries: dict,
+    k: int = 20,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k for MANY queries in one pass: every query's nprobe list
+    selection happens driver-side against the centroid sidecar
+    (microseconds each), the union of (query, list) probes broadcasts
+    with the query vectors attached, and ONE equality-pruned scan of the
+    touched lists serves the whole batch; per-query top-k via a rank
+    window. ``queries`` maps query id → vector. Returns
+    (query_vec_id, vec_id, cos_sim) — identical rows to q separate
+    ``ann_topk_ivf`` calls."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    probe_rows = []
+    for qid, vec in queries.items():
+        qv = [float(x) for x in vec]
+        qn = math.sqrt(sum(x * x for x in qv))
+
+        def cos(c):
+            cn = math.sqrt(sum(x * x for x in c))
+            if qn == 0 or cn == 0:
+                return -1.0
+            return sum(a * b for a, b in zip(qv, c)) / (qn * cn)
+
+        probes = sorted(
+            range(len(centroids)), key=lambda i: (-cos(centroids[i]), i)
+        )[:nprobe]
+        probe_rows.extend((qid, int(p), qv) for p in probes)
+    spark = index.sparkSession
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_vec_id long, list_id int, q_vec array<double>"
+    )
+    touched = sorted({p for _, p, _ in probe_rows})
+    scored = (
+        index.filter(F.col("list_id").isin(touched))
+        .join(F.broadcast(probe_df), "list_id")
+        .filter(F.col(id_col) != F.col("query_vec_id"))
+        .select(
+            "query_vec_id",
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

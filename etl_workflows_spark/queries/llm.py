@@ -402,6 +402,39 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 20
 )
 
 
+def ann_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query exact ANN serving shape: top-10 cosine neighbors for
+    FOUR stored query vectors in ONE corpus pass
+    (similarity.ann_topk_bruteforce_batch) — the q query rows broadcast,
+    one scan scores all of them, per-query top-k via a rank window keyed
+    on query id. The offline/batch counterpart of ann_cosine_topk (at
+    100 TB you score a query FILE against the corpus, not one vector per
+    job)."""
+    return similarity.ann_topk_bruteforce_batch(
+        table(spark, sf_dir, "embeddings"), query_vec_ids=[0, 1, 2, 3], k=10
+    )
+
+
+_ANN_TOPK_BATCH_ORACLE = (
+    _VEC_CTE
+    + f""",
+q AS (SELECT vec_id AS query_vec_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3))
+SELECT query_vec_id, vec_id, cos_sim FROM (
+  SELECT q.query_vec_id, e.vec_id,
+         {_DOT.format(a='e.v', b='q.qv')}
+           / ({_NORM.format(a='e.v')} * {_NORM.format(a='q.qv')}) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_vec_id
+           ORDER BY {_DOT.format(a='e.v', b='q.qv')}
+             / ({_NORM.format(a='e.v')} * {_NORM.format(a='q.qv')}) DESC,
+             e.vec_id
+         ) AS rn
+  FROM e, q WHERE e.vec_id <> q.query_vec_id
+) WHERE rn <= 10
+"""
+)
+
+
 def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine > 0.5 (exact)."""
     return similarity.similar_pairs_bruteforce(
@@ -2697,6 +2730,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "simhash_fingerprints": simhash_fingerprints,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_batch": ann_cosine_topk_batch,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
     "ann_cosine_topk_pq": ann_cosine_topk_pq,
@@ -2777,6 +2811,7 @@ ORACLE_SQL = {
     "minhash_signatures": _MINHASH_ORACLE,
     "simhash_fingerprints": _simhash_oracle(),
     "ann_cosine_topk": _ANN_TOPK_ORACLE,
+    "ann_cosine_topk_batch": _ANN_TOPK_BATCH_ORACLE,
     "similar_pairs": _SIMILAR_PAIRS_ORACLE,
     "embedding_label_stats": _EMB_STATS_ORACLE,
     "repetition_signals": _REPETITION_ORACLE,

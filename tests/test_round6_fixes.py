@@ -169,3 +169,54 @@ def test_llm_embedding_entries_share_one_cached_count(spark):
         spark, lambda: llm.embedding_near_dup_banded(spark, SF_DIR)
     )
     assert n <= 1
+
+
+def test_batch_ann_matches_per_query_loop(spark):
+    """The one-pass multi-query APIs must return row-for-row what q
+    separate per-query calls return (brute force AND PQ-ADC)."""
+    from etl_workflows_spark.operators import pq as PQ
+    from etl_workflows_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qids = [0, 1, 2]
+    batch = {
+        (r["query_vec_id"], r["vec_id"])
+        for r in SIM.ann_topk_bruteforce_batch(emb, qids, k=5).collect()
+    }
+    loop = {
+        (q, r["vec_id"])
+        for q in qids
+        for r in SIM.ann_topk_bruteforce(emb, q, k=5).collect()
+    }
+    assert batch == loop
+
+    books = PQ.train_pq_codebooks(emb, m=4, k=8)
+    codes = PQ.pq_encode(emb, books)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(emb.vec_id.isin(qids)).collect()
+    }
+    batch_pq = {
+        (r["query_vec_id"], r["vec_id"])
+        for r in PQ.pq_adc_topk_batch(spark, codes, books, qvecs, k=5).collect()
+    }
+    loop_pq = {
+        (q, r["vec_id"])
+        for q in qids
+        for r in PQ.pq_adc_topk(spark, codes, books, qvecs[q], k=5).collect()
+    }
+    assert batch_pq == loop_pq
+
+    index, cents = SIM.build_ivf_index(emb, n_lists=4)
+    batch_ivf = {
+        (r["query_vec_id"], r["vec_id"])
+        for r in SIM.ann_topk_ivf_batch(
+            index, cents, qvecs, k=5, nprobe=2
+        ).collect()
+    }
+    loop_ivf = {
+        (q, r["vec_id"])
+        for q in qids
+        for r in SIM.ann_topk_ivf(index, cents, q, k=5, nprobe=2).collect()
+    }
+    assert batch_ivf == loop_ivf
