@@ -1303,6 +1303,23 @@ _CMS_D = 2
 _CMS_MULTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)  # splitmix64 / xxh64
 
 
+def _cms_sketch_geometry(sketch):
+    """(d, w, w_bits) from the sketch ARRAY ITSELF — the kernels must
+    hash with the width the sketch was built at, never a default.
+    A ``prefix_order_sketch(sh, w_bits=14)`` sketch passed through a
+    public ``sketch=`` param would otherwise index out of bounds (or
+    read garbage counters at w_bits>default), crashing executor tasks
+    mid-join."""
+    d, w = sketch.shape
+    w_bits = int(w).bit_length() - 1
+    if d != _CMS_D or (1 << w_bits) != w:
+        raise ValueError(
+            f"CMS sketch shape {tuple(sketch.shape)} is not "
+            f"({_CMS_D}, power-of-two); build it with prefix_order_sketch()"
+        )
+    return d, w, w_bits
+
+
 def _cms_hash(vals, mult: int, w_bits: int):
     """Vectorized 64-bit mix → top ``w_bits`` bits as the counter index.
     Deterministic, partition-independent."""
@@ -1364,7 +1381,6 @@ def _cms_prefix_rows(
     sh: DataFrame,
     threshold: float,
     sketch,
-    w_bits: int = _CMS_W_BITS,
     with_sig: bool = False,
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -1397,7 +1413,7 @@ def _cms_prefix_rows(
     import pandas as pd
     from pyspark.sql import types as T
 
-    d, w = sketch.shape
+    d, w, w_bits = _cms_sketch_geometry(sketch)
     sk = sketch  # task-local copy via closure capture (≤512 KB)
     extra_cols = extra_cols or []
     id_type = sh.schema["doc_id"].dataType
@@ -1481,9 +1497,7 @@ def _cms_prefix_rows(
     return rows.select(*carry, F.posexplode("prefix").alias("p", "s"))
 
 
-def _cms_sorted_rows(
-    sh: DataFrame, threshold: float, sketch, w_bits: int = _CMS_W_BITS
-) -> DataFrame:
+def _cms_sorted_rows(sh: DataFrame, threshold: float, sketch) -> DataFrame:
     """(doc_id, n, plen, p, s) FULL sorted-posting rows in the CMS total
     order — the containment join's construction, which needs every
     position of the containing side, not just the prefix. Same map-only
@@ -1496,7 +1510,7 @@ def _cms_sorted_rows(
     import pandas as pd
     from pyspark.sql import types as T
 
-    d, w = sketch.shape
+    d, w, w_bits = _cms_sketch_geometry(sketch)
     sk = sketch
     id_type = sh.schema["doc_id"].dataType
     out_schema = T.StructType(
@@ -1585,6 +1599,9 @@ def _prefix_candidates(
     either way — only candidate counts differ). ``sketch`` lets
     callers reuse a ``prefix_order_sketch`` across calls.
     """
+    if order not in ("cms", "exact"):
+        # a typo ('csm') must fail loudly, not silently switch algorithms
+        raise ValueError(f"order must be 'cms' or 'exact', got {order!r}")
     if with_sig and order != "cms":
         raise ValueError("with_sig requires order='cms'")
     if order == "cms":
