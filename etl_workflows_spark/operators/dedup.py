@@ -1312,7 +1312,10 @@ def _cms_sketch_geometry(sketch):
     mid-join."""
     d, w = sketch.shape
     w_bits = int(w).bit_length() - 1
-    if d != _CMS_D or (1 << w_bits) != w:
+    # w < 1 first: a zero-width sketch gives w_bits = -1 and the shift
+    # below would raise a bare 'negative shift count' instead of the
+    # diagnostic message (ADVICE r7)
+    if d != _CMS_D or w < 1 or (1 << w_bits) != w:
         raise ValueError(
             f"CMS sketch shape {tuple(sketch.shape)} is not "
             f"({_CMS_D}, power-of-two); build it with prefix_order_sketch()"
