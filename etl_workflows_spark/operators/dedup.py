@@ -904,6 +904,12 @@ def build_near_dup_index(
     return bands_tbl, sh_tbl
 
 
+# bounded-driver gate for the within-batch pair collect in
+# near_dup_incremental; module-level so tests can exercise the
+# distributed-overflow branch without building 100k real pairs
+_NEARDUP_PAIR_GATE = 100_000
+
+
 def near_dup_incremental(
     new_docs: DataFrame,
     index_name: str,
@@ -936,8 +942,9 @@ def near_dup_incremental(
     fixpoint, at one collect instead of per-iteration checkpoint+count
     jobs (measured: the iterative path dominated the firewall's
     per-batch cost). Batches whose pair graph exceeds the gate fall
-    back to the distributed clustering path. One shingle pass serves
-    both the within-batch dedup and the index probe.
+    back to distributed min-label clustering over the SAME verified
+    pair graph — the shingle/LSH pipeline runs once either way. One
+    shingle pass serves both the within-batch dedup and the index probe.
     """
     spark = new_docs.sparkSession
     t_all = _shingled(new_docs, text_col, n, hashed=True).persist(
@@ -947,8 +954,9 @@ def near_dup_incremental(
         new_docs, threshold, n=n, k=k, bands=bands, text_col=text_col,
         shingled=t_all,
     )
-    gate = 100_000
-    sample = pairs.select("doc_a", "doc_b").limit(gate + 1).collect()
+    gate = _NEARDUP_PAIR_GATE
+    pairs = pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    sample = pairs.limit(gate + 1).collect()
     if len(sample) <= gate:
         losers = sorted(
             driver_union_find((r["doc_a"], r["doc_b"]) for r in sample)
@@ -966,11 +974,30 @@ def near_dup_incremental(
             )
         else:
             batch = new_docs
+        pairs.unpersist()
         t = t_all.join(batch.select("doc_id"), "doc_id", "leftsemi")
     else:
-        batch = dedup_near_duplicates(
-            new_docs, threshold, text_col=text_col, n=n, k=k, bands=bands
+        # gate overflow: resolve the SAME verified pair graph with the
+        # distributed min-label clustering — the shingle/LSH/verify
+        # pipeline is not paid a second time (pre-fix this branch called
+        # dedup_near_duplicates(new_docs, ...), re-shingling and
+        # re-running the whole LSH join on the heaviest batches)
+        from etl_workflows_spark.operators.cache import (
+            release_all_checkpoints,
         )
+
+        clusters = cluster_duplicates(pairs)
+        losers_df = (
+            clusters.groupBy("cluster")
+            .agg(F.min("doc_id").alias("keeper"))
+            .join(clusters, "cluster")
+            .filter(F.col("doc_id") != F.col("keeper"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        release_all_checkpoints(clusters)
+        pairs.unpersist()
+        batch = new_docs.join(losers_df, "doc_id", "left_anti")
         t = t_all.join(batch.select("doc_id"), "doc_id", "leftsemi")
     new_bands = _lsh_bands(t, k, bands)
     idx_bands = spark.table(f"{index_name}_bands")

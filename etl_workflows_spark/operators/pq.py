@@ -245,8 +245,20 @@ def pq_adc_topk_batch(
                 lut_rows.append(
                     (qid, s, c, float(np.dot(qs, np.asarray(cent))))
                 )
+    # LUT schema carries the CORPUS id type (string doc ids etc.) —
+    # a hardcoded long would fail or silently empty per-query results
+    from pyspark.sql import types as T
+
     lut = spark.createDataFrame(
-        lut_rows, "query_vec_id long, sub_id int, code int, dot double"
+        lut_rows,
+        T.StructType(
+            [
+                T.StructField("query_vec_id", codes.schema[id_col].dataType),
+                T.StructField("sub_id", T.IntegerType()),
+                T.StructField("code", T.IntegerType()),
+                T.StructField("dot", T.DoubleType()),
+            ]
+        ),
     )
     from pyspark.sql.window import Window
 

@@ -970,8 +970,19 @@ def ann_topk_ivf_batch(
         )[:nprobe]
         probe_rows.extend((qid, int(p), qv) for p in probes)
     spark = index.sparkSession
+    # probe schema carries the CORPUS id type (string doc ids etc.) —
+    # a hardcoded long would fail or silently empty per-query results
+    from pyspark.sql import types as T
+
     probe_df = spark.createDataFrame(
-        probe_rows, "query_vec_id long, list_id int, q_vec array<double>"
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_vec_id", index.schema[id_col].dataType),
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("q_vec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
     touched = sorted({p for _, p, _ in probe_rows})
     scored = (
