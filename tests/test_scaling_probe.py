@@ -36,3 +36,48 @@ def test_self_sized_params_keep_candidates_subquadratic(spark):
     # and self-sizing actually raised the plane count across decades
     planes = [p for p, _ in probe["params_self"]]
     assert planes[0] < planes[-1]
+
+
+def test_semdedup_cell_pairs_hold_n15(spark):
+    """SemDeDup's published cost shape, pinned with counts at two
+    decades: sqrt(n) cells keep within-cell pair volume at ~n^1.5 per
+    decade, while cells frozen at the smallest size go quadratic."""
+    from tools.scaling_probe import semdedup_cell_pair_probe
+
+    probe = semdedup_cell_pair_probe(
+        spark, sizes=(1_000, 10_000, 100_000), dim=32
+    )
+    assert all(c > 0 for c in probe["self_sized"]), probe
+    assert all(c > 0 for c in probe["fixed"]), probe
+    for e in probe["exponent_self_sized"]:
+        assert 1.2 < e < 1.75, probe  # the paper's n^1.5 contract
+    assert probe["exponent_fixed"][-1] > 1.85, probe
+    # two decades in: self-sizing must hold total pair volume far below
+    # the frozen-cells blowup
+    assert probe["self_sized"][-1] * 5 < probe["fixed"][-1], probe
+
+
+def test_ngram_novelty_windows_grow_linearly(spark):
+    """ngram_novelty's shuffle/join volume == window rows: exponent ~1
+    in the replica count, and the hot-key (max window frequency) also
+    grows ~linearly — the skew the AQE-splittable join shape absorbs."""
+    import os
+
+    from tools.scaling_probe import ngram_window_probe
+
+    sf_dir = (
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    )
+    from etl_workflows_spark.queries.base import table
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = ngram_window_probe(spark, base, copies=(1, 10, 100))
+    assert all(w > 0 for w in probe["window_rows"]), probe
+    for e in probe["exponent_window_rows"]:
+        assert 0.95 < e < 1.05, probe  # join volume is linear, exactly
+    # replicas share the base docs' cyclic windows: the hot key must
+    # actually be growing (that's the skew the plan shape is for) but
+    # never faster than linearly
+    assert probe["max_window_freq"][-1] > probe["max_window_freq"][0], probe
+    for e in probe["exponent_max_freq"]:
+        assert e < 1.1, probe
