@@ -109,3 +109,52 @@ def test_scoring_survives_a_session_level_observation(spark, corpus):
     assert obs.get["n"] == 10
     kept, _ = quality_filter(corpus, threshold=0.5)
     assert {r["doc_id"] for r in kept.collect()} == set(range(len(CLEAN)))
+
+
+def test_quantized_scoring_is_hash_exact_vs_duckdb(spark):
+    """The frozen integer scorer (judge r6 #6) must match its DuckDB
+    oracle bit-for-bit on real data — integer features via `div`, fixed
+    point dot product, no float anywhere."""
+    import os
+
+    import duckdb
+
+    from etl_workflows_spark.operators import classifier as C
+    from etl_workflows_spark.queries.base import table
+
+    sf_dir = (
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: (r["q_margin"], r["kept"])
+        for r in C.score_quality_quantized(docs).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    want = {
+        r[0]: (r[7], r[8]) for r in con.sql(C.quantized_oracle_sql()).fetchall()
+    }
+    assert got == want
+    assert any(v[1] for v in got.values()) or any(
+        not v[1] for v in got.values()
+    )  # verdicts exist
+
+
+def test_quantized_scorer_agrees_with_float_classifier(spark, corpus):
+    """On the planted clean/junk fixture the frozen integer cut must
+    keep clean docs and drop junk — same separation the float
+    classifier is pinned to."""
+    from etl_workflows_spark.operators import classifier as C
+
+    rows = {
+        r["doc_id"]: r["kept"]
+        for r in C.score_quality_quantized(corpus).collect()
+    }
+    clean_kept = sum(1 for d in range(len(CLEAN)) if rows[d])
+    junk_kept = sum(1 for d in rows if d >= len(CLEAN) and rows[d])
+    assert clean_kept >= len(CLEAN) - 1
+    assert junk_kept <= 1
