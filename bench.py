@@ -422,6 +422,16 @@ def _ann_recall_legs(spark, scaled_dir: str) -> tuple[dict, dict]:
         lambda q: SIM.ann_topk_multiprobe(lsh_index, q, k=k, n_planes=0)
     )
     legs["ann_lsh_bucketonly_8q_x10"] = t
+    # the other recall lever: 4 independent tables (recall 1-(1-r)^4 at
+    # ~4x candidate volume) — the knob to rank against IVF nprobe
+    mt_index = SIM.build_ann_index_multi(
+        emb, dim=dim, n_planes=8, n_tables=4
+    ).persist()
+    mt_index.count()
+    t, lsh_pred_mt = run_batch(
+        lambda q: SIM.ann_topk_multitable(mt_index, q, k=k, n_planes=8)
+    )
+    legs["ann_lsh_mt4_8q_x10"] = t
 
     n_lists = max(16, int(math.sqrt(n)))
     ivf_index, cents = SIM.build_ivf_index(emb, n_lists=n_lists)
@@ -457,6 +467,7 @@ def _ann_recall_legs(spark, scaled_dir: str) -> tuple[dict, dict]:
     recalls = {
         "lsh_multiprobe": recall(lsh_pred),
         "lsh_bucketonly": recall(lsh_pred_1p),
+        "lsh_mt4": recall(lsh_pred_mt),
         "ivf_nprobe8": recall(ivf_pred),
         "ivf_nprobe2": recall(ivf_pred_2p),
         "pq_adc": recall(pq_pred),
@@ -464,7 +475,7 @@ def _ann_recall_legs(spark, scaled_dir: str) -> tuple[dict, dict]:
         "queries": len(qids),
         "n_vectors": n,
     }
-    for df in (emb, lsh_index, ivf_index, codes):
+    for df in (emb, lsh_index, mt_index, ivf_index, codes):
         df.unpersist()
     return legs, recalls
 

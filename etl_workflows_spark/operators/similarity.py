@@ -143,13 +143,19 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of <v, h_p> packed into a
     long. Vectors with high cosine land in the same bucket with prob
-    (1 - theta/pi)^n_planes."""
+    (1 - theta/pi)^n_planes. ``plane_offset`` selects a disjoint plane
+    set — table t of a multi-table index passes t·n_planes so its
+    buckets are independent of every other table's."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        plane = F.array(
+            *[F.lit(c) for c in _hyperplane(dim, plane_offset + p)]
+        )
         bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(2**p)).otherwise(0)
     return bucket
 
@@ -175,6 +181,90 @@ def build_ann_index(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+
+
+def build_ann_index_multi(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane LSH index: (id, vec, table_id, bucket) with
+    ``n_tables`` INDEPENDENT plane sets (table t hashes with planes
+    t·n_planes … t·n_planes+n_planes−1) — the standard recall lever for
+    sign-LSH. A neighbor missed by one table's bucketing is caught by
+    another: per-query recall goes from r to 1−(1−r)^L at L× candidate
+    volume, a knob the single-table index simply does not have once its
+    Hamming-1 probes are exhausted.
+
+    One corpus scan computes every table's bucket in a single projection
+    (posexplode over the L bucket expressions); storage is L rows per
+    vector — id + bucket + the vector payload. Persist partitioned/
+    bucketed by (table_id, bucket) and query-time candidate fetches stay
+    pruned equi-join scans, same as the single-table contract."""
+    buckets = F.posexplode(
+        F.array(
+            *[
+                lsh_bucket(F.col(vec_col), dim, n_planes, t * n_planes)
+                for t in range(n_tables)
+            ]
+        )
+    )
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), buckets.alias("table_id", "bucket")
+    )
+
+
+def ann_topk_multitable(
+    index: DataFrame,
+    query_vec_id,
+    k: int = 20,
+    n_planes: int = 8,
+    hamming1: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a ``build_ann_index_multi`` index: probe every table's
+    own bucket for the query (plus each table's Hamming-1 neighborhood
+    when ``hamming1`` — composing both recall levers), union the
+    candidates, dedup by id, and rank by exact cosine. The probe
+    relation is L·(n_planes+1) rows — broadcast-sized — so the whole
+    fetch is one equi-join on (table_id, bucket) against the stored
+    index; recall is 1−(1−r_table)^L by table independence."""
+    q = index.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    probe_cols = [F.col("q_bucket")]
+    if hamming1:
+        probe_cols += [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)
+        ]
+    q_probes = q.select(
+        "q_vec", "q_table", F.explode(F.array(*probe_cols)).alias("probe")
+    )
+    cands = (
+        index.filter(F.col(id_col) != query_vec_id)
+        .join(
+            F.broadcast(q_probes),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("probe")),
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("q_vec"))
+        .dropDuplicates([id_col])
+    )
+    return (
+        cands.select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
     )
 
 
@@ -848,9 +938,13 @@ def write_ivf_index(
     ``build_ivf_index``'s docstring promises; pruning is asserted in
     test_llm_ops (PartitionFilters in the probe plan)."""
     spark = index.sparkSession
-    index.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{path}/lists"
-    )
+    # cluster by list before the partitioned write: one file per list
+    # instead of one per (task × list) — at sqrt-sized n_lists the naive
+    # write makes thousands of KB files and every later pruned scan pays
+    # their open/footer cost
+    index.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "list_id int, centroid array<double>",
@@ -883,10 +977,17 @@ def ivf_append(
     """
     spark = new_vectors.sparkSession
     _, cents = read_ivf_index(spark, path)
-    assigned = ivf_assign(new_vectors, cents, vec_col)
-    assigned.write.mode("append").partitionBy("list_id").parquet(
-        f"{path}/lists"
-    )
+    # numpy assigner (one matmul per Arrow batch): the expression-tree
+    # assigner plants n_lists × dim literals in the plan — at sqrt-sized
+    # n_lists the ANALYSIS of that tree dominated the whole append
+    # (measured ~8 s for a 300-row batch). Then cluster rows by list
+    # BEFORE the partitioned write: one file per TOUCHED list instead of
+    # one per (task × list) — the difference between an index that
+    # compacts itself and a small-file generator on a continuous ingest.
+    assigned = ivf_assign_fast(new_vectors, cents, vec_col)
+    assigned.repartition("list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
 
 
 def ann_topk_ivf(

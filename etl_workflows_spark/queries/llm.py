@@ -463,6 +463,19 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_topk_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN (4 independent tables × Hamming-1
+    probes — similarity.build_ann_index_multi / ann_topk_multitable):
+    the recall lever past single-table multiprobe, 1−(1−r)^L by table
+    independence at L× candidate volume. Approximate, rows-only check;
+    recall-vs-tables monotonicity and the 1-table == multiprobe identity
+    are pinned in tests/test_llm_ops.py; the speed/recall point is
+    recorded per round in the scaled bench (lsh_mt4)."""
+    emb = table(spark, sf_dir, "embeddings")
+    index = similarity.build_ann_index_multi(emb, dim=64, n_planes=8, n_tables=4)
+    return similarity.ann_topk_multitable(index, query_vec_id=0, k=20)
+
+
 def embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane LSH
     (similarity.similar_pairs_banded) — the scale twin of the
@@ -2757,6 +2770,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_batch": ann_cosine_topk_batch,
     "ann_cosine_topk_lsh": ann_cosine_topk_lsh,
+    "ann_cosine_topk_multitable": ann_cosine_topk_multitable,
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
     "ann_cosine_topk_pq": ann_cosine_topk_pq,
     "stratified_sample_docs": stratified_sample_docs,

@@ -603,3 +603,49 @@ def test_word_bigram_lm_separates_typical_from_atypical(spark):
         [(1, "solo")], "doc_id long, text string"
     )
     assert word_bigram_lm_scores(short).count() == 0  # <2 tokens: absent
+
+
+def test_multitable_improves_recall_over_one_table(spark, sf_dir):
+    """L independent tables must recover strictly more of the exact
+    top-k than a single table with the same per-table probe budget
+    (recall 1-(1-r)^L), and a 1-table multitable query must equal the
+    single-table multiprobe result exactly (same planes, same probes)."""
+    from etl_workflows_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_multiprobe,
+        ann_topk_multitable,
+        build_ann_index,
+        build_ann_index_multi,
+    )
+    from etl_workflows_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    mt4 = build_ann_index_multi(emb, dim=64, n_planes=8, n_tables=4)
+    mt4 = mt4.localCheckpoint(eager=True)
+    mt1 = mt4.filter("table_id = 0")
+    single = build_ann_index(emb, dim=64, n_planes=8).localCheckpoint(
+        eager=True
+    )
+    k = 20
+    one_recall, four_recall = 0, 0
+    for qid in (0, 7, 42):
+        exact = {
+            r["vec_id"] for r in ann_topk_bruteforce(emb, qid, k).collect()
+        }
+        one = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in ann_topk_multitable(mt1, qid, k).collect()
+        ]
+        four = {
+            r["vec_id"] for r in ann_topk_multitable(mt4, qid, k).collect()
+        }
+        # table 0 uses planes 0..7 — identical to the single-table index,
+        # so 1-table multitable == multiprobe row-for-row
+        probe = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in ann_topk_multiprobe(single, qid, k).collect()
+        ]
+        assert one == probe
+        one_recall += len(exact & {v for v, _ in one})
+        four_recall += len(exact & four)
+    assert four_recall > one_recall
