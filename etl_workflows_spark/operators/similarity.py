@@ -667,8 +667,19 @@ def _semantic_verdicts(
     comps = None
     labeled = None
     use_distributed = True
+    gated_pairs = None
     if uf_gate is not None:
-        sample = pairs.select("doc_a", "doc_b").limit(uf_gate + 1).collect()
+        # persist before the gate probe so the overflow fallback clusters
+        # the SAME materialized pair graph instead of re-running the
+        # cell join + cosine verify (same reuse contract as
+        # dedup.near_dup_incremental's gate)
+        from pyspark.storagelevel import StorageLevel
+
+        gated_pairs = pairs.select("doc_a", "doc_b").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        pairs = gated_pairs
+        sample = pairs.limit(uf_gate + 1).collect()
         if len(sample) <= uf_gate:
             use_distributed = False
             from etl_workflows_spark.operators.dedup import driver_union_find
@@ -703,6 +714,10 @@ def _semantic_verdicts(
         labeled = comps.join(keepers, "cluster").select(
             F.col("doc_id").alias("id"), "keeper_vec_id"
         )
+    if gated_pairs is not None:
+        # labels are checkpoint-backed (cluster_duplicates) or collected
+        # (union-find) by now — the pair cache is no longer needed
+        gated_pairs.unpersist()
     verdicts = assigned.select("id")
     if labeled is not None:
         verdicts = verdicts.join(labeled, "id", "left")
