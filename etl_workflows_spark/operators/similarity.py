@@ -268,6 +268,67 @@ def ann_topk_multitable(
     )
 
 
+def ann_topk_multitable_batch(
+    index: DataFrame,
+    query_vec_ids: list,
+    k: int = 20,
+    n_planes: int = 8,
+    hamming1: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table top-k for MANY stored queries in one pass — the batch
+    shape every other ANN path exposes (bruteforce/IVF/PQ parity): all
+    queries' (table, probe) rows broadcast as one relation
+    (q·L·(n_planes+1) rows — driver-sized), ONE equi-join against the
+    stored index serves the whole batch, candidates dedup per
+    (query, id), and per-query top-k is a rank window. Returns
+    (query_vec_id, vec_id, cos_sim) — identical rows to q separate
+    ``ann_topk_multitable`` calls."""
+    from pyspark.sql.window import Window
+
+    q = index.filter(F.col(id_col).isin(list(query_vec_ids))).select(
+        F.col(id_col).alias("query_vec_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    probe_cols = [F.col("q_bucket")]
+    if hamming1:
+        probe_cols += [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)
+        ]
+    q_probes = q.select(
+        "query_vec_id",
+        "q_vec",
+        "q_table",
+        F.explode(F.array(*probe_cols)).alias("probe"),
+    )
+    scored = (
+        index.join(
+            F.broadcast(q_probes),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("probe")),
+        )
+        .filter(F.col(id_col) != F.col("query_vec_id"))
+        .dropDuplicates(["query_vec_id", id_col])
+        .select(
+            "query_vec_id",
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ann_topk_indexed(
     index: DataFrame,
     query_vec_id: int,

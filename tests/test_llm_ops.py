@@ -649,3 +649,33 @@ def test_multitable_improves_recall_over_one_table(spark, sf_dir):
         one_recall += len(exact & {v for v, _ in one})
         four_recall += len(exact & four)
     assert four_recall > one_recall
+
+
+def test_multitable_batch_matches_per_query(spark, sf_dir):
+    """One-pass batch form must return row-for-row the per-query
+    multitable results (same parity contract as the bruteforce/IVF/PQ
+    batch shapes)."""
+    from etl_workflows_spark.operators.similarity import (
+        ann_topk_multitable,
+        ann_topk_multitable_batch,
+        build_ann_index_multi,
+    )
+    from etl_workflows_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    index = build_ann_index_multi(
+        emb, dim=64, n_planes=8, n_tables=3
+    ).localCheckpoint(eager=True)
+    qids = [0, 7, 42]
+    batch = {}
+    for r in ann_topk_multitable_batch(index, qids, k=10).collect():
+        batch.setdefault(r["query_vec_id"], []).append(
+            (r["vec_id"], round(r["cos_sim"], 9))
+        )
+    assert set(batch) <= set(qids)
+    for qid in qids:
+        single = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in ann_topk_multitable(index, qid, k=10).collect()
+        ]
+        assert batch.get(qid, []) == single
