@@ -329,6 +329,108 @@ def ann_topk_multitable_batch(
     )
 
 
+def write_lsh_index(
+    index: DataFrame, path: str, dim: int, n_planes: int, n_tables: int
+) -> None:
+    """Materialize a ``build_ann_index_multi`` index: rows
+    parquet-partitioned by (table_id, bucket) — a probe fetch opens at
+    most L·(n_planes+1) of the L·2^n_planes partitions at file-listing
+    time — clustered one file per non-empty partition, plus a one-row
+    meta sidecar (dim, n_planes, n_tables) so appends and
+    external-vector queries rehash with the SAME plane sets. The LSH
+    twin of ``write_ivf_index``'s persistence contract."""
+    spark = index.sparkSession
+    index.repartition("table_id", "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("table_id", "bucket").parquet(f"{path}/tables")
+    spark.createDataFrame(
+        [(dim, n_planes, n_tables)], "dim int, n_planes int, n_tables int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_lsh_index(spark: "SparkSession", path: str):
+    """(tables DataFrame, meta dict) for a persisted multi-table LSH
+    index; table_id/bucket are partition columns, so filters on them
+    prune at file-listing time."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    return spark.read.parquet(f"{path}/tables"), meta
+
+
+def lsh_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted multi-table LSH index:
+    rehash with the stored plane geometry (meta sidecar — no drift
+    possible) and append one file per touched (table, bucket) partition.
+    Same maintenance contract as ``ivf_append``; hyperplane LSH needs no
+    retraining, so the index never degrades — only grows."""
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    rows = build_ann_index_multi(
+        new_vectors,
+        dim=meta["dim"],
+        n_planes=meta["n_planes"],
+        n_tables=meta["n_tables"],
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    rows.repartition("table_id", "bucket").write.mode("append").partitionBy(
+        "table_id", "bucket"
+    ).parquet(f"{path}/tables")
+
+
+def ann_topk_lsh_stored(
+    spark: "SparkSession",
+    path: str,
+    query_vec,
+    k: int = 20,
+    hamming1: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve an EXTERNAL query vector from a persisted multi-table LSH
+    index: every table's bucket (and Hamming-1 neighborhood) is computed
+    DRIVER-side against the meta-sidecar planes (L·n_planes dot products
+    — microseconds), so the candidate fetch is a literal
+    (table_id, bucket)-filter the parquet source prunes at file-listing
+    time; exact cosine ranks the fetched candidates. Includes the query
+    vector's own row if it is indexed (there is no id to exclude — this
+    is the serving form for vectors that are NOT in the corpus)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    lists = spark.read.parquet(f"{path}/tables")
+    qv = [float(x) for x in query_vec]
+    if len(qv) != meta["dim"]:
+        raise ValueError(
+            f"query dim {len(qv)} != index dim {meta['dim']}"
+        )
+    n_planes = meta["n_planes"]
+    cond = None
+    for t in range(meta["n_tables"]):
+        b = 0
+        for p in range(n_planes):
+            plane = _hyperplane(meta["dim"], t * n_planes + p)
+            if sum(a * c for a, c in zip(qv, plane)) > 0:
+                b += 1 << p
+        probes = [b] + (
+            [b ^ (1 << p) for p in range(n_planes)] if hamming1 else []
+        )
+        c = (F.col("table_id") == t) & F.col("bucket").isin(probes)
+        cond = c if cond is None else (cond | c)
+    q = F.array(*[F.lit(x) for x in qv])
+    return (
+        lists.filter(cond)
+        .dropDuplicates([id_col])
+        .select(
+            F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_indexed(
     index: DataFrame,
     query_vec_id: int,
