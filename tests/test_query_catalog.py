@@ -15,6 +15,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_pq",
+    "ann_cosine_topk_multitable",  # LSH recall — exact twin ann_cosine_topk
     "dedup_near_end_to_end",
     "approx_event_sketches",
     "events_distinct_hll_range",
