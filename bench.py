@@ -354,7 +354,7 @@ def _snapshot_dml_legs(spark, scaled_dir: str) -> dict:
     return legs
 
 
-def _ann_recall_legs(spark, scaled_dir: str) -> tuple[dict, dict]:
+def _ann_recall_legs(spark, scaled_dir: str, factor: int = 10) -> tuple[dict, dict]:
     """Speed AND recall@10 of the three ANN scale paths against the
     exact brute-force twin at 10× vectors — the speed/recall trade as a
     recorded number per round, like the prefix/LSH trade (judge r5 #5).
@@ -381,7 +381,16 @@ def _ann_recall_legs(spark, scaled_dir: str) -> tuple[dict, dict]:
         os.path.join(scaled_dir, "embeddings.parquet")
     ).persist()
     n = emb.count()  # materialize the persist (untimed)
-    qrows = emb.orderBy("vec_id").limit(8).collect()
+    # 8 DISTINCT source vectors (copy 0 of 8 different originals —
+    # scaled ids are source*factor + copy): the first 8 ids would all be
+    # replicas of ONE source, so every recall number would be measured
+    # inside a single jitter cloud instead of averaged across the corpus
+    qrows = (
+        emb.filter(F.col("vec_id") % factor == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    )
     qids = [r["vec_id"] for r in qrows]
     qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in qrows}
     dim = len(qvecs[qids[0]])
@@ -704,7 +713,7 @@ def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
     timings.update(_snapshot_lookup_legs(spark, scaled_dir))
     timings.update(_snapshot_dml_legs(spark, scaled_dir))
-    ann_legs, ann_recall = _ann_recall_legs(spark, scaled_dir)
+    ann_legs, ann_recall = _ann_recall_legs(spark, scaled_dir, factor)
     timings.update(ann_legs)
     fw_legs = _firewall_legs(spark, scaled_dir)
     fw_curves = fw_legs.pop("__curves__", None)
@@ -760,17 +769,16 @@ def main() -> None:
         "sf": sf,
         "calib_jvm_sec": calib,
     }
+    # The PRE probe is the normalizer: its protocol (single probe, right
+    # after the fixed warmup job) has been identical since r3, so
+    # cross-round division is apples-to-apples. The POST probe below is
+    # a drift INDICATOR only — after 20 min of work the JVM runs the
+    # same job ~2x faster (codegen/JIT warmth), so folding it into the
+    # normalizer would systematically inflate normalized totals.
+    out["norm_total"] = round(out["value"] * CALIB_REF / calib, 3)
     if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0":
         scaled = _scaled_pass(spark, sf_dir)
-        # The PRE probe is the normalizer: its protocol (single probe,
-        # right after the fixed warmup job) has been identical since r3,
-        # so cross-round division is apples-to-apples. The POST probe is
-        # a drift INDICATOR only — after 20 min of work the JVM runs the
-        # same job ~2x faster (codegen/JIT warmth), so folding it into
-        # the normalizer would systematically inflate normalized totals.
-        calib_post = _calibrate()
-        out["calib_post_jvm_sec"] = calib_post
-        out["norm_total"] = round(out["value"] * CALIB_REF / calib, 3)
+        out["calib_post_jvm_sec"] = _calibrate()
         scaled["norm_total"] = round(scaled["value"] * CALIB_REF / calib, 3)
         # 10×-data / 1×-data time ratio per shared query: the direct
         # linearity evidence (≪10 = launch-floor amortization or

@@ -540,6 +540,29 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "cluster")
 
 
+def _cluster_losers(pairs: "DataFrame") -> "DataFrame":
+    """Checkpoint-backed LOSER ids (every non-min member of each
+    duplicate component) from a (doc_a, doc_b) pair graph: distributed
+    min-label clustering + min-id keeper per component, with the
+    clustering's label checkpoints released once the losers are
+    materialized. Shared by ``dedup_near_duplicates`` and
+    ``near_dup_incremental``'s gate-overflow path so keeper semantics
+    cannot drift between the batch and incremental forms."""
+    from etl_workflows_spark.operators.cache import release_all_checkpoints
+
+    clusters = cluster_duplicates(pairs)
+    losers = (
+        clusters.groupBy("cluster")
+        .agg(F.min("doc_id").alias("keeper"))
+        .join(clusters, "cluster")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    release_all_checkpoints(clusters)
+    return losers
+
+
 def dedup_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -583,19 +606,8 @@ def dedup_near_duplicates(
         pairs = near_dup_pairs_lsh(
             docs, threshold, n=n, text_col=text_col, shingled=t, **lsh_kwargs
         )
-    clusters = cluster_duplicates(pairs)
+    losers = _cluster_losers(pairs)
     t.unpersist()
-    losers = (
-        clusters.groupBy("cluster")
-        .agg(F.min("doc_id").alias("keeper"))
-        .join(clusters, "cluster")
-        .filter(F.col("doc_id") != F.col("keeper"))
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    # clusters is a projection over the labels checkpoint — release the
-    # checkpoint(s) under it now that losers is materialized
-    release_all_checkpoints(clusters)
     return docs.join(losers, "doc_id", "left_anti")
 
 
@@ -956,49 +968,41 @@ def near_dup_incremental(
     )
     gate = _NEARDUP_PAIR_GATE
     pairs = pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
-    sample = pairs.limit(gate + 1).collect()
-    if len(sample) <= gate:
-        losers = sorted(
-            driver_union_find((r["doc_a"], r["doc_b"]) for r in sample)
-        )
-        if losers:
-            from pyspark.sql import types as T
+    try:
+        sample = pairs.limit(gate + 1).collect()
+        if len(sample) <= gate:
+            losers = sorted(
+                driver_union_find((r["doc_a"], r["doc_b"]) for r in sample)
+            )
+            if losers:
+                from pyspark.sql import types as T
 
-            id_type = new_docs.schema["doc_id"].dataType
-            losers_df = spark.createDataFrame(
-                [(x,) for x in losers],
-                T.StructType([T.StructField("doc_id", id_type)]),
-            )
-            batch = new_docs.join(
-                F.broadcast(losers_df), "doc_id", "left_anti"
-            )
+                id_type = new_docs.schema["doc_id"].dataType
+                losers_df = spark.createDataFrame(
+                    [(x,) for x in losers],
+                    T.StructType([T.StructField("doc_id", id_type)]),
+                )
+                batch = new_docs.join(
+                    F.broadcast(losers_df), "doc_id", "left_anti"
+                )
+            else:
+                batch = new_docs
         else:
-            batch = new_docs
+            # gate overflow: resolve the SAME verified pair graph with
+            # the distributed min-label clustering — the shingle/LSH/
+            # verify pipeline is not paid a second time (pre-fix this
+            # branch called dedup_near_duplicates(new_docs, ...),
+            # re-shingling and re-running the whole LSH join on the
+            # heaviest batches)
+            batch = new_docs.join(
+                _cluster_losers(pairs), "doc_id", "left_anti"
+            )
+    finally:
+        # the losers are collected (union-find) or checkpoint-backed
+        # (_cluster_losers) by now — release the pair cache even when a
+        # branch throws (a retrying firewall must not accumulate caches)
         pairs.unpersist()
-        t = t_all.join(batch.select("doc_id"), "doc_id", "leftsemi")
-    else:
-        # gate overflow: resolve the SAME verified pair graph with the
-        # distributed min-label clustering — the shingle/LSH/verify
-        # pipeline is not paid a second time (pre-fix this branch called
-        # dedup_near_duplicates(new_docs, ...), re-shingling and
-        # re-running the whole LSH join on the heaviest batches)
-        from etl_workflows_spark.operators.cache import (
-            release_all_checkpoints,
-        )
-
-        clusters = cluster_duplicates(pairs)
-        losers_df = (
-            clusters.groupBy("cluster")
-            .agg(F.min("doc_id").alias("keeper"))
-            .join(clusters, "cluster")
-            .filter(F.col("doc_id") != F.col("keeper"))
-            .select("doc_id")
-            .localCheckpoint(eager=True)
-        )
-        release_all_checkpoints(clusters)
-        pairs.unpersist()
-        batch = new_docs.join(losers_df, "doc_id", "left_anti")
-        t = t_all.join(batch.select("doc_id"), "doc_id", "leftsemi")
+    t = t_all.join(batch.select("doc_id"), "doc_id", "leftsemi")
     new_bands = _lsh_bands(t, k, bands)
     idx_bands = spark.table(f"{index_name}_bands")
     cands = (

@@ -743,12 +743,18 @@ def make_rawv(width: int, height: int, fps: int, frames) -> bytes:
     the writer half of the format, used by tests and exporters."""
     import struct
 
-    frames = list(frames)
+    frames = [bytes(f) for f in frames]
+    # per-frame check: compensating size errors across frames would
+    # otherwise serialize a parsable-but-misaligned stream whose decoded
+    # pixel stats are silently scrambled
+    for i, f in enumerate(frames):
+        if len(f) != width * height * 3:
+            raise ValueError(
+                f"frame {i} byte size mismatch: {len(f)} != "
+                f"{width * height * 3}"
+            )
     head = RAWV_MAGIC + struct.pack("<HHHI", width, height, fps, len(frames))
-    body = b"".join(bytes(f) for f in frames)
-    if len(body) != len(frames) * width * height * 3:
-        raise ValueError("frame byte size mismatch")
-    return head + body
+    return head + b"".join(frames)
 
 
 def _parse_rawv(content: bytes):

@@ -369,6 +369,14 @@ def lsh_append(
     retraining, so the index never degrades — only grows."""
     spark = new_vectors.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    # dim guard, same contract as the query path: a mismatched vector's
+    # zip_with dot is NULL, which hashes every plane to 0 — the rows
+    # would land in bucket 0 of every table and silently never be found
+    probe = new_vectors.select(F.size(vec_col).alias("d")).first()
+    if probe is not None and probe["d"] != meta["dim"]:
+        raise ValueError(
+            f"append dim {probe['d']} != index dim {meta['dim']}"
+        )
     rows = build_ann_index_multi(
         new_vectors,
         dim=meta["dim"],
@@ -842,8 +850,13 @@ def _semantic_verdicts(
             StorageLevel.MEMORY_AND_DISK
         )
         pairs = gated_pairs
-        sample = pairs.limit(uf_gate + 1).collect()
-        if len(sample) <= uf_gate:
+    try:
+        sample = (
+            pairs.limit(uf_gate + 1).collect()
+            if uf_gate is not None
+            else None
+        )
+        if sample is not None and len(sample) <= uf_gate:
             use_distributed = False
             from etl_workflows_spark.operators.dedup import driver_union_find
 
@@ -869,18 +882,21 @@ def _semantic_verdicts(
                 )
             # no duplicate pairs at all → labeled stays None and the
             # left join below makes every vector its own keeper
-    if use_distributed:
-        comps = cluster_duplicates(pairs)
-        keepers = comps.groupBy("cluster").agg(
-            F.min("doc_id").alias("keeper_vec_id")
-        )
-        labeled = comps.join(keepers, "cluster").select(
-            F.col("doc_id").alias("id"), "keeper_vec_id"
-        )
-    if gated_pairs is not None:
-        # labels are checkpoint-backed (cluster_duplicates) or collected
-        # (union-find) by now — the pair cache is no longer needed
-        gated_pairs.unpersist()
+        if use_distributed:
+            comps = cluster_duplicates(pairs)
+            keepers = comps.groupBy("cluster").agg(
+                F.min("doc_id").alias("keeper_vec_id")
+            )
+            labeled = comps.join(keepers, "cluster").select(
+                F.col("doc_id").alias("id"), "keeper_vec_id"
+            )
+    finally:
+        if gated_pairs is not None:
+            # labels are checkpoint-backed (cluster_duplicates) or
+            # collected (union-find) by now — release the pair cache
+            # even when clustering throws (retrying batch callers must
+            # not accumulate caches)
+            gated_pairs.unpersist()
     verdicts = assigned.select("id")
     if labeled is not None:
         verdicts = verdicts.join(labeled, "id", "left")

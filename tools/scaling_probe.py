@@ -228,18 +228,8 @@ def embedding_candidate_probe(
         out["fixed"].append(banded_candidate_count(emb, *fixed))
         emb.unpersist()
 
-    def exponents(counts):
-        return [
-            round(
-                math.log(max(counts[i + 1], 1) / max(counts[i], 1))
-                / math.log(sizes[i + 1] / sizes[i]),
-                3,
-            )
-            for i in range(len(sizes) - 1)
-        ]
-
-    out["exponent_self_sized"] = exponents(out["self_sized"])
-    out["exponent_fixed"] = exponents(out["fixed"])
+    out["exponent_self_sized"] = _exponents(out["self_sized"], sizes)
+    out["exponent_fixed"] = _exponents(out["fixed"], sizes)
     return out
 
 
