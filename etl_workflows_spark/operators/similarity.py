@@ -390,6 +390,84 @@ def lsh_append(
     ).parquet(f"{path}/tables")
 
 
+def compact_index_partitions(
+    spark: "SparkSession",
+    lists_path: str,
+    part_cols: list,
+    min_files: int = 4,
+) -> int:
+    """Selective small-file compaction for a path-partitioned index:
+    every append adds one file per TOUCHED partition, so after B batches
+    a hot partition holds B small files and every pruned probe pays
+    their open/footer cost. This rewrites ONLY partitions that have
+    accumulated ≥ ``min_files`` files (one maintenance scan censuses
+    files per partition via input_file_name; victims are pre-pruned
+    with isin filters on the partition columns, exactly selected with a
+    broadcast semi-join, materialized, then replaced under DYNAMIC
+    partition overwrite — untouched partitions' files are never
+    rewritten). Returns the number of partitions compacted."""
+    df = spark.read.parquet(lists_path)
+    census = (
+        # project the file name BEFORE aggregating: Spark 4 rejects
+        # non-deterministic expressions inside aggregate functions
+        df.select(*part_cols, F.input_file_name().alias("__f"))
+        .groupBy(*part_cols)
+        .agg(F.countDistinct("__f").alias("__nf"))
+        .filter(F.col("__nf") >= min_files)
+        .collect()
+    )
+    if not census:
+        return 0
+    # prunable superset filter (per-column isin), then exact semi-join
+    pre = None
+    for p in part_cols:
+        e = F.col(p).isin(sorted({r[p] for r in census}))
+        pre = e if pre is None else (pre & e)
+    keys_df = spark.createDataFrame(
+        [tuple(r[p] for p in part_cols) for r in census],
+        df.select(*part_cols).schema,
+    )
+    victims = (
+        df.filter(pre)
+        .join(F.broadcast(keys_df), list(part_cols), "leftsemi")
+        .repartition(*[F.col(p) for p in part_cols])
+        # materialize BEFORE the overwrite: the write must not delete
+        # the very files its own input scan is still reading
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        victims.write.mode("overwrite").partitionBy(*part_cols).parquet(
+            lists_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    from etl_workflows_spark.operators.cache import release_checkpoint
+
+    release_checkpoint(victims)
+    return len(census)
+
+
+def compact_lsh_index(spark: "SparkSession", path: str, min_files: int = 4) -> int:
+    """Compact over-fragmented (table_id, bucket) partitions of a
+    persisted multi-table LSH index. Run it on the maintenance cadence
+    appends warrant; geometry and results are unchanged."""
+    return compact_index_partitions(
+        spark, f"{path}/tables", ["table_id", "bucket"], min_files
+    )
+
+
+def compact_ivf_index(spark: "SparkSession", path: str, min_files: int = 4) -> int:
+    """Compact over-fragmented list_id partitions of a persisted IVF
+    index (``write_ivf_index``/``ivf_append`` layout)."""
+    return compact_index_partitions(
+        spark, f"{path}/lists", ["list_id"], min_files
+    )
+
+
 def ann_topk_lsh_stored(
     spark: "SparkSession",
     path: str,
