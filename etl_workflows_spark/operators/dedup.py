@@ -669,26 +669,40 @@ def dedup_embedding_cosine(
 def near_dup_pairs_simhash(
     docs: DataFrame, max_hamming: int = 1, text_col: str = "text"
 ) -> DataFrame:
-    """SimHash near-dup pairs within ``max_hamming`` bits (exact for the
-    default radius).
+    """SimHash near-dup pairs within ``max_hamming`` bits — EXACT recall
+    at every radius via pigeonhole banding.
 
-    Candidate generation is an equi-join on the fingerprint's two 8-bit
-    halves; by pigeonhole, 2 bands guarantee recall only for Hamming
-    distance <= 1 (a distance-2 pair can flip one bit in each half and
-    match neither band). Hence the default radius is 1; for a larger
-    radius, pass a bigger ``max_hamming`` knowing recall is then
-    approximate, or extend the banding to max_hamming+1 bands.
+    Candidate generation splits the 16-bit fingerprint into
+    ``max_hamming + 1`` contiguous blocks and equi-joins on each block:
+    a pair within Hamming distance r differs in at most r blocks, so by
+    pigeonhole at least one of the r+1 blocks is bit-identical and the
+    pair surfaces as a candidate. Every candidate is then verified with
+    the exact ``bit_count(xor)`` distance, so the result is the exact
+    radius-r pair set (radius 1 → the two 8-bit halves; radius 2 → 6/5/5
+    blocks; and so on). Wider radii trade narrower blocks (coarser
+    buckets → more candidates) for more bands — the standard
+    multi-index Hamming scheme (Manku et al., WWW'07 §3).
     """
+    if not 0 <= max_hamming < 16:
+        raise ValueError(
+            f"max_hamming must be in [0, 16) for a 16-bit fingerprint, "
+            f"got {max_hamming}"
+        )
     fp = simhash_fingerprints(docs, text_col).localCheckpoint(eager=True)
-    # One banded EQUI-join per half, unioned. An OR of the two equalities
-    # in a single join condition has no equi-key, so Catalyst plans a
-    # BroadcastNestedLoopJoin — O(n²) comparisons; per-band equi-joins
-    # are hash/SMJ-able and shuffle only on the 8-bit band value (the
-    # standard LSH-banding plan shape, same as _lsh_bands).
-    bands = [
-        (F.col("simhash") % 256).alias("band"),
-        F.shiftright("simhash", 8).alias("band"),
-    ]
+    # One banded EQUI-join per block, unioned. An OR of the block
+    # equalities in a single join condition has no equi-key, so Catalyst
+    # plans a BroadcastNestedLoopJoin — O(n²) comparisons; per-band
+    # equi-joins are hash/SMJ-able and shuffle only on the band value
+    # (the standard LSH-banding plan shape, same as _lsh_bands).
+    n_bands = max_hamming + 1
+    base, rem = divmod(16, n_bands)
+    bands, offset = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        bands.append(
+            (F.shiftright("simhash", offset) % (1 << width)).alias("band")
+        )
+        offset += width
     cand = None
     for band in bands:
         h = fp.select("doc_id", "simhash", band)

@@ -412,3 +412,64 @@ def negative_samples(
         raw == F.col(pos_col), (raw + 1) % F.lit(n_corpus)
     ).otherwise(raw)
     return exploded.withColumn("neg_id", neg)
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    budget: int,
+    weights: dict | None = None,
+    default_weight: float = 1.0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source epoch/sampling plan for a target token budget — the
+    mixture-planning step before a training run ("2T tokens at these
+    source weights: how many epochs of each source is that, and which
+    sources must be subsampled?").
+
+    For each source s with available whitespace tokens A_s and weight
+    w_s (``weights`` dict, ``default_weight`` for unlisted sources), the
+    target share is ``budget * w_s / sum(w)`` and the epoch count is
+    ``target / A_s``; ``sample_fraction`` caps at 1.0 (feed it to
+    ``deterministic_sample``) and ``repeat_epochs`` is the integer
+    repeat factor an epoch-based loader needs (``ceil(epochs)``).
+
+    Scale shape: one groupBy(source) aggregation over the corpus (the
+    only shuffle, map-side combined); the weight table is a literal map
+    in the plan (sources are a handful of names, never data-sized), and
+    the total-weight window runs over the post-agg frame, which has one
+    row per source.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql.window import Window
+
+    if weights:
+        kv = []
+        for k, v in weights.items():
+            kv += [F.lit(k), F.lit(float(v))]
+        wcol = F.coalesce(
+            F.element_at(F.create_map(*kv), F.col(source_col)),
+            F.lit(float(default_weight)),
+        )
+    else:
+        wcol = F.lit(float(default_weight))
+    avail = docs.groupBy(source_col).agg(
+        F.sum(F.size(F.split(F.col(text_col), " ")))
+        .cast("bigint")
+        .alias("available_tokens")
+    )
+    # post-agg cardinality = number of sources; the empty-frame window
+    # is a tiny single-exchange step, not a corpus-wide sort
+    total_w = F.sum(wcol).over(Window.partitionBy())
+    target = F.lit(float(budget)) * wcol / total_w
+    epochs = target / F.col("available_tokens").cast("double")
+    return avail.select(
+        F.col(source_col),
+        "available_tokens",
+        wcol.alias("weight"),
+        F.round(target, 4).alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(F.least(F.lit(1.0), epochs), 6).alias("sample_fraction"),
+        F.ceil(epochs).cast("int").alias("repeat_epochs"),
+    )

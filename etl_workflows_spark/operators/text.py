@@ -769,3 +769,53 @@ def vocab_coverage(
     out = out.localCheckpoint(eager=True)
     tc.unpersist()
     return out
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+    repetitive_below: float = 0.3,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher/RefinedWeb-style
+    redundancy signal (highly repetitive or boilerplate text compresses
+    far below natural prose; Rae et al. 2021 use it as a quality gate).
+
+    ``ratio = len(zlib(text, level)) / len(utf8(text))``; low values mean
+    repetitive content, ``is_repetitive`` flags ratios below
+    ``repetitive_below``. DEFLATE has no SQL twin, so this is the
+    documented rows-only class; determinism within one zlib build is
+    pinned by pytest instead.
+
+    Scale shape: a single Arrow-batched pandas UDF projection — no
+    shuffle, no driver collect; zlib is C code, so per-batch Python
+    overhead is amortized across the Arrow batch (the "UDF only where
+    built-ins genuinely can't" boundary: bit-level DEFLATE state is not
+    expressible in Catalyst expressions).
+    """
+    import pandas as pd  # noqa: F401 — pandas_udf contract
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be in [1, 9], got {level}")
+
+    @F.pandas_udf("double")
+    def _ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return 1.0
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    ratio = F.round(_ratio(F.col(text_col)), 6)
+    return docs.select(
+        "doc_id",
+        F.octet_length(text_col).cast("int").alias("n_bytes"),
+        ratio.alias("compression_ratio"),
+        (ratio < F.lit(repetitive_below)).alias("is_repetitive"),
+    )

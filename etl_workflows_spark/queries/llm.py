@@ -50,6 +50,8 @@ def _embeddings_count(spark: SparkSession, sf_dir: str) -> int:
 
 
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length profile: chars, whitespace tokens, distinct
+    tokens, mean token length — the first-look corpus statistics."""
     return text.doc_stats(table(spark, sf_dir, "documents"))
 
 
@@ -84,6 +86,8 @@ _STOPWORD_LIST = "['a', 'the', 'of', 'to', 'and']"
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document: uniq-token ratio, stopword
+    ratio, and a length-capped composite (operators/text.py)."""
     return text.quality_score(table(spark, sf_dir, "documents"))
 
 
@@ -103,6 +107,8 @@ FROM t
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID per document with a confidence score
+    — pure Catalyst expressions, no per-row Python."""
     return text.lang_id(table(spark, sf_dir, "documents"))
 
 
@@ -121,6 +127,8 @@ FROM t
 
 
 def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency table (explode + map-side-combined
+    count) — the vocabulary every downstream text op keys off."""
     return text.token_frequencies(table(spark, sf_dir, "documents"))
 
 
@@ -132,6 +140,8 @@ SELECT token, COUNT(*) AS freq FROM (
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling-hash document fingerprint (content hash +
+    first/last shingle hashes) for exact-dup and drift bookkeeping."""
     return text.fingerprint(table(spark, sf_dir, "documents"))
 
 
@@ -144,6 +154,8 @@ SELECT doc_id, MD5(LOWER(TRIM(text))) AS fp FROM documents
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors: one keeper (min doc_id) per distinct text
+    via hash-groupBy — the baseline every near-dup path builds on."""
     return dedup.dedup_exact(table(spark, sf_dir, "documents"))
 
 
@@ -342,6 +354,8 @@ _MINHASH_ORACLE = (
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-bit md5-vote SimHash fingerprint itself, oracle-checked
+    bit-for-bit so the banded near-dup paths rest on pinned hashes."""
     return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
 
 
@@ -597,6 +611,8 @@ _pq_books_cache: dict = {}
 
 
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding aggregates (count, mean norm, centroid
+    checksum) — the sanity panel before any vector-space operator."""
     return similarity.embedding_label_stats(table(spark, sf_dir, "embeddings"))
 
 
@@ -2220,6 +2236,94 @@ WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 1
 _SIMHASH_PAIRS_ORACLE = _simhash_pairs_oracle()
 
 
+def near_dup_simhash_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 2 — exact recall via
+    the generalized pigeonhole banding (operators/dedup.py
+    near_dup_pairs_simhash): the 16-bit fingerprint splits into
+    max_hamming+1 = 3 blocks (6/5/5 bits), a radius-2 pair is
+    bit-identical in at least one block, and every banded-equi-join
+    candidate is verified with the exact bit_count(xor) distance. Same
+    multi-index Hamming scheme Manku et al. (WWW'07) run at web scale —
+    never a nested-loop O(n²) candidate pass."""
+    return dedup.near_dup_pairs_simhash(
+        table(spark, sf_dir, "documents"), max_hamming=2
+    )
+
+
+def _simhash_r2_oracle() -> str:
+    # the same 3-block pigeonhole (6/5/5 bits) in SQL: candidates from
+    # the OR of block equalities, verified with the exact BIT_COUNT
+    return f"""
+WITH h AS (
+  SELECT doc_id, simhash,
+         simhash % 64 AS b0,
+         (simhash // 64) % 32 AS b1,
+         simhash // 2048 AS b2
+  FROM ({_simhash_oracle()})
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM h a JOIN h b
+  ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 2
+"""
+
+
+_SIMHASH_R2_ORACLE = _simhash_r2_oracle()
+
+_BUDGET_PLAN_TOKENS = 50_000
+_BUDGET_PLAN_WEIGHTS = {"src0": 3.0, "src1": 2.0}
+
+
+def token_budget_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning at a token budget (sampling.token_budget_plan):
+    given per-source weights (src0 upweighted 3×, src1 2×, rest 1×) and
+    a 50k-token target, emit each source's available tokens, target
+    share, epoch count, sampling fraction, and integer repeat factor —
+    the arithmetic a training-run config is generated from. One
+    map-side-combined groupBy(source) over the corpus; the weight table
+    is a plan literal."""
+    return sampling.token_budget_plan(
+        table(spark, sf_dir, "documents"),
+        budget=_BUDGET_PLAN_TOKENS,
+        weights=_BUDGET_PLAN_WEIGHTS,
+    )
+
+
+def _budget_plan_oracle() -> str:
+    b = float(_BUDGET_PLAN_TOKENS)
+    return f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS available_tokens,
+         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+              ELSE 1.0 END AS weight
+  FROM documents GROUP BY source
+)
+SELECT source, available_tokens, weight,
+       ROUND({b} * weight / SUM(weight) OVER (), 4) AS target_tokens,
+       ROUND({b} * weight / SUM(weight) OVER ()
+             / CAST(available_tokens AS DOUBLE), 6) AS epochs,
+       ROUND(LEAST(1.0, {b} * weight / SUM(weight) OVER ()
+             / CAST(available_tokens AS DOUBLE)), 6) AS sample_fraction,
+       CAST(CEIL({b} * weight / SUM(weight) OVER ()
+             / CAST(available_tokens AS DOUBLE)) AS INTEGER) AS repeat_epochs
+FROM avail
+"""
+
+
+_BUDGET_PLAN_ORACLE = _budget_plan_oracle()
+
+
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (text.compression_ratio) —
+    the Gopher-style redundancy gate. Rows-only by contract: DEFLATE has
+    no SQL twin; the Arrow-batched kernel's determinism and its
+    monotone response to planted repetition are pinned by pytest
+    (tests/test_round8b_ops.py)."""
+    return text.compression_ratio(table(spark, sf_dir, "documents"))
+
+
 def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image near-dup path exercised from the driver catalog: each
     embedding vector becomes a deterministic 8×8 grayscale grid (byte
@@ -2748,6 +2852,9 @@ QUERIES = {
     "cms_token_freq_docs": cms_token_freq_docs,
     "pipeline_curation_v3": pipeline_curation_v3,
     "near_dup_simhash_docs": near_dup_simhash_docs,
+    "near_dup_simhash_r2": near_dup_simhash_r2,
+    "token_budget_plan_docs": token_budget_plan_docs,
+    "compression_ratio_docs": compression_ratio_docs,
     "multimodal_phash_pairs": multimodal_phash_pairs,
     "quality_classifier_docs": quality_classifier_docs,
     "quality_classifier_scores_docs": quality_classifier_scores_docs,
@@ -2896,5 +3003,8 @@ ORACLE_SQL = {
     "cms_token_freq_docs": _CMS_TOKEN_FREQ_ORACLE,
     "pipeline_curation_v3": _CURATION_V3_ORACLE,
     "near_dup_simhash_docs": _SIMHASH_PAIRS_ORACLE,
+    "near_dup_simhash_r2": _SIMHASH_R2_ORACLE,
+    "token_budget_plan_docs": _BUDGET_PLAN_ORACLE,
+    # compression_ratio_docs: DEFLATE has no SQL twin → rows-only
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }
