@@ -116,6 +116,11 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "lm_perplexity_docs",
     "charlm_scores_docs",
+    # round-8 continuation: radius-2 pigeonhole simhash (3 banded joins),
+    # mixture planning (one groupBy), zlib redundancy gate (Arrow kernel)
+    "near_dup_simhash_r2",
+    "token_budget_plan_docs",
+    "compression_ratio_docs",
 ]
 
 
@@ -355,9 +360,10 @@ def _snapshot_dml_legs(spark, scaled_dir: str) -> dict:
 
 
 def _ann_recall_legs(spark, scaled_dir: str, factor: int = 10) -> tuple[dict, dict]:
-    """Speed AND recall@10 of the three ANN scale paths against the
-    exact brute-force twin at 10× vectors — the speed/recall trade as a
-    recorded number per round, like the prefix/LSH trade (judge r5 #5).
+    """Speed AND recall@10 of the four ANN scale paths (LSH, IVF, PQ,
+    IVF-PQ) against the exact brute-force twin at 10× vectors — the
+    speed/recall trade as a recorded number per round, like the
+    prefix/LSH trade (judge r5 #5).
 
     Each index is built once UNTIMED (the amortized build-once contract
     every index operator's docstring states); the timed legs are the
@@ -464,6 +470,26 @@ def _ann_recall_legs(spark, scaled_dir: str, factor: int = 10) -> tuple[dict, di
     )
     legs["ann_pq_adc_8q_x10"] = t
 
+    # IVF-PQ: the composed layout (IVF prunes WHICH, PQ shrinks WHAT) —
+    # reuses the trained codebooks and IVF assignment; the timed legs
+    # show the pruning win over the full ADC scan at the recall it costs
+    ivfpq_codes = codes.join(
+        ivf_index.select("vec_id", "list_id"), "vec_id"
+    ).persist()
+    ivfpq_codes.count()
+    t, ivfpq_pred = run_batch(
+        lambda q: PQ.ann_topk_ivfpq(
+            spark, ivfpq_codes, cents, books, qvecs[q], k=k, nprobe=8
+        )
+    )
+    legs["ann_ivfpq_nprobe8_8q_x10"] = t
+    t, ivfpq_pred_2p = run_batch(
+        lambda q: PQ.ann_topk_ivfpq(
+            spark, ivfpq_codes, cents, books, qvecs[q], k=k, nprobe=2
+        )
+    )
+    legs["ann_ivfpq_nprobe2_8q_x10"] = t
+
     def recall(preds):
         return round(
             sum(
@@ -480,11 +506,13 @@ def _ann_recall_legs(spark, scaled_dir: str, factor: int = 10) -> tuple[dict, di
         "ivf_nprobe8": recall(ivf_pred),
         "ivf_nprobe2": recall(ivf_pred_2p),
         "pq_adc": recall(pq_pred),
+        "ivfpq_nprobe8": recall(ivfpq_pred),
+        "ivfpq_nprobe2": recall(ivfpq_pred_2p),
         "k": k,
         "queries": len(qids),
         "n_vectors": n,
     }
-    for df in (emb, lsh_index, mt_index, ivf_index, codes):
+    for df in (emb, lsh_index, mt_index, ivf_index, codes, ivfpq_codes):
         df.unpersist()
     return legs, recalls
 

@@ -379,3 +379,218 @@ def pq_append(
     pq_encode(new_vectors, books, id_col, vec_col).write.mode(
         "append"
     ).parquet(f"{path}/codes")
+
+
+# --- IVF-PQ: coarse inverted lists over PQ codes ----------------------------
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    ivf_iterations: int = 1,
+    pq_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ index — the canonical billion-scale ANN layout (FAISS
+    IndexIVFPQ shape, no-residual variant): an IVF coarse quantizer
+    prunes WHICH vectors are scanned, PQ codes shrink WHAT is scanned.
+    A query touches nprobe/n_lists of the corpus AND reads 8-byte codes
+    instead of float vectors — the two savings multiply.
+
+    Returns ``(codes_with_list, centroids, codebooks)`` where the code
+    table carries (id, codes, list_id). Both trainings reuse the pinned
+    single-index paths (``similarity.ivf_train_centroids``,
+    ``train_pq_codebooks``); codes quantize the raw vectors, not
+    per-list residuals, so ``nprobe = n_lists`` degrades exactly to the
+    plain PQ scan (pinned in test_ivfpq).
+    """
+    from etl_workflows_spark.operators import similarity
+
+    cents = similarity.ivf_train_centroids(
+        embeddings, n_lists, ivf_iterations, id_col, vec_col, fast=True
+    )
+    books = train_pq_codebooks(
+        embeddings, m, k_codes, pq_iterations, id_col, vec_col
+    )
+    assigned = similarity.ivf_assign_fast(embeddings, cents, vec_col).select(
+        id_col, "list_id"
+    )
+    codes = pq_encode(embeddings, books, id_col, vec_col).join(
+        assigned, id_col
+    )
+    return codes, cents, books
+
+
+def ann_topk_ivfpq(
+    spark: SparkSession,
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over an IVF-PQ index: driver-side
+    centroid math picks the ``nprobe`` lists, the code scan is filtered
+    (partition-PRUNED when the index is persisted via
+    ``write_ivfpq_index``) to those lists, and scoring is the same
+    broadcast-LUT ADC plan as ``pq_adc_topk`` — the corpus side never
+    touches a float vector AND never reads the unprobed lists."""
+    from etl_workflows_spark.operators.similarity import probe_lists
+
+    probe = probe_lists(query_vec, centroids, nprobe)
+    pruned = codes.filter(F.col("list_id").isin(probe))
+    return pq_adc_topk(spark, pruned, codebooks, query_vec, k, id_col)
+
+
+def ann_topk_ivfpq_batch(
+    spark: SparkSession,
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: dict,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ top-k for MANY queries in one pass: per-query probe lists
+    from driver-side centroid math, one scan filtered to the UNION of
+    touched lists, per-query list membership enforced in the broadcast
+    join (a query only scores codes from its own probes), then the
+    shared batched-ADC rank window. Returns (query_vec_id, vec_id,
+    adc_score) — identical rows to q separate ``ann_topk_ivfpq`` calls."""
+    import numpy as np
+
+    from etl_workflows_spark.operators.similarity import probe_lists
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut_rows = []
+    touched: set[int] = set()
+    for qid, vec in queries.items():
+        probe = probe_lists(vec, centroids, nprobe)
+        touched.update(probe)
+        q = np.asarray(vec, dtype=np.float64)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        for lid in probe:
+            for s in range(m):
+                qs = q[s * sub : (s + 1) * sub]
+                for c, cent in enumerate(codebooks[s]):
+                    lut_rows.append(
+                        (qid, int(lid), s, c, float(np.dot(qs, np.asarray(cent))))
+                    )
+    lut = spark.createDataFrame(
+        lut_rows,
+        T.StructType(
+            [
+                T.StructField("query_vec_id", codes.schema[id_col].dataType),
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("sub_id", T.IntegerType()),
+                T.StructField("code", T.IntegerType()),
+                T.StructField("dot", T.DoubleType()),
+            ]
+        ),
+    )
+    scored = (
+        codes.filter(F.col("list_id").isin(sorted(touched)))
+        .select(id_col, "list_id", F.posexplode("codes").alias("sub_id", "code"))
+        .join(F.broadcast(lut), ["list_id", "sub_id", "code"])
+        .groupBy("query_vec_id", id_col)
+        .agg(F.sum("dot").alias("adc_score"))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def write_ivfpq_index(
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+) -> None:
+    """Materialize an IVF-PQ index: codes parquet-partitioned by
+    ``list_id`` (probe scans prune at file-listing time, same contract
+    as ``similarity.write_ivf_index``) plus centroid + codebook
+    sidecars. Clustered by list before the write — one file per list,
+    not one per (task × list)."""
+    spark = codes.sparkSession
+    codes.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (sub, code, [float(x) for x in cent])
+        for sub, book in enumerate(codebooks)
+        for code, cent in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_ivfpq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Open a persisted IVF-PQ index → (codes, centroids, codebooks);
+    ``list_id`` is a partition column, so probe filters prune files."""
+    codes = spark.read.parquet(f"{path}/codes")
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    )
+    cents = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    book_rows = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
+    )
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in book_rows:
+        books.setdefault(r["sub"], {})[r["code"]] = [
+            float(x) for x in r["centroid"]
+        ]
+    return (
+        codes,
+        cents,
+        [
+            [books[sub][code] for code in sorted(books[sub])]
+            for sub in sorted(books)
+        ],
+    )
+
+
+def ivfpq_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF-PQ index: assign
+    against the FROZEN centroid sidecar and encode against the FROZEN
+    codebooks (standard IVF-PQ maintenance — no retrain), appending only
+    the touched ``list_id`` partitions."""
+    from etl_workflows_spark.operators import similarity
+
+    spark = new_vectors.sparkSession
+    _, cents, books = read_ivfpq_index(spark, path)
+    assigned = similarity.ivf_assign_fast(new_vectors, cents, vec_col).select(
+        id_col, "list_id"
+    )
+    codes = pq_encode(new_vectors, books, id_col, vec_col).join(
+        assigned, id_col
+    )
+    codes.repartition("list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")

@@ -1262,6 +1262,29 @@ def ivf_append(
     ).parquet(f"{path}/lists")
 
 
+def probe_lists(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` inverted lists closest (max-cosine, index tie-break)
+    to a query vector — driver-side math over n_lists × dim floats
+    (microseconds; the centroid sidecar is KBs regardless of corpus).
+    Shared by the IVF and IVF-PQ serving paths."""
+    import math
+
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c))
+        if qn == 0 or cn == 0:
+            return -1.0
+        return sum(a * b for a, b in zip(qv, c)) / (qn * cn)
+
+    return sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))[
+        :nprobe
+    ]
+
+
 def ann_topk_ivf(
     index: DataFrame,
     centroids: list[list[float]],
@@ -1279,23 +1302,11 @@ def ann_topk_ivf(
     distributed work is an equality-pruned scan of the probed lists.
     ``nprobe = n_lists`` degrades gracefully to exact brute force.
     """
-    import math
-
     qrow = index.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
     if qrow is None:
         raise ValueError(f"query vector {query_vec_id} not found")
     qv = [float(x) for x in qrow[0]]
-    qn = math.sqrt(sum(x * x for x in qv))
-
-    def cos(c: list[float]) -> float:
-        cn = math.sqrt(sum(x * x for x in c))
-        if qn == 0 or cn == 0:
-            return -1.0
-        return sum(a * b for a, b in zip(qv, c)) / (qn * cn)
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))[
-        :nprobe
-    ]
+    probe = probe_lists(qv, centroids, nprobe)
     q = F.array(*[F.lit(x) for x in qv])
     return (
         index.filter(F.col("list_id").isin(probe))
@@ -1323,25 +1334,14 @@ def ann_topk_ivf_batch(
     window. ``queries`` maps query id → vector. Returns
     (query_vec_id, vec_id, cos_sim) — identical rows to q separate
     ``ann_topk_ivf`` calls."""
-    import math
-
     from pyspark.sql.window import Window
 
     probe_rows = []
     for qid, vec in queries.items():
         qv = [float(x) for x in vec]
-        qn = math.sqrt(sum(x * x for x in qv))
-
-        def cos(c):
-            cn = math.sqrt(sum(x * x for x in c))
-            if qn == 0 or cn == 0:
-                return -1.0
-            return sum(a * b for a, b in zip(qv, c)) / (qn * cn)
-
-        probes = sorted(
-            range(len(centroids)), key=lambda i: (-cos(centroids[i]), i)
-        )[:nprobe]
-        probe_rows.extend((qid, int(p), qv) for p in probes)
+        probe_rows.extend(
+            (qid, int(p), qv) for p in probe_lists(qv, centroids, nprobe)
+        )
     spark = index.sparkSession
     # probe schema carries the CORPUS id type (string doc ids etc.) —
     # a hardcoded long would fail or silently empty per-query results

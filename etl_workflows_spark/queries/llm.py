@@ -610,6 +610,39 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _pq_books_cache: dict = {}
 
 
+def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py build_ivfpq_index): the canonical
+    billion-scale layout — IVF pruning picks WHICH lists are scanned
+    (nprobe=4 of 16), PQ codes shrink WHAT is scanned (8-byte ADC rows,
+    never a float vector). Runs against the PERSISTED index
+    (list_id-partitioned code parquet + centroid/codebook sidecars), so
+    the probe is a partition-pruned scan. Approximate (rows-only);
+    exact-degradation, batch==loop, pruning, append, and recall pinned
+    in test_ivfpq.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from etl_workflows_spark.operators import pq
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"etlws_ivfpq_{key}")
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        emb = table(spark, sf_dir, "embeddings")
+        codes, cents, books = pq.build_ivfpq_index(
+            emb, n_lists=16, m=8, k_codes=16, ivf_iterations=1
+        )
+        pq.write_ivfpq_index(codes, cents, books, path)
+    codes, cents, books = pq.read_ivfpq_index(spark, path)
+    emb = table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return pq.ann_topk_ivfpq(
+        spark, codes, cents, books, qv, k=20, nprobe=4
+    ).filter(F.col("vec_id") != 0)
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding aggregates (count, mean norm, centroid
     checksum) — the sanity panel before any vector-space operator."""
@@ -2880,6 +2913,7 @@ QUERIES = {
     "ann_cosine_topk_multitable": ann_cosine_topk_multitable,
     "ann_cosine_topk_ivf": ann_cosine_topk_ivf,
     "ann_cosine_topk_pq": ann_cosine_topk_pq,
+    "ann_cosine_topk_ivfpq": ann_cosine_topk_ivfpq,
     "stratified_sample_docs": stratified_sample_docs,
     "train_val_split_counts": train_val_split_counts,
     "similar_pairs": similar_pairs,

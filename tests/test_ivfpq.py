@@ -1,0 +1,163 @@
+"""IVF-PQ index (operators/pq.py): the coarse-quantizer + code-scan
+composition. Pins:
+
+- exact degradation: at ``nprobe = n_lists`` the IVF-PQ result equals
+  the plain PQ ADC scan row-for-row (no-residual encoding means the
+  pruning is the ONLY approximation IVF adds);
+- batch form == per-query loop;
+- persisted index: round-trip fidelity, partition-PRUNED probe scan
+  (PartitionFilters on list_id), frozen-sidecar append;
+- recall vs the brute-force twin on the real embeddings fixture.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_workflows_spark.operators import pq as PQ
+from etl_workflows_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ivfpq(emb):
+    return PQ.build_ivfpq_index(emb, n_lists=8, m=8, k_codes=16)
+
+
+def _qvec(emb, vec_id=0):
+    return [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == vec_id).first()["embedding"]
+    ]
+
+
+def test_full_probe_degrades_to_plain_pq(spark, emb, ivfpq):
+    codes, cents, books = ivfpq
+    qv = _qvec(emb)
+    full = PQ.ann_topk_ivfpq(
+        spark, codes, cents, books, qv, k=10, nprobe=len(cents)
+    ).collect()
+    plain = PQ.pq_adc_topk(
+        spark, codes.drop("list_id"), books, qv, k=10
+    ).collect()
+    assert [(r["vec_id"], round(r["adc_score"], 10)) for r in full] == [
+        (r["vec_id"], round(r["adc_score"], 10)) for r in plain
+    ]
+
+
+def test_pruned_probe_is_subset_scored_identically(spark, emb, ivfpq):
+    codes, cents, books = ivfpq
+    qv = _qvec(emb)
+    probe = similarity.probe_lists(qv, cents, 2)
+    got = PQ.ann_topk_ivfpq(
+        spark, codes, cents, books, qv, k=5, nprobe=2
+    ).collect()
+    # every served id must come from a probed list, with the true ADC score
+    in_lists = {
+        r["vec_id"]
+        for r in codes.filter(F.col("list_id").isin(probe)).collect()
+    }
+    all_scores = {
+        r["vec_id"]: r["adc_score"]
+        for r in PQ.pq_adc_topk(
+            spark, codes.drop("list_id"), books, qv, k=1_000_000
+        ).collect()
+    }
+    assert got, "pruned probe returned nothing"
+    for r in got:
+        assert r["vec_id"] in in_lists
+        assert abs(r["adc_score"] - all_scores[r["vec_id"]]) < 1e-9
+
+
+def test_batch_matches_per_query(spark, emb, ivfpq):
+    codes, cents, books = ivfpq
+    queries = {i: _qvec(emb, i) for i in (0, 3, 7)}
+    batch = PQ.ann_topk_ivfpq_batch(
+        spark, codes, cents, books, queries, k=5, nprobe=3
+    ).collect()
+    got = {
+        (r["query_vec_id"], r["vec_id"]): round(r["adc_score"], 10)
+        for r in batch
+    }
+    want = {}
+    for qid, qv in queries.items():
+        for r in PQ.ann_topk_ivfpq(
+            spark, codes, cents, books, qv, k=5, nprobe=3
+        ).collect():
+            want[(qid, r["vec_id"])] = round(r["adc_score"], 10)
+    assert got == want
+
+
+def test_persisted_index_prunes_partitions(spark, emb, ivfpq, tmp_path):
+    codes, cents, books = ivfpq
+    path = str(tmp_path / "ivfpq")
+    PQ.write_ivfpq_index(codes, cents, books, path)
+    codes2, cents2, books2 = PQ.read_ivfpq_index(spark, path)
+    assert cents2 == [[float(x) for x in c] for c in cents]
+    assert books2 == books
+    assert codes2.count() == codes.count()
+
+    qv = _qvec(emb)
+    got = PQ.ann_topk_ivfpq(spark, codes2, cents2, books2, qv, k=10, nprobe=2)
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan), plan
+    mem = PQ.ann_topk_ivfpq(spark, codes, cents, books, qv, k=10, nprobe=2)
+    assert [(r["vec_id"], round(r["adc_score"], 10)) for r in got.collect()] == [
+        (r["vec_id"], round(r["adc_score"], 10)) for r in mem.collect()
+    ]
+
+
+def test_append_serves_new_vectors(spark, emb, ivfpq, tmp_path):
+    codes, cents, books = ivfpq
+    path = str(tmp_path / "ivfpq_app")
+    PQ.write_ivfpq_index(codes, cents, books, path)
+    base_n = codes.count()
+    # append near-copies of vector 0 with fresh ids — they must land in
+    # vector 0's list and dominate its neighborhood
+    qv = _qvec(emb)
+    new = spark.createDataFrame(
+        [(10_000 + i, [x + 1e-4 * i for x in qv], 0) for i in range(3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    PQ.ivfpq_append(new, path)
+    codes2, cents2, books2 = PQ.read_ivfpq_index(spark, path)
+    assert codes2.count() == base_n + 3
+    top = PQ.ann_topk_ivfpq(
+        spark, codes2, cents2, books2, qv, k=4, nprobe=1
+    ).collect()
+    assert {r["vec_id"] for r in top} >= {10_000, 10_001, 10_002}
+
+
+def test_recall_vs_brute_force(spark, emb, ivfpq):
+    """Same convention as test_pq's ADC recall pin: well above random
+    (PQ at 8×16 codebooks is a coarse quantizer on this fixture — exact
+    floors belong to the scaled bench's recall record, not a unit pin)."""
+    codes, cents, books = ivfpq
+    qv = _qvec(emb)
+    exact = {
+        r["vec_id"]
+        for r in similarity.ann_topk_bruteforce(emb, 0, k=10).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in PQ.ann_topk_ivfpq(
+            spark, codes, cents, books, qv, k=11, nprobe=4
+        ).collect()
+        if r["vec_id"] != 0
+    }
+    recall = len(exact & got) / len(exact)
+    n = emb.count()
+    assert recall > 3 * (10 / n), f"IVF-PQ recall@10 ~ random: {recall}"
+    assert recall >= 0.1, f"IVF-PQ recall@10 collapsed: {recall}"

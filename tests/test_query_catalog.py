@@ -16,6 +16,7 @@ ROWS_ONLY = {
     "ann_cosine_topk_ivf",
     "ann_cosine_topk_pq",
     "ann_cosine_topk_multitable",  # LSH recall — exact twin ann_cosine_topk
+    "ann_cosine_topk_ivfpq",  # IVF pruning × PQ ADC — exact twin ann_cosine_topk
     "dedup_near_end_to_end",
     "approx_event_sketches",
     "events_distinct_hll_range",
@@ -32,6 +33,7 @@ ROWS_ONLY = {
     "score_documents_batched",  # iterative hash scorer — no SQL twin
     "embedding_near_dup_banded",  # LSH recall — exact twin similar_pairs
     "semantic_dedup_embeddings",  # k-means + iterative components
+    "compression_ratio_docs",  # DEFLATE bit-state — no SQL twin
 }
 
 
