@@ -165,3 +165,38 @@ def test_rerank_touches_corpus_via_semi_join(spark, sf_dir):
     plan = _plan(rerank_bm25_topk(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_r2_bands_are_equi_joins(spark, sf_dir):
+    """Radius-2 pigeonhole banding must plan as per-band EQUI-joins — an
+    OR of block equalities would fall to BroadcastNestedLoopJoin and
+    O(n²) comparisons."""
+    from etl_workflows_spark.queries.llm import near_dup_simhash_r2
+
+    plan = _plan(near_dup_simhash_r2(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_plan_single_corpus_shuffle(spark, sf_dir):
+    """The mixture planner's only corpus-sized shuffle is the
+    groupBy(source) agg; the total-weight window runs on the post-agg
+    frame (one row per source)."""
+    from etl_workflows_spark.queries.llm import token_budget_plan_docs
+
+    plan = _plan(token_budget_plan_docs(spark, sf_dir))
+    # formatted mode: partitionings live on the Arguments lines
+    assert plan.count("hashpartitioning(source") == 1, plan
+    assert plan.count("SinglePartition") == 1, plan  # post-agg window only
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_compression_ratio_is_one_arrow_projection(spark, sf_dir):
+    """The zlib gate must be scan → Arrow-batched eval → project: no
+    shuffle, no row-at-a-time Python."""
+    from etl_workflows_spark.queries.llm import compression_ratio_docs
+
+    plan = _plan(compression_ratio_docs(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # the row-at-a-time slow path
