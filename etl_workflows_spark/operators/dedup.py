@@ -390,12 +390,6 @@ def near_dup_pairs_lsh(
 _HEX = "0123456789abcdef"
 
 
-def _md5_nibble_int(c: Column, pos: int) -> Column:
-    """Value 0-15 of hex digit ``pos`` (1-based) of md5(c) — engine-portable
-    (position-in-alphabet trick; no conv/strtol needed)."""
-    return (F.instr(F.lit(_HEX), F.substring(F.md5(c), pos, 1)) - 1).cast("long")
-
-
 def simhash16(text_col: str = "text") -> Column:
     """16-bit SimHash over distinct tokens.
 
