@@ -490,6 +490,29 @@ def _ann_recall_legs(spark, scaled_dir: str, factor: int = 10) -> tuple[dict, di
     )
     legs["ann_ivfpq_nprobe2_8q_x10"] = t
 
+    # residual variant, SAME lists/probes: records the documented
+    # win-condition (residual coding only beats plain when lists are
+    # tight — on near-uniform vectors ‖residual‖ > 1 and it loses; see
+    # pq.build_ivfpq_index). The artifact carries the measured number
+    # either way so the choice is data, not doctrine.
+    res = PQ._ivfpq_residuals(ivf_index, cents, "vec_id", "embedding")
+    res_books = PQ.train_pq_codebooks(
+        res, m=8, k=16, vec_col="residual", normalize_inputs=False
+    )
+    res_codes = (
+        PQ.pq_encode(res, res_books, vec_col="residual", normalize_inputs=False)
+        .join(res.select("vec_id", "list_id"), "vec_id")
+        .persist()
+    )
+    res_codes.count()
+    t, ivfpq_res_pred = run_batch(
+        lambda q: PQ.ann_topk_ivfpq(
+            spark, res_codes, cents, res_books, qvecs[q], k=k, nprobe=8,
+            by_residual=True,
+        )
+    )
+    legs["ann_ivfpq_res_nprobe8_8q_x10"] = t
+
     def recall(preds):
         return round(
             sum(
@@ -508,11 +531,14 @@ def _ann_recall_legs(spark, scaled_dir: str, factor: int = 10) -> tuple[dict, di
         "pq_adc": recall(pq_pred),
         "ivfpq_nprobe8": recall(ivfpq_pred),
         "ivfpq_nprobe2": recall(ivfpq_pred_2p),
+        "ivfpq_res_nprobe8": recall(ivfpq_res_pred),
         "k": k,
         "queries": len(qids),
         "n_vectors": n,
     }
-    for df in (emb, lsh_index, mt_index, ivf_index, codes, ivfpq_codes):
+    for df in (
+        emb, lsh_index, mt_index, ivf_index, codes, ivfpq_codes, res_codes
+    ):
         df.unpersist()
     return legs, recalls
 

@@ -51,6 +51,7 @@ def train_pq_codebooks(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize_inputs: bool = True,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks; returns ``codebooks[sub][code] ->
     centroid`` (m × k × dim/m floats — driver-sized regardless of corpus).
@@ -58,6 +59,10 @@ def train_pq_codebooks(
     Deterministic: seeds are the first k vectors in xxhash64(id) order
     (same convention as ivf_train_centroids); Lloyd assignment and the
     mean update have no randomness. Empty codes keep their centroid.
+
+    ``normalize_inputs=False`` trains on the raw vectors — the residual
+    IVF-PQ path trains on (unit vector − centroid) differences, which
+    must NOT be re-normalized (the whole point is their small norm).
     """
     import numpy as np
 
@@ -73,12 +78,16 @@ def train_pq_codebooks(
     )
     if len(seeds) < k:
         raise ValueError(f"need >= k={k} vectors to seed codebooks, got {len(seeds)}")
-    seed_mat = _norm_rows(np.array([r[0] for r in seeds], dtype=np.float64))
+    seed_mat = np.array([r[0] for r in seeds], dtype=np.float64)
+    if normalize_inputs:
+        seed_mat = _norm_rows(seed_mat)
     # codebooks[sub]: (k, sub) — seed code j of every subspace from vector j
     books = [seed_mat[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
 
     for _ in range(iterations):
-        codes = _assign_codes(embeddings, books, id_col, vec_col)
+        codes = _assign_codes(
+            embeddings, books, id_col, vec_col, normalize_inputs
+        )
         # distributed centroid update: explode (sub, code, pos, x), mean.
         # x is divided by the FULL-vector L2 norm first — assignment,
         # encoding, and ADC all operate on L2-normalized vectors, so the
@@ -86,18 +95,22 @@ def train_pq_codebooks(
         # non-unit-norm inputs let the ||c||^2 term dominate the argmin
         # and collapse the codebooks)
         vec = embeddings.select(id_col, vec_col)
-        vnorm = F.greatest(
-            F.sqrt(
-                F.aggregate(
-                    F.transform(
-                        F.col("v"), lambda x: x.cast("double") * x.cast("double")
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            ),
-            F.lit(1e-12),
-        )
+        if normalize_inputs:
+            vnorm = F.greatest(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.col("v"),
+                            lambda x: x.cast("double") * x.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ),
+                F.lit(1e-12),
+            )
+        else:
+            vnorm = F.lit(1.0)
         sums = (
             codes.join(vec, id_col)
             .select(
@@ -132,10 +145,12 @@ def _assign_codes(
     books,
     id_col: str,
     vec_col: str,
+    normalize_inputs: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>): per-subspace argmin-L2 centroid, one
     Arrow-batched numpy pass (L2 argmin on normalized inputs ≡ max
-    dot-product argmax up to the centroid-norm term, handled exactly)."""
+    dot-product argmax up to the centroid-norm term, handled exactly).
+    ``normalize_inputs=False`` quantizes the raw vectors (residual path)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -152,7 +167,9 @@ def _assign_codes(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if normalize_inputs:
+                mat = _norm_rows(mat)
             out = np.empty((len(pdf), m), dtype=np.int32)
             for s in range(m):
                 x = mat[:, s * sub : (s + 1) * sub]  # (n, sub)
@@ -172,10 +189,11 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize_inputs: bool = True,
 ) -> DataFrame:
     """Compress to (id, codes): m small ints per vector — the table you
     persist (and the only thing the ADC scan reads)."""
-    return _assign_codes(embeddings, codebooks, id_col, vec_col)
+    return _assign_codes(embeddings, codebooks, id_col, vec_col, normalize_inputs)
 
 
 def pq_adc_topk(
@@ -393,35 +411,100 @@ def build_ivfpq_index(
     pq_iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """IVF-PQ index — the canonical billion-scale ANN layout (FAISS
-    IndexIVFPQ shape, no-residual variant): an IVF coarse quantizer
-    prunes WHICH vectors are scanned, PQ codes shrink WHAT is scanned.
-    A query touches nprobe/n_lists of the corpus AND reads 8-byte codes
-    instead of float vectors — the two savings multiply.
+    IndexIVFPQ shape): an IVF coarse quantizer prunes WHICH vectors are
+    scanned, PQ codes shrink WHAT is scanned. A query touches
+    nprobe/n_lists of the corpus AND reads 8-byte codes instead of
+    float vectors — the two savings multiply.
 
     Returns ``(codes_with_list, centroids, codebooks)`` where the code
     table carries (id, codes, list_id). Both trainings reuse the pinned
     single-index paths (``similarity.ivf_train_centroids``,
-    ``train_pq_codebooks``); codes quantize the raw vectors, not
-    per-list residuals, so ``nprobe = n_lists`` degrades exactly to the
-    plain PQ scan (pinned in test_ivfpq).
+    ``train_pq_codebooks``).
+
+    ``by_residual=False`` quantizes the raw (unit) vectors, so
+    ``nprobe = n_lists`` degrades exactly to the plain PQ scan (pinned
+    in test_ivfpq). ``by_residual=True`` quantizes (unit vector − unit
+    list centroid) — FAISS's default. It wins exactly when the lists
+    are TIGHT (mean residual norm < 1): the same m × k_codes budget
+    then quantizes a smaller cloud and the ADC score error drops
+    (pinned in test_ivfpq on a planted-cluster corpus). On a
+    near-uniform corpus the residuals are LARGER than the unit vectors
+    (measured ‖r‖≈1.2 on the synthetic test embeddings — two random
+    unit vectors are nearly orthogonal in high dim) and no-residual is
+    the better choice; check mean residual norm before picking. Query
+    with the same ``by_residual`` flag (persisted via
+    ``write_ivfpq_index``'s meta sidecar).
     """
     from etl_workflows_spark.operators import similarity
 
     cents = similarity.ivf_train_centroids(
         embeddings, n_lists, ivf_iterations, id_col, vec_col, fast=True
     )
-    books = train_pq_codebooks(
-        embeddings, m, k_codes, pq_iterations, id_col, vec_col
-    )
-    assigned = similarity.ivf_assign_fast(embeddings, cents, vec_col).select(
-        id_col, "list_id"
-    )
-    codes = pq_encode(embeddings, books, id_col, vec_col).join(
-        assigned, id_col
-    )
+    assigned = similarity.ivf_assign_fast(embeddings, cents, vec_col)
+    if by_residual:
+        res = _ivfpq_residuals(assigned, cents, id_col, vec_col)
+        books = train_pq_codebooks(
+            res, m, k_codes, pq_iterations, id_col, "residual",
+            normalize_inputs=False,
+        )
+        codes = pq_encode(
+            res, books, id_col, "residual", normalize_inputs=False
+        ).join(res.select(id_col, "list_id"), id_col)
+    else:
+        books = train_pq_codebooks(
+            embeddings, m, k_codes, pq_iterations, id_col, vec_col
+        )
+        codes = pq_encode(embeddings, books, id_col, vec_col).join(
+            assigned.select(id_col, "list_id"), id_col
+        )
     return codes, cents, books
+
+
+def _ivfpq_residuals(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, list_id, residual): unit vector minus its unit list centroid
+    — one numpy subtraction per Arrow batch, no shuffle (list_id is
+    already on the row)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cm = _norm_rows(np.array(centroids, dtype=np.float64))
+    schema = T.StructType(
+        [
+            assigned.schema[id_col],
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("residual", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            lids = pdf["list_id"].to_numpy()
+            res = mat - cm[lids]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "list_id": lids.astype("int32"),
+                    "residual": [list(map(float, r)) for r in res],
+                }
+            )
+
+    return assigned.select(id_col, "list_id", vec_col).mapInPandas(
+        kernel, schema
+    )
 
 
 def ann_topk_ivfpq(
@@ -433,18 +516,58 @@ def ann_topk_ivfpq(
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    by_residual: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k over an IVF-PQ index: driver-side
     centroid math picks the ``nprobe`` lists, the code scan is filtered
     (partition-PRUNED when the index is persisted via
     ``write_ivfpq_index``) to those lists, and scoring is the same
     broadcast-LUT ADC plan as ``pq_adc_topk`` — the corpus side never
-    touches a float vector AND never reads the unprobed lists."""
+    touches a float vector AND never reads the unprobed lists.
+
+    With ``by_residual=True`` (index built that way) the score
+    decomposes as dot(q̂, c̃_list) + dot(q̂, residual): the first term is
+    a per-probed-list constant joined in from a tiny broadcast, the
+    second is the ADC lookup over the residual codebooks — same plan
+    shape, one extra (nprobe)-row broadcast."""
+    import numpy as np
+
     from etl_workflows_spark.operators.similarity import probe_lists
 
     probe = probe_lists(query_vec, centroids, nprobe)
     pruned = codes.filter(F.col("list_id").isin(probe))
-    return pq_adc_topk(spark, pruned, codebooks, query_vec, k, id_col)
+    if not by_residual:
+        return pq_adc_topk(spark, pruned, codebooks, query_vec, k, id_col)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    cm = _norm_rows(np.array(centroids, dtype=np.float64))
+    consts = spark.createDataFrame(
+        [(int(lid), float(q @ cm[lid])) for lid in probe],
+        "list_id int, c_dot double",
+    )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut_rows = []
+    for s in range(m):
+        qs = q[s * sub : (s + 1) * sub]
+        for c, cent in enumerate(codebooks[s]):
+            lut_rows.append((s, c, float(np.dot(qs, np.asarray(cent)))))
+    lut = spark.createDataFrame(lut_rows, "sub_id int, code int, dot double")
+    return (
+        pruned.select(
+            id_col, "list_id", F.posexplode("codes").alias("sub_id", "code")
+        )
+        .join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy(id_col, "list_id")
+        .agg(F.sum("dot").alias("__adc"))
+        .join(F.broadcast(consts), "list_id")
+        .select(
+            id_col, (F.col("__adc") + F.col("c_dot")).alias("adc_score")
+        )
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def ann_topk_ivfpq_batch(
@@ -519,13 +642,19 @@ def write_ivfpq_index(
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
     path: str,
+    by_residual: bool = False,
 ) -> None:
     """Materialize an IVF-PQ index: codes parquet-partitioned by
     ``list_id`` (probe scans prune at file-listing time, same contract
     as ``similarity.write_ivf_index``) plus centroid + codebook
-    sidecars. Clustered by list before the write — one file per list,
-    not one per (task × list)."""
+    sidecars and a one-row meta sidecar recording ``by_residual`` (the
+    scoring decomposition is a property of the index, not the query —
+    read it back with ``read_ivfpq_meta``). Clustered by list before
+    the write — one file per list, not one per (task × list)."""
     spark = codes.sparkSession
+    spark.createDataFrame(
+        [(bool(by_residual),)], "by_residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     codes.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{path}/codes")
@@ -571,6 +700,17 @@ def read_ivfpq_index(
     )
 
 
+def read_ivfpq_meta(spark: SparkSession, path: str) -> dict:
+    """The index's meta sidecar (``{"by_residual": bool}``); indexes
+    persisted before the sidecar existed read as the no-residual
+    default."""
+    try:
+        row = spark.read.parquet(f"{path}/meta").first()
+        return {"by_residual": bool(row["by_residual"])}
+    except Exception:
+        return {"by_residual": False}
+
+
 def ivfpq_append(
     new_vectors: DataFrame,
     path: str,
@@ -580,17 +720,23 @@ def ivfpq_append(
     """Incrementally add vectors to a persisted IVF-PQ index: assign
     against the FROZEN centroid sidecar and encode against the FROZEN
     codebooks (standard IVF-PQ maintenance — no retrain), appending only
-    the touched ``list_id`` partitions."""
+    the touched ``list_id`` partitions. Honors the index's persisted
+    ``by_residual`` meta: residual indexes encode (unit vector − unit
+    centroid) against the residual codebooks."""
     from etl_workflows_spark.operators import similarity
 
     spark = new_vectors.sparkSession
     _, cents, books = read_ivfpq_index(spark, path)
-    assigned = similarity.ivf_assign_fast(new_vectors, cents, vec_col).select(
-        id_col, "list_id"
-    )
-    codes = pq_encode(new_vectors, books, id_col, vec_col).join(
-        assigned, id_col
-    )
+    assigned = similarity.ivf_assign_fast(new_vectors, cents, vec_col)
+    if read_ivfpq_meta(spark, path)["by_residual"]:
+        res = _ivfpq_residuals(assigned, cents, id_col, vec_col)
+        codes = pq_encode(
+            res, books, id_col, "residual", normalize_inputs=False
+        ).join(res.select(id_col, "list_id"), id_col)
+    else:
+        codes = pq_encode(new_vectors, books, id_col, vec_col).join(
+            assigned.select(id_col, "list_id"), id_col
+        )
     codes.repartition("list_id").write.mode("append").partitionBy(
         "list_id"
     ).parquet(f"{path}/codes")
