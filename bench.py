@@ -117,8 +117,10 @@ HEADLINE = [
     "lm_perplexity_docs",
     "charlm_scores_docs",
     # round-8 continuation: radius-2 pigeonhole simhash (3 banded joins),
-    # mixture planning (one groupBy), zlib redundancy gate (Arrow kernel)
+    # its 48-bit wide-fingerprint scale configuration, mixture planning
+    # (one groupBy), zlib redundancy gate (Arrow kernel)
     "near_dup_simhash_r2",
+    "near_dup_simhash_wide",
     "token_budget_plan_docs",
     "compression_ratio_docs",
 ]

@@ -390,26 +390,35 @@ def near_dup_pairs_lsh(
 _HEX = "0123456789abcdef"
 
 
-def simhash16(text_col: str = "text") -> Column:
-    """16-bit SimHash over distinct tokens.
+def simhash_bits(text_col: str = "text", bits: int = 16) -> Column:
+    """``bits``-wide SimHash over distinct tokens (1 ≤ bits ≤ 62 so the
+    fingerprint stays a non-negative BIGINT).
 
-    bit b of md5(token) votes +1/-1; fingerprint bit b is 1 when the vote
-    is positive. 16 bits = first 4 hex nibbles — compact enough to stay a
-    plain BIGINT and portable to any engine with md5 + string ops.
+    bit b of md5(token) votes +1/-1; fingerprint bit b is 1 when the
+    vote is positive. Bits decode from the first ceil(bits/4) hex
+    nibbles of the md5 — portable to any engine with md5 + string ops.
+    Width is the corpus-size knob: candidate volume in the banded
+    near-dup join is ~n²/2^(bits/(r+1)) per band, so web-scale corpora
+    want 48-64 bits (Manku et al. run 64) while 16 keeps oracle SQL
+    small for fixture-sized tests.
 
     Shape: one ``transform`` hashes each distinct token ONCE, one
-    ``aggregate`` folds all 16 bit counters (+ the token count) in a
+    ``aggregate`` folds all ``bits`` counters (+ the token count) in a
     single array pass, and the finish lambda assembles the fingerprint
     from the bound accumulator. The per-bit formulation this replaced
-    re-ran md5 inside 16 separate ``filter`` passes — HOF lambdas are
-    interpreted, so Catalyst never CSE'd the 16× hashing (measured 2×
-    on the sf0.1 corpus fingerprint pass: 2.06 → 1.05 s).
+    re-ran md5 inside ``bits`` separate ``filter`` passes — HOF lambdas
+    are interpreted, so Catalyst never CSE'd the repeated hashing
+    (measured 2× at bits=16 on the sf0.1 corpus fingerprint pass:
+    2.06 → 1.05 s).
     """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    nibbles = (bits + 3) // 4
     toks = F.array_distinct(_tokens(text_col))
-    # md5 once per token; bits decode from the 4-nibble prefix
-    hs = F.transform(toks, lambda x: F.substring(F.md5(x), 1, 4))
-    zero = F.array(*([F.lit(0).cast("long")] * 17))
-    weights = F.array(*[F.lit(2**b).cast("long") for b in range(16)])
+    # md5 once per token; bits decode from the nibble prefix
+    hs = F.transform(toks, lambda x: F.substring(F.md5(x), 1, nibbles))
+    zero = F.array(*([F.lit(0).cast("long")] * (bits + 1)))
+    weights = F.array(*[F.lit(2**b).cast("long") for b in range(bits)])
 
     def _bits_plus_one(h: Column) -> Column:
         return F.array(
@@ -421,16 +430,16 @@ def simhash16(text_col: str = "text") -> Column:
                     b % 4,
                 )
                 % 2
-                for b in range(16)
+                for b in range(bits)
             ],
             F.lit(1).cast("long"),
         )
 
     def _finish(acc: Column) -> Column:
-        total = F.element_at(acc, 17)
+        total = F.element_at(acc, bits + 1)
         return F.aggregate(
             F.zip_with(
-                F.slice(acc, 1, 16),
+                F.slice(acc, 1, bits),
                 weights,
                 lambda c, w: F.when(c * 2 > total, w)
                 .otherwise(F.lit(0))
@@ -448,8 +457,17 @@ def simhash16(text_col: str = "text") -> Column:
     )
 
 
-def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", simhash16(text_col).alias("simhash"))
+def simhash16(text_col: str = "text") -> Column:
+    """The fixture-width (16-bit) SimHash — see ``simhash_bits``."""
+    return simhash_bits(text_col, 16)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    return docs.select(
+        "doc_id", simhash_bits(text_col, bits).alias("simhash")
+    )
 
 
 def driver_union_find(edges) -> dict:
@@ -691,42 +709,45 @@ def dedup_embedding_cosine(
 
 
 def near_dup_pairs_simhash(
-    docs: DataFrame, max_hamming: int = 1, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 1,
+    text_col: str = "text",
+    bits: int = 16,
 ) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bits — EXACT recall
     at every radius via pigeonhole banding.
 
-    Candidate generation splits the 16-bit fingerprint into
+    Candidate generation splits the ``bits``-wide fingerprint into
     ``max_hamming + 1`` contiguous blocks and equi-joins on each block:
     a pair within Hamming distance r differs in at most r blocks, so by
     pigeonhole at least one of the r+1 blocks is bit-identical and the
     pair surfaces as a candidate. Every candidate is then verified with
     the exact ``bit_count(xor)`` distance, so the result is the exact
-    radius-r pair set (radius 1 → the two 8-bit halves; radius 2 → 6/5/5
-    blocks; and so on). Wider radii trade narrower blocks (coarser
-    buckets → more candidates) for more bands — the standard
+    radius-r pair set (16-bit radius 1 → the two 8-bit halves; radius 2
+    → 6/5/5 blocks; and so on). Wider radii trade narrower blocks
+    (coarser buckets → more candidates) for more bands — the standard
     multi-index Hamming scheme (Manku et al., WWW'07 §3).
 
     Scale note: candidate volume per band is ~n²/2^width, so the
-    fingerprint must grow with the corpus — Manku's web-scale setup is
-    64 bits in 4×16-bit blocks. The banding scheme here is
-    width-agnostic (it splits whatever ``simhash16`` emits); at ≫10⁵
-    documents swap in a wider fingerprint column rather than raising
-    max_hamming on 16 bits.
+    fingerprint must grow with the corpus — pass ``bits=48`` (or up to
+    62) at ≫10⁵ documents rather than raising max_hamming on 16 bits;
+    Manku's web-scale setup is 64 bits in 4×16-bit blocks.
     """
-    if not 0 <= max_hamming < 16:
+    if not 0 <= max_hamming < bits:
         raise ValueError(
-            f"max_hamming must be in [0, 16) for a 16-bit fingerprint, "
-            f"got {max_hamming}"
+            f"max_hamming must be in [0, {bits}) for a {bits}-bit "
+            f"fingerprint, got {max_hamming}"
         )
-    fp = simhash_fingerprints(docs, text_col).localCheckpoint(eager=True)
+    fp = simhash_fingerprints(docs, text_col, bits).localCheckpoint(
+        eager=True
+    )
     # The banded joins run at FINGERPRINT granularity, not document
     # granularity (Manku et al. §4): documents sharing a fingerprint are
     # one row in the candidate join, and hamming-0 pairs (the most
     # common near-dups in a real corpus) never enter the banding at all —
     # they expand from a plain equi-self-join on the fingerprint.
     n_bands = max_hamming + 1
-    base, rem = divmod(16, n_bands)
+    base, rem = divmod(bits, n_bands)
     blocks, offset = [], 0
     for i in range(n_bands):
         width = base + (1 if i < rem else 0)

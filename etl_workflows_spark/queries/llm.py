@@ -359,11 +359,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
 
 
-def _simhash_oracle() -> str:
-    """Generate the 16-bit SimHash oracle (nibble-decode trick, same as
-    operators/dedup.py simhash16)."""
+def _simhash_oracle(bits: int = 16) -> str:
+    """Generate the ``bits``-wide SimHash oracle (nibble-decode trick,
+    same definition as operators/dedup.py simhash_bits)."""
     terms = []
-    for b in range(16):
+    for b in range(bits):
         nib_pos = 1 + (b // 4)
         bit = b % 4
         cond = (
@@ -2304,6 +2304,39 @@ WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 2
 
 _SIMHASH_R2_ORACLE = _simhash_r2_oracle()
 
+
+def near_dup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE-fingerprint scale configuration: 48-bit SimHash
+    (simhash_bits), radius-2 pigeonhole banding in three 16-bit blocks —
+    Manku et al.'s web-scale shape, where candidate volume per band is
+    ~n²/2¹⁶ instead of the fixture-width n²/2⁶. Exact recall by the
+    same banding proof; oracle-checked bit-for-bit (the 48-term SQL twin
+    is generated from the same definition)."""
+    return dedup.near_dup_pairs_simhash(
+        table(spark, sf_dir, "documents"), max_hamming=2, bits=48
+    )
+
+
+def _simhash_wide_oracle() -> str:
+    # 3 blocks of 16 bits over the 48-bit fingerprint
+    return f"""
+WITH h AS (
+  SELECT doc_id, simhash,
+         simhash % 65536 AS b0,
+         (simhash // 65536) % 65536 AS b1,
+         simhash // 4294967296 AS b2
+  FROM ({_simhash_oracle(48)})
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM h a JOIN h b
+  ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 2
+"""
+
+
+_SIMHASH_WIDE_ORACLE = _simhash_wide_oracle()
+
 _BUDGET_PLAN_TOKENS = 50_000
 _BUDGET_PLAN_WEIGHTS = {"src0": 3.0, "src1": 2.0}
 
@@ -2886,6 +2919,7 @@ QUERIES = {
     "pipeline_curation_v3": pipeline_curation_v3,
     "near_dup_simhash_docs": near_dup_simhash_docs,
     "near_dup_simhash_r2": near_dup_simhash_r2,
+    "near_dup_simhash_wide": near_dup_simhash_wide,
     "token_budget_plan_docs": token_budget_plan_docs,
     "compression_ratio_docs": compression_ratio_docs,
     "multimodal_phash_pairs": multimodal_phash_pairs,
@@ -3038,6 +3072,7 @@ ORACLE_SQL = {
     "pipeline_curation_v3": _CURATION_V3_ORACLE,
     "near_dup_simhash_docs": _SIMHASH_PAIRS_ORACLE,
     "near_dup_simhash_r2": _SIMHASH_R2_ORACLE,
+    "near_dup_simhash_wide": _SIMHASH_WIDE_ORACLE,
     "token_budget_plan_docs": _BUDGET_PLAN_ORACLE,
     # compression_ratio_docs: DEFLATE has no SQL twin → rows-only
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only

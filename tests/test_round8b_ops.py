@@ -147,3 +147,44 @@ def test_compression_ratio_separates_repetition(spark):
     }
     with pytest.raises(ValueError, match="level"):
         text.compression_ratio(docs, level=0)
+
+
+def test_simhash_wide_fingerprint_exact_and_sparser(spark):
+    """Width generalization (simhash_bits): at 48 bits the radius-2
+    banded join must still equal brute force, and must be strictly
+    MORE discriminative than 16 bits (fewer radius-2 collisions —
+    the reason the fingerprint widens with the corpus)."""
+    docs = _docs(spark, n=40)
+    fp = dedup.simhash_fingerprints(docs, bits=48)
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = sorted(
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "a.doc_id",
+            "b.doc_id",
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("h"),
+        )
+        .filter(F.col("h") <= 2)
+        .toPandas()
+        .itertuples(index=False, name=None)
+    )
+    got = sorted(
+        dedup.near_dup_pairs_simhash(docs, max_hamming=2, bits=48)
+        .toPandas()
+        .itertuples(index=False, name=None)
+    )
+    assert got == brute
+    narrow = dedup.near_dup_pairs_simhash(docs, max_hamming=2, bits=16)
+    assert len(got) <= narrow.count()
+
+
+def test_simhash_bits_validation(spark):
+    docs = _docs(spark, n=4)
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash_fingerprints(docs, bits=63)
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash_fingerprints(docs, bits=0)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.near_dup_pairs_simhash(docs, max_hamming=48, bits=48)
