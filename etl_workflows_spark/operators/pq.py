@@ -196,6 +196,27 @@ def pq_encode(
     return _assign_codes(embeddings, codebooks, id_col, vec_col, normalize_inputs)
 
 
+def _adc_lut_rows(
+    codebooks: list[list[list[float]]], query_vec: list[float], prefix=()
+) -> list[tuple]:
+    """The ADC lookup table for one query: (sub, code) → dot(q̂_sub,
+    centroid), with ``prefix`` prepended to every row (the batch forms
+    key by query id). ONE definition of the q-normalization (1e-12
+    floor) and subspace split shared by every ADC serving path."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    rows = []
+    for s in range(m):
+        qs = q[s * sub : (s + 1) * sub]
+        for c, cent in enumerate(codebooks[s]):
+            rows.append((*prefix, s, c, float(np.dot(qs, np.asarray(cent)))))
+    return rows
+
+
 def pq_adc_topk(
     spark: SparkSession,
     codes: DataFrame,
@@ -212,18 +233,9 @@ def pq_adc_topk(
     Returns (id, adc_score) ordered by score desc, id asc (deterministic
     tie-break).
     """
-    import numpy as np
-
-    m = len(codebooks)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(float(np.linalg.norm(q)), 1e-12)
-    sub = len(codebooks[0][0])
-    lut_rows = []
-    for s in range(m):
-        qs = q[s * sub : (s + 1) * sub]
-        for c, cent in enumerate(codebooks[s]):
-            lut_rows.append((s, c, float(np.dot(qs, np.asarray(cent)))))
-    lut = spark.createDataFrame(lut_rows, "sub_id int, code int, dot double")
+    lut = spark.createDataFrame(
+        _adc_lut_rows(codebooks, query_vec), "sub_id int, code int, dot double"
+    )
     return (
         codes.select(id_col, F.posexplode("codes").alias("sub_id", "code"))
         .join(F.broadcast(lut), ["sub_id", "code"])
@@ -249,20 +261,9 @@ def pq_adc_topk_batch(
     Returns (query_vec_id, vec_id, adc_score) — identical rows to q
     separate ``pq_adc_topk`` calls. ``queries`` maps query id → vector.
     """
-    import numpy as np
-
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     lut_rows = []
     for qid, vec in queries.items():
-        q = np.asarray(vec, dtype=np.float64)
-        q = q / max(float(np.linalg.norm(q)), 1e-12)
-        for s in range(m):
-            qs = q[s * sub : (s + 1) * sub]
-            for c, cent in enumerate(codebooks[s]):
-                lut_rows.append(
-                    (qid, s, c, float(np.dot(qs, np.asarray(cent))))
-                )
+        lut_rows.extend(_adc_lut_rows(codebooks, vec, prefix=(qid,)))
     # LUT schema carries the CORPUS id type (string doc ids etc.) —
     # a hardcoded long would fail or silently empty per-query results
     from pyspark.sql import types as T
@@ -445,7 +446,14 @@ def build_ivfpq_index(
     )
     assigned = similarity.ivf_assign_fast(embeddings, cents, vec_col)
     if by_residual:
-        res = _ivfpq_residuals(assigned, cents, id_col, vec_col)
+        # materialize the residuals ONCE: codebook training re-reads its
+        # input ~2 passes per Lloyd iteration plus seeds, and encode +
+        # the list_id join read it again — without the checkpoint every
+        # pass re-runs the normalize-and-subtract kernel over the corpus
+        # (at cluster scale, persist to storage instead)
+        res = _ivfpq_residuals(assigned, cents, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
         books = train_pq_codebooks(
             res, m, k_codes, pq_iterations, id_col, "residual",
             normalize_inputs=False,
@@ -546,14 +554,9 @@ def ann_topk_ivfpq(
         [(int(lid), float(q @ cm[lid])) for lid in probe],
         "list_id int, c_dot double",
     )
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    lut_rows = []
-    for s in range(m):
-        qs = q[s * sub : (s + 1) * sub]
-        for c, cent in enumerate(codebooks[s]):
-            lut_rows.append((s, c, float(np.dot(qs, np.asarray(cent)))))
-    lut = spark.createDataFrame(lut_rows, "sub_id int, code int, dot double")
+    lut = spark.createDataFrame(
+        _adc_lut_rows(codebooks, query_vec), "sub_id int, code int, dot double"
+    )
     return (
         pruned.select(
             id_col, "list_id", F.posexplode("codes").alias("sub_id", "code")
@@ -579,41 +582,62 @@ def ann_topk_ivfpq_batch(
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k for MANY queries in one pass: per-query probe lists
     from driver-side centroid math, one scan filtered to the UNION of
-    touched lists, per-query list membership enforced in the broadcast
-    join (a query only scores codes from its own probes), then the
-    shared batched-ADC rank window. Returns (query_vec_id, vec_id,
-    adc_score) — identical rows to q separate ``ann_topk_ivfpq`` calls."""
+    touched lists, per-query list membership enforced by a tiny
+    (query, list) broadcast — a query only scores codes from its own
+    probes — and ONE q × m × k_codes LUT broadcast (the dot values
+    don't depend on the list, so duplicating the LUT per probed list
+    would inflate the broadcast nprobe-fold for nothing). Per-query
+    top-k via the shared rank window. Returns (query_vec_id, vec_id,
+    adc_score) — identical rows to q separate ``ann_topk_ivfpq`` calls.
+
+    ``by_residual`` must match the index (see ``build_ivfpq_index``);
+    the membership relation then carries each probe's dot(q̂, c̃_list)
+    constant, added to the residual ADC sum."""
     import numpy as np
 
     from etl_workflows_spark.operators.similarity import probe_lists
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    cm = _norm_rows(np.array(centroids, dtype=np.float64))
     lut_rows = []
+    probe_rows = []
     touched: set[int] = set()
     for qid, vec in queries.items():
         probe = probe_lists(vec, centroids, nprobe)
         touched.update(probe)
         q = np.asarray(vec, dtype=np.float64)
         q = q / max(float(np.linalg.norm(q)), 1e-12)
-        for lid in probe:
-            for s in range(m):
-                qs = q[s * sub : (s + 1) * sub]
-                for c, cent in enumerate(codebooks[s]):
-                    lut_rows.append(
-                        (qid, int(lid), s, c, float(np.dot(qs, np.asarray(cent))))
-                    )
+        probe_rows.extend(
+            (
+                qid,
+                int(lid),
+                float(q @ cm[lid]) if by_residual else 0.0,
+            )
+            for lid in probe
+        )
+        lut_rows.extend(_adc_lut_rows(codebooks, vec, prefix=(qid,)))
+    # both schemas carry the CORPUS id type (string doc ids etc.)
+    id_type = codes.schema[id_col].dataType
+    membership = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_vec_id", id_type),
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("c_dot", T.DoubleType()),
+            ]
+        ),
+    )
     lut = spark.createDataFrame(
         lut_rows,
         T.StructType(
             [
-                T.StructField("query_vec_id", codes.schema[id_col].dataType),
-                T.StructField("list_id", T.IntegerType()),
+                T.StructField("query_vec_id", id_type),
                 T.StructField("sub_id", T.IntegerType()),
                 T.StructField("code", T.IntegerType()),
                 T.StructField("dot", T.DoubleType()),
@@ -622,10 +646,16 @@ def ann_topk_ivfpq_batch(
     )
     scored = (
         codes.filter(F.col("list_id").isin(sorted(touched)))
-        .select(id_col, "list_id", F.posexplode("codes").alias("sub_id", "code"))
-        .join(F.broadcast(lut), ["list_id", "sub_id", "code"])
+        .join(F.broadcast(membership), "list_id")
+        .select(
+            "query_vec_id",
+            id_col,
+            "c_dot",
+            F.posexplode("codes").alias("sub_id", "code"),
+        )
+        .join(F.broadcast(lut), ["query_vec_id", "sub_id", "code"])
         .groupBy("query_vec_id", id_col)
-        .agg(F.sum("dot").alias("adc_score"))
+        .agg((F.sum("dot") + F.max("c_dot")).alias("adc_score"))
     )
     w = Window.partitionBy("query_vec_id").orderBy(
         F.col("adc_score").desc(), F.col(id_col)
@@ -703,12 +733,21 @@ def read_ivfpq_index(
 def read_ivfpq_meta(spark: SparkSession, path: str) -> dict:
     """The index's meta sidecar (``{"by_residual": bool}``); indexes
     persisted before the sidecar existed read as the no-residual
-    default."""
+    default. Only a MISSING sidecar falls back — a present-but-unreadable
+    or empty sidecar raises, because guessing wrong here makes
+    ``ivfpq_append`` encode raw vectors against residual codebooks and
+    silently corrupt the persisted code table."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(f"{path}/meta").first()
-        return {"by_residual": bool(row["by_residual"])}
-    except Exception:
-        return {"by_residual": False}
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return {"by_residual": False}
+        raise
+    if row is None:
+        raise ValueError(f"IVF-PQ meta sidecar at {path}/meta is empty")
+    return {"by_residual": bool(row["by_residual"])}
 
 
 def ivfpq_append(
@@ -729,7 +768,10 @@ def ivfpq_append(
     _, cents, books = read_ivfpq_index(spark, path)
     assigned = similarity.ivf_assign_fast(new_vectors, cents, vec_col)
     if read_ivfpq_meta(spark, path)["by_residual"]:
-        res = _ivfpq_residuals(assigned, cents, id_col, vec_col)
+        # one residual pass over the batch, read by encode AND the join
+        res = _ivfpq_residuals(assigned, cents, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
         codes = pq_encode(
             res, books, id_col, "residual", normalize_inputs=False
         ).join(res.select(id_col, "list_id"), id_col)

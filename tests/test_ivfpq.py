@@ -246,3 +246,24 @@ def test_meta_missing_defaults_to_no_residual(spark, tmp_path):
     assert PQ.read_ivfpq_meta(spark, str(tmp_path / "nowhere")) == {
         "by_residual": False
     }
+
+
+def test_residual_batch_matches_per_query(spark, emb, ivfpq_res):
+    """The batch form must honor by_residual — pre-fix it silently
+    dropped the per-list centroid constant and returned wrong scores."""
+    codes, cents, books = ivfpq_res
+    queries = {i: _qvec(emb, i) for i in (0, 5)}
+    batch = {
+        (r["query_vec_id"], r["vec_id"]): round(r["adc_score"], 10)
+        for r in PQ.ann_topk_ivfpq_batch(
+            spark, codes, cents, books, queries, k=5, nprobe=3,
+            by_residual=True,
+        ).collect()
+    }
+    want = {}
+    for qid, qv in queries.items():
+        for r in PQ.ann_topk_ivfpq(
+            spark, codes, cents, books, qv, k=5, nprobe=3, by_residual=True
+        ).collect():
+            want[(qid, r["vec_id"])] = round(r["adc_score"], 10)
+    assert batch == want
