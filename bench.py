@@ -181,6 +181,11 @@ SCALED = [
     "charlm_scores_docs",
     "vocab_coverage_docs",
     "hybrid_rrf_docs",
+    # round-8 continuation: the wide-fingerprint simhash config — the
+    # 48-bit banding's candidate volume is ~n²/2¹⁶ per band, so the
+    # ×10 ratio records that the width keeps the join near-linear
+    # where 16 bits would have gone quadratic
+    "near_dup_simhash_wide",
 ]
 
 

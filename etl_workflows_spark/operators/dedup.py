@@ -465,7 +465,11 @@ def simhash16(text_col: str = "text") -> Column:
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", bits: int = 16
 ) -> DataFrame:
-    return docs.select(
+    from etl_workflows_spark.operators.parallelism import widen
+
+    # the fold is interpreted-HOF work (~0.2 ms/doc at bits=16) — a
+    # compact single-split corpus must not compute it serially
+    return widen(docs).select(
         "doc_id", simhash_bits(text_col, bits).alias("simhash")
     )
 
