@@ -81,3 +81,38 @@ def test_ngram_novelty_windows_grow_linearly(spark):
     assert probe["max_window_freq"][-1] > probe["max_window_freq"][0], probe
     for e in probe["exponent_max_freq"]:
         assert e < 1.1, probe
+
+
+def test_simhash_banding_growth_regimes(spark):
+    """The three measured regimes of pigeonhole-banding candidate
+    volume (simhash_band_candidate_probe's docstring): dup-heavy
+    replication is absorbed exactly (flat), the 16-bit space saturates
+    (distinctness caps — a precision collapse, not efficiency), and the
+    48-bit all-distinct regime is near-quadratic per band."""
+    import os
+
+    from etl_workflows_spark.queries.base import table
+    from tools.scaling_probe import simhash_band_candidate_probe
+
+    sf_dir = (
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    )
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = simhash_band_candidate_probe(spark, base, copies=(1, 10, 100))
+
+    # rotation preserves the token multiset -> same fingerprints ->
+    # candidate volume EXACTLY flat across 100x replication
+    rot = probe["rotated_bits16"]
+    assert rot["distinct_fps"][0] == rot["distinct_fps"][-1], probe
+    assert rot["band_candidates"][0] == rot["band_candidates"][-1], probe
+
+    # 16-bit saturation: far fewer distinct fingerprints than docs
+    p16 = probe["perturbed_bits16"]
+    assert p16["distinct_fps"][-1] < 0.2 * p16["docs"][-1], probe
+
+    # 48-bit all-distinct regime: fingerprints stay distinct and the
+    # banded candidate volume is near-quadratic in them
+    p48 = probe["perturbed_bits48"]
+    assert p48["distinct_fps"][-1] > 0.5 * p48["docs"][-1], probe
+    for e in p48["exponents"]:
+        assert 1.5 < e < 2.1, probe
