@@ -122,6 +122,7 @@ HEADLINE = [
     "near_dup_simhash_r2",
     "near_dup_simhash_wide",
     "token_budget_plan_docs",
+    "mixture_materialize_docs",
     "compression_ratio_docs",
 ]
 

@@ -473,3 +473,71 @@ def token_budget_plan(
         F.round(F.least(F.lit(1.0), epochs), 6).alias("sample_fraction"),
         F.ceil(epochs).cast("int").alias("repeat_epochs"),
     )
+
+
+def materialize_token_budget(
+    docs: DataFrame,
+    budget: int,
+    weights: dict | None = None,
+    default_weight: float = 1.0,
+    source_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a ``token_budget_plan``: the actual training mix.
+
+    Each source's documents are epoch-replicated ``repeat_epochs``
+    times, ordered by the corpus-contract hash of (key, epoch), and the
+    hash-ordered PREFIX whose running token total stays within the
+    source's target share is kept. Output rows are (key, source, epoch,
+    n_tokens, cum_tokens) — the dataloader manifest: deterministic
+    (pure function of content + salt, reproducible on any engine),
+    growth-stable per the module contract, and epoch-diverse (each
+    epoch's copy hashes independently, so repeats interleave instead of
+    replaying one order).
+
+    Scale shape: the plan is a per-source aggregate broadcast back onto
+    the corpus; the only data-sized work is one explode (≤ repeat
+    epochs) and one per-source running-total window — partitioned by
+    source, the natural key (a single source big enough to overwhelm
+    one executor's sort should use ordering.global_cumsum's bucketed
+    form per source). Prefix semantics: a document whose tokens would
+    cross the target ends its source's intake (no fractional docs).
+    """
+    from pyspark.sql.window import Window
+
+    plan = token_budget_plan(
+        docs, budget, weights, default_weight, source_col, text_col
+    ).select(source_col, "target_tokens", "repeat_epochs")
+    d = (
+        docs.join(F.broadcast(plan), source_col)
+        .filter(F.col("repeat_epochs") > 0)
+        .select(
+            key_col,
+            source_col,
+            F.size(F.split(F.col(text_col), " "))
+            .cast("long")
+            .alias("n_tokens"),
+            "target_tokens",
+            F.explode(
+                F.sequence(F.lit(0), F.col("repeat_epochs") - 1)
+            ).alias("epoch"),
+        )
+    )
+    h = salted_hash(
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        ),
+        salt,
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        h, F.col(key_col), F.col("epoch")
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("target_tokens"))
+        .select(key_col, source_col, "epoch", "n_tokens", "cum_tokens")
+    )

@@ -2381,6 +2381,68 @@ FROM avail
 _BUDGET_PLAN_ORACLE = _budget_plan_oracle()
 
 
+def mixture_materialize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized training mix (sampling.materialize_token_budget):
+    token_budget_plan's epoch/fraction arithmetic turned into the actual
+    dataloader manifest — per source, documents epoch-replicated
+    repeat_epochs times, hash-ordered, kept while the running token
+    total stays within the source's target share. Same 50k-token budget
+    and 3×/2× weights as token_budget_plan_docs, so the two entries
+    cross-check: the manifest's per-source token totals approach the
+    plan's targets from below."""
+    return sampling.materialize_token_budget(
+        table(spark, sf_dir, "documents"),
+        budget=_BUDGET_PLAN_TOKENS,
+        weights=_BUDGET_PLAN_WEIGHTS,
+    )
+
+
+def _mixture_materialize_oracle() -> str:
+    b = float(_BUDGET_PLAN_TOKENS)
+    return f"""
+WITH plan AS (
+  SELECT source,
+         {b} * weight / SUM(weight) OVER () AS target_tokens,
+         CAST(CEIL({b} * weight / SUM(weight) OVER ()
+               / CAST(available_tokens AS DOUBLE)) AS INTEGER)
+           AS repeat_epochs
+  FROM (
+    SELECT source,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+             AS available_tokens,
+           CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+                ELSE 1.0 END AS weight
+    FROM documents GROUP BY source
+  )
+), expanded AS (
+  SELECT d.doc_id, d.source,
+         CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens,
+         p.target_tokens,
+         CAST(e.epoch AS INTEGER) AS epoch,
+         MD5('mix:' || CAST(d.doc_id AS VARCHAR) || ':'
+             || CAST(e.epoch AS VARCHAR)) AS h
+  FROM documents d
+  JOIN plan p USING (source)
+  CROSS JOIN LATERAL (
+    SELECT UNNEST(RANGE(p.repeat_epochs)) AS epoch
+  ) e
+  WHERE p.repeat_epochs > 0
+), running AS (
+  SELECT doc_id, source, epoch, n_tokens, target_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id, epoch
+         ) AS cum_tokens
+  FROM expanded
+)
+SELECT doc_id, source, epoch, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM running WHERE cum_tokens <= target_tokens
+"""
+
+
+_MIXTURE_MATERIALIZE_ORACLE = _mixture_materialize_oracle()
+
+
 def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (text.compression_ratio) —
     the Gopher-style redundancy gate. Rows-only by contract: DEFLATE has
@@ -2921,6 +2983,7 @@ QUERIES = {
     "near_dup_simhash_r2": near_dup_simhash_r2,
     "near_dup_simhash_wide": near_dup_simhash_wide,
     "token_budget_plan_docs": token_budget_plan_docs,
+    "mixture_materialize_docs": mixture_materialize_docs,
     "compression_ratio_docs": compression_ratio_docs,
     "multimodal_phash_pairs": multimodal_phash_pairs,
     "quality_classifier_docs": quality_classifier_docs,
@@ -3074,6 +3137,7 @@ ORACLE_SQL = {
     "near_dup_simhash_r2": _SIMHASH_R2_ORACLE,
     "near_dup_simhash_wide": _SIMHASH_WIDE_ORACLE,
     "token_budget_plan_docs": _BUDGET_PLAN_ORACLE,
+    "mixture_materialize_docs": _MIXTURE_MATERIALIZE_ORACLE,
     # compression_ratio_docs: DEFLATE has no SQL twin → rows-only
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -188,3 +188,46 @@ def test_simhash_bits_validation(spark):
         dedup.simhash_fingerprints(docs, bits=0)
     with pytest.raises(ValueError, match="max_hamming"):
         dedup.near_dup_pairs_simhash(docs, max_hamming=48, bits=48)
+
+
+def test_materialize_token_budget_semantics(spark):
+    """The manifest materializer: per-source running totals never exceed
+    the target, every kept row's tokens are counted, epochs stay below
+    the plan's repeat factor, and the output is a deterministic pure
+    function of content + salt."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "s0"),
+            (1, "a b c d e f", "s0"),  # s0 avail 10
+            (2, "a b c d e", "s1"),  # s1 avail 5
+        ],
+        "doc_id long, text string, source string",
+    )
+    # budget 30, uniform weights -> 15 tokens per source; s0 needs 1.5
+    # epochs (repeat 2), s1 needs 3 epochs
+    out = sampling.materialize_token_budget(docs, budget=30).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1"}
+    for src, rows in by_src.items():
+        total = sum(r["n_tokens"] for r in rows)
+        assert total <= 15
+        assert max(r["cum_tokens"] for r in rows) == total
+        # prefix property: cum_tokens values are the running sums
+        assert sorted(r["cum_tokens"] for r in rows) == [
+            s
+            for s in __import__("itertools").accumulate(
+                sorted((r["cum_tokens"] for r in rows))
+                and [
+                    r["n_tokens"]
+                    for r in sorted(rows, key=lambda x: x["cum_tokens"])
+                ]
+            )
+        ]
+    # s1 is one 5-token doc: exactly 3 epochs of it fill the 15 target
+    assert sorted(r["epoch"] for r in by_src["s1"]) == [0, 1, 2]
+    assert all(r["n_tokens"] == 5 for r in by_src["s1"])
+    # determinism
+    again = sampling.materialize_token_budget(docs, budget=30).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
