@@ -210,21 +210,18 @@ def test_materialize_token_budget_semantics(spark):
     for r in out:
         by_src.setdefault(r["source"], []).append(r)
     assert set(by_src) == {"s0", "s1"}
+    from itertools import accumulate
+
     for src, rows in by_src.items():
         total = sum(r["n_tokens"] for r in rows)
         assert total <= 15
         assert max(r["cum_tokens"] for r in rows) == total
-        # prefix property: cum_tokens values are the running sums
-        assert sorted(r["cum_tokens"] for r in rows) == [
-            s
-            for s in __import__("itertools").accumulate(
-                sorted((r["cum_tokens"] for r in rows))
-                and [
-                    r["n_tokens"]
-                    for r in sorted(rows, key=lambda x: x["cum_tokens"])
-                ]
-            )
-        ]
+        # prefix property: in cum_tokens order, each cum is the running
+        # sum of the kept rows' token counts — no gaps, no overlaps
+        ordered = sorted(rows, key=lambda r: r["cum_tokens"])
+        assert [r["cum_tokens"] for r in ordered] == list(
+            accumulate(r["n_tokens"] for r in ordered)
+        )
     # s1 is one 5-token doc: exactly 3 epochs of it fill the 15 target
     assert sorted(r["epoch"] for r in by_src["s1"]) == [0, 1, 2]
     assert all(r["n_tokens"] == 5 for r in by_src["s1"])
