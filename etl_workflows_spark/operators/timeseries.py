@@ -30,11 +30,21 @@ def ewma(
 ) -> DataFrame:
     """Exponentially weighted moving average per series, in event-time
     order: ``s_0 = x_0; s_t = alpha·x_t + (1-alpha)·s_{t-1}`` (pandas
-    ``ewm(alpha, adjust=False)`` semantics). Output is the series
+    ``ewm(alpha, adjust=False)`` semantics; agrees with pandas to float
+    rounding — the recursion is a contraction, so step-order ulp
+    differences decay instead of accumulating). Output is the series
     projection ``(*key_cols, ts_col, value_col, ewma)`` — extra input
     columns are dropped (the Arrow-batch schema is fixed up front; join
     back on the keys if you need them), same contract as
     ``holt_forecast``.
+
+    The state update is the LITERAL IEEE-double expression
+    ``(1 - alpha)·s + alpha·x`` in that operand order, which makes the
+    output bit-exactly reproducible by any engine running the same
+    expression (the DuckDB recursive-CTE oracle of ``events_ewma`` does
+    — the reason this is hash-checkable rather than rows-only). Ties on
+    ``ts_col`` break by value, so the order (and therefore the state
+    path) is a pure function of the data, not the partitioning.
     """
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -43,10 +53,20 @@ def ewma(
         + [T.StructField("ewma", T.DoubleType(), True)]
     )
     cols = [*key_cols, ts_col, value_col]
+    om = 1.0 - alpha
 
     def fn(pdf):
-        pdf = pdf[cols].sort_values(ts_col, kind="mergesort")
-        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        import numpy as np
+
+        pdf = pdf[cols].sort_values([ts_col, value_col], kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty(len(vals), dtype="float64")
+        s = 0.0
+        for i in range(len(vals)):
+            x = float(vals[i])
+            s = x if i == 0 else om * s + alpha * x
+            out[i] = s
+        pdf["ewma"] = out
         return pdf
 
     return df.select(*cols).groupBy(*key_cols).applyInPandas(fn, schema=schema)

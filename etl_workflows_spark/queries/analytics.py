@@ -821,13 +821,36 @@ FROM a
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA-smoothed event values per event_type series
     (operators/timeseries.py — the recursive op no window frame can
-    express; applyInPandas per series). Rows-only: the recursion is
-    outside SQL; exactness vs pandas' own ewm is pinned in
-    test_timeseries_stateful."""
+    express; applyInPandas per series). Oracle-checked HASH-EXACT: the
+    kernel's state update is the literal IEEE expression
+    ``(1-α)·s + α·x`` in fixed operand order, and the DuckDB twin runs
+    the identical expression through a recursive CTE — same doubles,
+    same bits (previously rows-only; closeness to pandas' own ewm is
+    still pinned in test_timeseries_stateful)."""
     from etl_workflows_spark.operators.timeseries import ewma
 
     ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
     return ewma(ev, ["event_type"], "ts", "value", alpha=0.3)
+
+
+_EWMA_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT event_type, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ts, value
+         ) AS rn
+  FROM events
+), r AS (
+  SELECT event_type, ts, value, rn, CAST(value AS DOUBLE) AS ewma
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.event_type, b.ts, b.value, b.rn,
+         (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma
+           + CAST(0.3 AS DOUBLE) * CAST(b.value AS DOUBLE)
+  FROM r JOIN base b ON b.event_type = r.event_type AND b.rn = r.rn + 1
+)
+SELECT event_type, ts, value, ewma FROM r
+"""
 
 
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1828,6 +1851,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_ewma": _EWMA_ORACLE,
     "events_cusum_changepoint": _CUSUM_ORACLE,
     "fuzzy_name_pairs": _FUZZY_PAIRS_ORACLE,
     "golden_record_customers": _GOLDEN_RECORD_ORACLE,

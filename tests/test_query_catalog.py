@@ -21,7 +21,6 @@ ROWS_ONLY = {
     "approx_event_sketches",
     "events_distinct_hll_range",
     "knn_join_bench_fast",
-    "events_ewma",
     "equidepth_histogram_approx",
     "bpe_merges_docs",
     "bpe_encode_docs",
