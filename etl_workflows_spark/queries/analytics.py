@@ -1551,11 +1551,14 @@ FROM test GROUP BY event_type
 
 def holt_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential-smoothing forecast of each event type's
-    hourly counts (operators/timeseries.py:holt_forecast). Rows-only by
-    contract: the level/trend recursion is inherently sequential float
-    state (its exact-arithmetic backtest twin is
-    ``forecast_backtest_events``); correctness is pinned by
-    test_timeseries_stateful's exact-linear-trend property."""
+    hourly counts (operators/timeseries.py:holt_forecast). Oracle-checked
+    HASH-EXACT (previously rows-only): the kernel's level/trend updates
+    are literal fixed-operand-order IEEE expressions, and the DuckDB
+    recursive-CTE twin replays the identical expressions over the same
+    gap-filled hourly series — same doubles, same bits. The
+    exact-arithmetic backtest twin remains ``forecast_backtest_events``;
+    the linear-trend property stays pinned in test_timeseries_stateful.
+    """
     from etl_workflows_spark.operators.timeseries import holt_forecast
 
     filled = _hourly_filled(table(spark, sf_dir, "events"))
@@ -1563,6 +1566,54 @@ def holt_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
     )
     return holt_forecast(base, ["event_type"], "hour", "n_events", horizon=24)
+
+
+# the level/trend updates below mirror timeseries.holt_forecast's kernel
+# EXPRESSION-FOR-EXPRESSION (alpha=0.5, beta=0.3, horizon=24): bit-exact
+# equality is the contract, so operand order matters
+_HOLT_ORACLE = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+           FROM hourly GROUP BY 1),
+spine AS (SELECT event_type,
+                 UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds),
+numbered AS (
+  SELECT s.event_type,
+         CAST(COALESCE(h.n, 0) AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.hour)
+           AS rn,
+         LEAD(CAST(COALESCE(h.n, 0) AS DOUBLE)) OVER (
+           PARTITION BY s.event_type ORDER BY s.hour) AS x_next,
+         COUNT(*) OVER (PARTITION BY s.event_type) AS n_obs
+  FROM spine s LEFT JOIN hourly h
+    ON s.event_type = h.event_type AND s.hour = h.hour
+),
+r AS (
+  SELECT event_type, rn, n_obs,
+         x AS l,
+         COALESCE(x_next - x, CAST(0 AS DOUBLE)) AS b
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.rn, n.n_obs,
+         CAST(0.5 AS DOUBLE) * n.x
+           + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.l + r.b),
+         CAST(0.3 AS DOUBLE) * (
+             (CAST(0.5 AS DOUBLE) * n.x
+               + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (r.l + r.b))
+             - r.l)
+           + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.b
+  FROM r JOIN numbered n
+    ON n.event_type = r.event_type AND n.rn = r.rn + 1
+)
+SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+       l AS level, b AS trend,
+       l + 24 * b AS forecast
+FROM r WHERE rn = n_obs
+"""
 
 
 def skewed_sum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1852,6 +1903,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_ewma": _EWMA_ORACLE,
+    "holt_forecast_events": _HOLT_ORACLE,
     "events_cusum_changepoint": _CUSUM_ORACLE,
     "fuzzy_name_pairs": _FUZZY_PAIRS_ORACLE,
     "golden_record_customers": _GOLDEN_RECORD_ORACLE,

@@ -26,7 +26,6 @@ ROWS_ONLY = {
     "bpe_encode_docs",
     "quality_classifier_docs",  # iterative L-BFGS training — no SQL twin
     "pipeline_curation_v2",  # contains the classifier stage
-    "holt_forecast_events",  # sequential float smoothing recursion
     "audience_overlap_events",  # HLL estimates
     "multimodal_phash_pairs",  # Arrow-kernel pixel packing + DCT
     "score_documents_batched",  # iterative hash scorer — no SQL twin
