@@ -1,11 +1,12 @@
 """LLM-data-pipeline query surface: text analysis, dedup, similarity search.
 
 Each entry pairs the Spark operator (operators/text.py, dedup.py,
-similarity.py) with a DuckDB oracle. Approximate operators (MinHash-LSH,
-SimHash banding, hyperplane-LSH ANN) have no SQL oracle — the driver
-records a rows-only check for them; their *exact* counterparts
-(brute-force Jaccard / cosine) ARE oracle-checked, which pins down the
-shared machinery (shingling, signatures, vector math).
+similarity.py) with a DuckDB oracle. Genuinely approximate operators
+(MinHash-LSH candidates, hyperplane-LSH/IVF/PQ ANN) have no SQL oracle —
+the driver records a rows-only check for them; their *exact*
+counterparts (brute-force Jaccard / cosine, pigeonhole-banded SimHash
+at every radius and width) ARE oracle-checked, which pins down the
+shared machinery (shingling, signatures, fingerprints, vector math).
 """
 
 from __future__ import annotations
