@@ -115,6 +115,7 @@ def global_rank_and_cumsum(
     ordinal_col: str = "ordinal",
     cum_col: str = "cumsum",
     start: int = 1,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """``global_ordinals`` and ``global_cumsum`` fused: exact dense rank
     AND exact running total of ``val_col`` in global ``sort_cols`` order,
@@ -126,15 +127,37 @@ def global_rank_and_cumsum(
 
     Same bucket contract as the two parents: a deterministic pure
     function of the row that coarsens the sort order.
+
+    ``partition_cols`` (optional) makes the rank/cumsum RESET per group —
+    the scale-safe form of ``SUM(v) OVER (PARTITION BY g ORDER BY k)``
+    when a single group can overwhelm one executor's sort (e.g. one
+    mixture source holding most of a 100 TB corpus). The offsets pass
+    groups by (partition, bucket) — still a bounded driver constant of
+    at most ``n_groups × n_buckets`` rows, so partition columns must be
+    LOW-cardinality (sources, splits, shards — never a data-sized key;
+    a high-cardinality group needs no bucketing in the first place).
+    Partition values must be non-null.
     """
+    pcols = list(partition_cols)
     d = df.withColumn("__bucket", bucket)
-    rows = d.groupBy("__bucket").agg(
+    rows = d.groupBy(*pcols, "__bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.col(val_col)).alias("s")
     ).collect()
     if any(r["__bucket"] is None for r in rows):
         raise ValueError(
             "global_rank_and_cumsum: bucket expression produced NULL — "
             "sort keys must be non-null (filter or coalesce them first)"
+        )
+    if pcols and any(
+        any(r[c] is None for c in pcols) for r in rows
+    ):
+        raise ValueError(
+            "global_rank_and_cumsum: partition_cols values must be "
+            "non-null (a NULL group has no portable offset key)"
+        )
+    if pcols:
+        return _partitioned_rank_and_cumsum(
+            d, rows, pcols, sort_cols, val_col, ordinal_col, cum_col, start
         )
     stats = sorted((r["__bucket"], r["n"], r["s"]) for r in rows)
     n_off: dict[int, int] = {}
@@ -164,6 +187,72 @@ def global_rank_and_cumsum(
     )
     # rank stays 64-bit: the fused form exists for corpora where even the
     # RANKED relation (vocabulary, file list, …) can pass 2^31 rows
+    return (
+        d.withColumn(ordinal_col, rn.cast("bigint") + n_expr.cast("bigint"))
+        .withColumn(cum_col, cum + s_expr)
+        .drop("__bucket")
+    )
+
+
+def _partitioned_rank_and_cumsum(
+    d: DataFrame,
+    rows: list,
+    pcols: list[str],
+    sort_cols: Sequence[str],
+    val_col: str,
+    ordinal_col: str,
+    cum_col: str,
+    start: int,
+) -> DataFrame:
+    """Grouped variant of the offsets re-injection: cumulate per-bucket
+    stats WITHIN each partition group on the driver, key the literal
+    offset map by (partition values, bucket), and partition the window by
+    (partition cols, bucket) — so no group ever becomes one sort task.
+
+    Offset keys join partition values (via their Spark string cast — use
+    string-typed partition columns) and the bucket with ``\\x1f``; values
+    containing that separator are the caller's contract to exclude.
+    """
+    if not rows:
+        return (
+            d.drop("__bucket")
+            .withColumn(ordinal_col, F.lit(None).cast("bigint"))
+            .withColumn(cum_col, F.lit(None).cast("bigint"))
+        )
+    sep = "\x1f"
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault(tuple(str(r[c]) for c in pcols), []).append(
+            (r["__bucket"], r["n"], r["s"])
+        )
+    n_off: dict[str, int] = {}
+    s_off: dict[str, int] = {}
+    for gvals, stats in groups.items():
+        acc_n, acc_s = start - 1, 0
+        for b, n, s in sorted(stats):
+            k = sep.join((*gvals, str(b)))
+            n_off[k] = acc_n
+            s_off[k] = acc_s
+            acc_n += n
+            acc_s += s or 0
+    key = F.concat_ws(
+        sep,
+        *[F.col(c).cast("string") for c in pcols],
+        F.col("__bucket").cast("string"),
+    )
+    n_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kn in n_off.items() for x in kn]), key
+    )
+    s_expr = F.element_at(
+        F.create_map(*[F.lit(x) for ks in s_off.items() for x in ks]), key
+    )
+    w = W.partitionBy(*pcols, "__bucket").orderBy(
+        *[F.col(c) for c in sort_cols]
+    )
+    rn = F.row_number().over(w)
+    cum = F.sum(F.col(val_col)).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
         d.withColumn(ordinal_col, rn.cast("bigint") + n_expr.cast("bigint"))
         .withColumn(cum_col, cum + s_expr)
@@ -222,6 +311,7 @@ def global_cumsum(
     val_col: str,
     bucket: Column,
     out_col: str = "cumsum",
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact running total of ``val_col`` in global ``sort_cols`` order —
     the scale-safe form of ``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED
@@ -237,7 +327,13 @@ def global_cumsum(
     plans matters.
     """
     out = global_rank_and_cumsum(
-        df, sort_cols, val_col, bucket, ordinal_col="__ord0", cum_col=out_col
+        df,
+        sort_cols,
+        val_col,
+        bucket,
+        ordinal_col="__ord0",
+        cum_col=out_col,
+        partition_cols=partition_cols,
     )
     return out.drop("__ord0")
 

@@ -440,6 +440,35 @@ def token_budget_plan(
     the total-weight window runs over the post-agg frame, which has one
     row per source.
     """
+    frame = _token_budget_frame(
+        docs, budget, weights, default_weight, source_col, text_col
+    )
+    return frame.select(
+        F.col(source_col),
+        "available_tokens",
+        "weight",
+        F.round(F.col("__target_exact"), 4).alias("target_tokens"),
+        F.round(F.col("__epochs_exact"), 6).alias("epochs"),
+        F.round(F.least(F.lit(1.0), F.col("__epochs_exact")), 6).alias(
+            "sample_fraction"
+        ),
+        "repeat_epochs",
+    )
+
+
+def _token_budget_frame(
+    docs: DataFrame,
+    budget: int,
+    weights: dict | None,
+    default_weight: float,
+    source_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared per-source plan frame with the UNROUNDED target
+    (``__target_exact``): ``token_budget_plan`` rounds it for display;
+    ``materialize_token_budget`` filters on it, so the keep/drop decision
+    for a boundary document never depends on display rounding (a target
+    within 5e-5 of an integer must not flip membership)."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     from pyspark.sql.window import Window
@@ -468,9 +497,8 @@ def token_budget_plan(
         F.col(source_col),
         "available_tokens",
         wcol.alias("weight"),
-        F.round(target, 4).alias("target_tokens"),
-        F.round(epochs, 6).alias("epochs"),
-        F.round(F.least(F.lit(1.0), epochs), 6).alias("sample_fraction"),
+        target.alias("__target_exact"),
+        epochs.alias("__epochs_exact"),
         F.ceil(epochs).cast("int").alias("repeat_epochs"),
     )
 
@@ -499,17 +527,22 @@ def materialize_token_budget(
 
     Scale shape: the plan is a per-source aggregate broadcast back onto
     the corpus; the only data-sized work is one explode (≤ repeat
-    epochs) and one per-source running-total window — partitioned by
-    source, the natural key (a single source big enough to overwhelm
-    one executor's sort should use ordering.global_cumsum's bucketed
-    form per source). Prefix semantics: a document whose tokens would
-    cross the target ends its source's intake (no fractional docs).
+    epochs) and the per-source running total, computed with the bucketed
+    ``ordering.global_cumsum`` two-pass form (``partition_cols=[source]``,
+    bucket = md5-prefix) — the window is partitioned by (source, hash
+    bucket), so a source holding most of a 100 TB corpus becomes ~256
+    parallel sort tasks, never one. ``n_tokens`` is a long, so the
+    bucketed summation is bit-exact vs the naive window. The prefix
+    filter compares against the UNROUNDED target share (the rounded
+    ``target_tokens`` column of ``token_budget_plan`` is display-only).
+    Prefix semantics: a document whose tokens would cross the target
+    ends its source's intake (no fractional docs).
     """
-    from pyspark.sql.window import Window
+    from etl_workflows_spark.operators import ordering
 
-    plan = token_budget_plan(
+    plan = _token_budget_frame(
         docs, budget, weights, default_weight, source_col, text_col
-    ).select(source_col, "target_tokens", "repeat_epochs")
+    ).select(source_col, "__target_exact", "repeat_epochs")
     d = (
         docs.join(F.broadcast(plan), source_col)
         .filter(F.col("repeat_epochs") > 0)
@@ -519,25 +552,32 @@ def materialize_token_budget(
             F.size(F.split(F.col(text_col), " "))
             .cast("long")
             .alias("n_tokens"),
-            "target_tokens",
+            "__target_exact",
             F.explode(
                 F.sequence(F.lit(0), F.col("repeat_epochs") - 1)
             ).alias("epoch"),
         )
     )
-    h = salted_hash(
-        F.concat(
-            F.col(key_col).cast("string"),
-            F.lit(":"),
-            F.col("epoch").cast("string"),
+    d = d.withColumn(
+        "__h",
+        salted_hash(
+            F.concat(
+                F.col(key_col).cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            ),
+            salt,
         ),
-        salt,
     )
-    w = Window.partitionBy(source_col).orderBy(
-        h, F.col(key_col), F.col("epoch")
+    out = ordering.global_cumsum(
+        d,
+        sort_cols=["__h", key_col, "epoch"],
+        val_col="n_tokens",
+        bucket=ordering.hash_prefix_bucket(F.col("__h")),
+        out_col="cum_tokens",
+        partition_cols=[source_col],
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= F.col("target_tokens"))
+        out.filter(F.col("cum_tokens") <= F.col("__target_exact"))
         .select(key_col, source_col, "epoch", "n_tokens", "cum_tokens")
     )

@@ -191,6 +191,26 @@ def test_token_budget_plan_single_corpus_shuffle(spark, sf_dir):
     assert "partial" in plan.lower()  # map-side combine before the shuffle
 
 
+def test_mixture_materialize_window_is_bucketed(spark, sf_dir):
+    """The manifest's corpus-sized running total must be partitioned by
+    (source, hash-bucket) — a window partitioned by source alone makes
+    one multi-TB sort task per source at 100 TB (VERDICT r8's one weak
+    item). The offsets map keeps the result bit-exact."""
+    import re
+
+    from etl_workflows_spark.queries.llm import mixture_materialize_docs
+
+    plan = _plan(mixture_materialize_docs(spark, sf_dir))
+    # the data-sized exchange hashes on (source, __bucket), never source
+    # alone; the only SinglePartition is the post-agg total-weight window
+    # (one row per source — same allowance as token_budget_plan's test)
+    assert re.search(r"hashpartitioning\(source#\d+, __bucket", plan), plan[:2000]
+    assert plan.count("SinglePartition") <= 1, plan
+    # every window spec over the corpus includes the bucket key
+    specs = re.findall(r"windowspecdefinition\(source#\d+, (\w+)", plan)
+    assert specs and all(s.startswith("__bucket") for s in specs), specs
+
+
 def test_compression_ratio_is_one_arrow_projection(spark, sf_dir):
     """The zlib gate must be scan → Arrow-batched eval → project: no
     shuffle, no row-at-a-time Python."""
