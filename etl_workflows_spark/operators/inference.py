@@ -121,6 +121,52 @@ def quality_logistic_model_fn(
     return model_fn
 
 
+def quantized_margin_model_fn(
+    weights: dict[str, int] | None = None,
+    bias: int | None = None,
+) -> Callable[[list[str]], list[float]]:
+    """Batched-inference kernel for the INTEGER-quantized quality
+    classifier (operators/classifier.py QUANT_WEIGHTS): per-text integer
+    features with the exact semantics of ``classifier.quantized_features``
+    (literal-space token split, integer ``div``), dotted with the frozen
+    fixed-point weights. Every margin is an integer with magnitude well
+    under 2^53, returned as an exact double — so the batched path's
+    scores are bit-identical to in-plan ``score_quality_quantized`` and
+    SQL-oracle-checkable end-to-end: the hash-exact proof that batch
+    shaping never alters a score."""
+    from etl_workflows_spark.operators.classifier import (
+        QUANT_BIAS,
+        QUANT_FEATURES,
+        QUANT_WEIGHTS,
+    )
+    from etl_workflows_spark.operators.text import STOPWORDS
+
+    w = QUANT_WEIGHTS if weights is None else weights
+    b = QUANT_BIAS if bias is None else bias
+    order = list(QUANT_FEATURES)
+    stop = frozenset(STOPWORDS)
+
+    def model_fn(texts: list[str]) -> list[float]:
+        out = []
+        for t in texts:
+            t = t or ""
+            toks = t.split(" ")  # split(' ', -1) semantics, like Spark
+            ntok = max(len(toks), 1)
+            nch = max(len(t), 1)
+            feats = {
+                "q_tok": min(len(toks), 1000),
+                "q_uniq": (len(set(toks)) * 1000) // ntok,
+                "q_stop": (sum(1 for x in toks if x in stop) * 1000) // ntok,
+                "q_avglen": (nch * 100) // ntok,
+                "q_digit": (sum(1 for c in t if "0" <= c <= "9") * 1000) // nch,
+                "q_caps": (sum(1 for c in t if "A" <= c <= "Z") * 1000) // nch,
+            }
+            out.append(float(b + sum(w[k] * feats[k] for k in order)))
+        return out
+
+    return model_fn
+
+
 def fitted_quality_model_fn(model) -> Callable[[list[str]], list[float]]:
     """``quality_logistic_model_fn`` with parameters extracted from a
     fitted ``classifier.train_quality_model`` PipelineModel (same

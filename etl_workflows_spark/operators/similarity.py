@@ -1618,9 +1618,22 @@ def knn_join_fast(
     keeping only per-batch top-k candidates; a final per-query window
     over ≤ k × batches candidate rows yields the global top-k.
 
-    Same output contract as ``knn_join`` (equality-tested); the corpus is
-    scanned once with no row explosion — the shuffle carries candidates,
-    not the q×n score matrix.
+    Same output contract as ``knn_join`` — BIT-identical, not just
+    tolerance-equal: the matmul only SELECTS candidates (≤ k × batches
+    per query, all boundary ties kept); the winners are then re-scored
+    with the same Catalyst ``cosine`` expression ``knn_join`` uses, via
+    one broadcast join of the tiny candidate set against the corpus
+    scan. Final floats therefore share ``knn_join``'s fold order, and
+    the entry is SQL-oracle-checkable (the EWMA/Holt fixed-recursion
+    pattern applied to kNN). The one caveat inherited from candidate
+    selection: two DISTINCT neighbors whose cosines differ by less than
+    the matmul-vs-expression float error (~1e-15) could swap at a
+    per-batch cut; exact ties (duplicate embeddings) are immune — all
+    boundary ties survive the cut.
+
+    Scale shape: the corpus is scanned twice (candidate matmul pass +
+    re-score broadcast-hash join), with no row explosion — the shuffle
+    carries candidates, not the q×n score matrix.
     """
     import numpy as np
     import pandas as pd
@@ -1681,10 +1694,26 @@ def knn_join_fast(
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    pairs = cand.select("query_id", "neighbor_id").distinct()
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cv.join(F.broadcast(pairs), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("c_vec"), F.col("q_vec")).alias("cos_sim"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return cand.withColumn("rank", F.row_number().over(w)).filter(
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
 

@@ -1122,11 +1122,12 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3
 
 def knn_join_bench_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path of knn_join_bench: one numpy matmul per corpus Arrow
-    batch against the broadcast normalized query matrix, per-batch top-k
-    candidates, then a final window over candidates only. Equality with
-    the exact twin is pinned in test_llm_ops; float summation order
-    differs from the SQL oracle (normalized matmul), so this entry is
-    rows-only and the relational twin carries the hash check."""
+    batch against the broadcast normalized query matrix selects per-batch
+    top-k CANDIDATES; the winners are re-scored with the same Catalyst
+    cosine expression the exact twin uses (broadcast join of the tiny
+    candidate set), so the output is bit-identical to knn_join_bench and
+    hash-checked against the SAME SQL oracle (converted from rows-only in
+    round 9 via the fixed-recursion pattern)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.knn_join_fast(
         emb.filter(F.col("label") == 0),
@@ -1939,25 +1940,72 @@ FROM documents
 
 def score_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus scoring through the inference batching plumbing
-    (operators/inference.py): length-sorted token-budget micro-batches,
-    padding telemetry per batch, and a REAL numpy logistic kernel
-    (feature extraction + standardize + sigmoid over fixed deterministic
-    parameters) so the bench measures model compute + batch shaping,
-    not just the plumbing. Rows-only check: the per-batch telemetry
-    columns depend on partition boundaries no SQL engine replays; the
-    kernel's score parity with in-plan scoring is pinned in
-    tests/test_inference.py."""
+    (operators/inference.py): length-sorted token-budget micro-batches
+    running the INTEGER-quantized quality classifier as the model kernel
+    (round 9, VERDICT r8 #3). Every margin is an exact integer, so this
+    entry is hash-checked against the same frozen-weights SQL as
+    quality_classifier_scores_docs — the end-to-end proof that batch
+    shaping (partition boundaries, micro-batch cuts, Arrow transfer)
+    never alters a score. The per-batch padding telemetry is partition-
+    dependent by nature and stays OUT of the checked projection (pinned
+    in tests/test_inference.py instead); the float logistic kernel
+    (quality_logistic_model_fn) remains the bench's model-compute
+    twin, parity-pinned in the same suite."""
     from etl_workflows_spark.operators.inference import (
-        FIXED_QUALITY_PARAMS,
-        quality_logistic_model_fn,
+        quantized_margin_model_fn,
         score_documents,
     )
 
-    return score_documents(
+    scored = score_documents(
         table(spark, sf_dir, "documents"),
         max_batch_tokens=2048,
-        model_fn=quality_logistic_model_fn(**FIXED_QUALITY_PARAMS),
+        model_fn=quantized_margin_model_fn(),
     )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.col("score").cast("long").alias("q_margin"),
+        (F.col("score") >= 0).alias("kept"),
+    )
+
+
+def _score_batched_oracle() -> str:
+    from etl_workflows_spark.operators import classifier
+
+    from etl_workflows_spark.operators.text import STOPWORDS
+
+    w, b = classifier.QUANT_WEIGHTS, classifier.QUANT_BIAS
+    dot = " + ".join(
+        f"({int(w[name])} * {name})" for name in classifier.QUANT_FEATURES
+    )
+    stops = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS rawtok,
+         GREATEST(LEN(STRING_SPLIT(COALESCE(text, ''), ' ')), 1) AS ntok,
+         GREATEST(LENGTH(COALESCE(text, '')), 1) AS nch,
+         LEN(LIST_DISTINCT(STRING_SPLIT(COALESCE(text, ''), ' '))) AS uq,
+         LEN(LIST_FILTER(STRING_SPLIT(COALESCE(text, ''), ' '),
+             x -> LIST_CONTAINS({stops}, x))) AS st,
+         LENGTH(REGEXP_REPLACE(COALESCE(text, ''), '[^0-9]', '', 'g')) AS dg,
+         LENGTH(REGEXP_REPLACE(COALESCE(text, ''), '[^A-Z]', '', 'g')) AS cp
+  FROM documents
+), q AS (
+  SELECT doc_id, CAST(rawtok AS INTEGER) AS n_tokens,
+         LEAST(ntok, 1000) AS q_tok,
+         (uq * 1000) // ntok AS q_uniq,
+         (st * 1000) // ntok AS q_stop,
+         (nch * 100) // ntok AS q_avglen,
+         (dg * 1000) // nch AS q_digit,
+         (cp * 1000) // nch AS q_caps
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST({int(b)} + {dot} AS BIGINT) AS q_margin,
+       ({int(b)} + {dot}) >= 0 AS kept
+FROM q
+"""
 
 
 def sft_render_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3102,11 +3150,17 @@ ORACLE_SQL = {
     "chunk_windows": _CHUNK_ORACLE,
     "quality_gate": _GATE_ORACLE,
     "quality_classifier_scores_docs": _quant_classifier_oracle(),
+    # batched-inference twin of the quantized scorer: same frozen
+    # integers, so batch shaping is proven score-neutral end-to-end
+    "score_documents_batched": _score_batched_oracle(),
     "heavy_hitter_tokens": _HEAVY_HITTER_ORACLE,
     "per_source_cap": _PER_SOURCE_CAP_ORACLE,
     "bigram_collocations": _BIGRAM_ORACLE,
     "semantic_decontam": _SEMANTIC_DECONTAM_ORACLE,
     "knn_join_bench": _KNN_JOIN_ORACLE,
+    # the fast twin re-scores its candidates with the exact twin's
+    # Catalyst expression, so the SAME oracle pins it hash-for-hash
+    "knn_join_bench_fast": _KNN_JOIN_ORACLE,
     "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
     "epoch_shard_docs": _EPOCH_SHARD_ORACLE,
     "blend_sources_docs": _BLEND_ORACLE,

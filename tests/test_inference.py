@@ -147,3 +147,30 @@ def test_padding_win_holds_under_real_kernel(spark):
     )
     assert sorted_eff > unsorted_eff
     assert sorted_eff > 0.9
+
+
+def test_quantized_kernel_bit_exact_with_inplan_scoring(spark, sf_dir):
+    """The integer-quantized batched kernel (round 9) must reproduce the
+    in-plan score_quality_quantized margins EXACTLY — no tolerance: both
+    paths compute the same frozen-integer dot product, so any difference
+    is a feature-semantics drift between the Python kernel and the
+    Catalyst expressions."""
+    from etl_workflows_spark.operators.classifier import score_quality_quantized
+    from etl_workflows_spark.operators.inference import (
+        quantized_margin_model_fn,
+        score_documents,
+    )
+    from etl_workflows_spark.queries.base import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    inplan = {
+        r["doc_id"]: r["q_margin"]
+        for r in score_quality_quantized(docs).collect()
+    }
+    batched = {
+        r["doc_id"]: int(r["score"])
+        for r in score_documents(
+            docs, max_batch_tokens=512, model_fn=quantized_margin_model_fn()
+        ).collect()
+    }
+    assert batched == inplan

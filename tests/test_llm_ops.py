@@ -377,7 +377,9 @@ def test_mean_pool_embeddings(spark):
 
 def test_knn_join_fast_matches_exact(spark, sf_dir):
     """The matmul scale path must return the same neighbors/ranks as the
-    relational brute-force twin (cosines to float tolerance)."""
+    relational brute-force twin, with BIT-identical cosines (round 9:
+    the fast path re-scores its candidates with the exact twin's
+    Catalyst expression, so floats share the same fold order)."""
     from etl_workflows_spark.operators.similarity import knn_join, knn_join_fast
     from etl_workflows_spark.queries.base import table
     from pyspark.sql import functions as F
@@ -396,7 +398,7 @@ def test_knn_join_fast_matches_exact(spark, sf_dir):
     assert set(exact) == set(fast)
     for key, (nid, cs) in exact.items():
         fnid, fcs = fast[key]
-        assert fnid == nid and abs(fcs - cs) < 1e-9
+        assert fnid == nid and fcs == cs
 
 
 def test_multiprobe_improves_recall_over_single_bucket(spark, sf_dir):
