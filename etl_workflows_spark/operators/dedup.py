@@ -414,7 +414,13 @@ def simhash_bits(text_col: str = "text", bits: int = 16) -> Column:
     if not 1 <= bits <= 62:
         raise ValueError(f"bits must be in [1, 62], got {bits}")
     nibbles = (bits + 3) // 4
-    toks = F.array_distinct(_tokens(text_col))
+    # NULL text must fingerprint as 0 (empty vote), not NULL: a NULL
+    # array poisons the whole fold, and NULL fingerprints silently drop
+    # out of every banding join — matching the per-bit formulation this
+    # replaced and the DuckDB _simhash_oracle (CASE ... ELSE 0)
+    toks = F.array_distinct(
+        F.coalesce(_tokens(text_col), F.array().cast("array<string>"))
+    )
     # md5 once per token; bits decode from the nibble prefix
     hs = F.transform(toks, lambda x: F.substring(F.md5(x), 1, nibbles))
     zero = F.array(*([F.lit(0).cast("long")] * (bits + 1)))

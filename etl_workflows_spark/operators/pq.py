@@ -706,7 +706,14 @@ def read_ivfpq_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """Open a persisted IVF-PQ index → (codes, centroids, codebooks);
-    ``list_id`` is a partition column, so probe filters prune files."""
+    ``list_id`` is a partition column, so probe filters prune files.
+
+    The codebook sidecar is validated dense: subs must be exactly
+    0..m-1 and each sub's codes exactly 0..k-1. A gap (partial write,
+    manual edit) would otherwise silently COMPACT — stored code c
+    decoding to the wrong centroid, corrupted ADC scores with no error
+    (the same failure class ``read_ivfpq_meta`` guards its sidecar
+    against)."""
     codes = spark.read.parquet(f"{path}/codes")
     cent_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
@@ -717,9 +724,25 @@ def read_ivfpq_index(
     )
     books: dict[int, dict[int, list[float]]] = {}
     for r in book_rows:
-        books.setdefault(r["sub"], {})[r["code"]] = [
-            float(x) for x in r["centroid"]
-        ]
+        sub_book = books.setdefault(r["sub"], {})
+        if r["code"] in sub_book:
+            raise ValueError(
+                f"IVF-PQ codebook sidecar at {path}/codebooks is corrupt: "
+                f"duplicate (sub={r['sub']}, code={r['code']}) row"
+            )
+        sub_book[r["code"]] = [float(x) for x in r["centroid"]]
+    if sorted(books) != list(range(len(books))):
+        raise ValueError(
+            f"IVF-PQ codebook sidecar at {path}/codebooks is corrupt: "
+            f"subquantizers {sorted(books)} are not dense 0..m-1"
+        )
+    for sub, book in books.items():
+        if sorted(book) != list(range(len(book))):
+            raise ValueError(
+                f"IVF-PQ codebook sidecar at {path}/codebooks is corrupt: "
+                f"sub {sub} codes {sorted(book)} are not dense 0..k-1 — "
+                "positional rebuild would decode codes to wrong centroids"
+            )
     return (
         codes,
         cents,

@@ -568,6 +568,30 @@ FROM documents GROUP BY 1
 """
 
 
+def _index_cache_path(sf_dir: str, kind: str) -> str:
+    """Temp-dir cache location for a persisted ANN index, keyed by corpus
+    CONTENT — path plus size+mtime of the embeddings parquet — so
+    regenerated fixture data can never be served a stale index (ADVICE
+    r8: a path-only key silently kept old codebooks/centroids/codes
+    when the data underneath changed, and rows-only entries would never
+    catch it)."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [sf_dir]
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"etlws_{kind}_{key}")
+
+
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file, nprobe=4 of 16 lists — approximate,
     rows-only check; recall + exactness-at-full-probe measured in tests
@@ -576,13 +600,10 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs against the PERSISTED index (list_id-partitioned parquet +
     centroid sidecar): the probe scan is partition-pruned to the 4
     probed lists — the shape a 100 TB corpus requires. The index is
-    built once per (process, corpus) and reused."""
-    import hashlib
+    built once per (process, corpus content) and reused."""
     import os
-    import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"etlws_ivf_{key}")
+    path = _index_cache_path(sf_dir, "ivf")
     if not os.path.exists(os.path.join(path, "lists", "_SUCCESS")):
         emb = table(spark, sf_dir, "embeddings")
         index, cents = similarity.build_ivf_index(emb, n_lists=16, iterations=1)
@@ -599,10 +620,11 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_workflows_spark.operators import pq
 
     emb = table(spark, sf_dir, "embeddings")
-    books = _pq_books_cache.get(sf_dir)
+    cache_key = _index_cache_path(sf_dir, "pqbooks")  # content-keyed
+    books = _pq_books_cache.get(cache_key)
     if books is None:
         books = pq.train_pq_codebooks(emb, m=8, k=16, iterations=2)
-        _pq_books_cache[sf_dir] = books
+        _pq_books_cache[cache_key] = books
     codes = pq.pq_encode(emb, books)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return pq.pq_adc_topk(spark, codes, books, qv, k=20)
@@ -620,14 +642,11 @@ def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe is a partition-pruned scan. Approximate (rows-only);
     exact-degradation, batch==loop, pruning, append, and recall pinned
     in test_ivfpq.py."""
-    import hashlib
     import os
-    import tempfile
 
     from etl_workflows_spark.operators import pq
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"etlws_ivfpq_{key}")
+    path = _index_cache_path(sf_dir, "ivfpq")
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         emb = table(spark, sf_dir, "embeddings")
         codes, cents, books = pq.build_ivfpq_index(

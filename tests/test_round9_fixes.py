@@ -136,3 +136,74 @@ def test_materialize_filters_on_unrounded_target(spark):
     out2 = sampling.materialize_token_budget(docs, budget=21, weights=weights)
     kept_a = [r for r in out2.collect() if r["source"] == "a"]
     assert kept_a and all(r["cum_tokens"] <= 20 for r in kept_a)
+
+
+def test_simhash_null_text_fingerprints_as_zero(spark):
+    """ADVICE r8: NULL text must fingerprint as 0 (the empty vote) —
+    matching the per-bit formulation and the DuckDB oracle — not NULL,
+    which silently vanishes from every banding join."""
+    from etl_workflows_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[0] == 0 and fps[1] == 0
+    assert fps[2] is not None
+    # two null-text docs share fingerprint 0 -> they must PAIR, not drop
+    pairs = dedup.near_dup_pairs_simhash(docs, max_hamming=1)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_index_cache_path_tracks_corpus_content(tmp_path):
+    """ADVICE r8: the ANN index cache key must change when the
+    embeddings data changes (size/mtime), not just when the path does —
+    a path-only key silently serves stale codebooks after fixture
+    regeneration."""
+    from etl_workflows_spark.queries.llm import _index_cache_path
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    emb = sf / "embeddings.parquet"
+    emb.write_bytes(b"v1")
+    p1 = _index_cache_path(str(sf), "ivf")
+    assert _index_cache_path(str(sf), "ivf") == p1  # stable
+    import os
+
+    st = emb.stat()
+    os.utime(emb, ns=(st.st_mtime_ns + 1_000_000_000,) * 2)
+    p2 = _index_cache_path(str(sf), "ivf")
+    assert p2 != p1  # regenerated data -> new cache slot
+    assert _index_cache_path(str(sf), "ivfpq") != p2  # kind-separated
+
+
+def test_read_ivfpq_index_rejects_gapped_codebooks(spark, tmp_path, sf_dir):
+    """ADVICE r8: a codebook sidecar with a missing (sub, code) row must
+    raise, not silently compact later codes onto wrong centroids."""
+    from etl_workflows_spark.operators import pq
+    from etl_workflows_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(64)
+    codes, cents, books = pq.build_ivfpq_index(
+        emb, n_lists=4, m=4, k_codes=8, ivf_iterations=1
+    )
+    path = str(tmp_path / "idx")
+    pq.write_ivfpq_index(codes, cents, books, path)
+    # sanity: intact index reads back
+    _, _, books2 = pq.read_ivfpq_index(spark, path)
+    assert len(books2) == 4 and all(len(b) == 8 for b in books2)
+    # gap a row: drop (sub=1, code=3) and overwrite the sidecar
+    sb = spark.read.parquet(f"{path}/codebooks")
+    gapped = sb.filter(~((F.col("sub") == 1) & (F.col("code") == 3)))
+    gapped.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks_tmp"
+    )
+    import shutil
+
+    shutil.rmtree(f"{path}/codebooks")
+    shutil.move(f"{path}/codebooks_tmp", f"{path}/codebooks")
+    with pytest.raises(ValueError, match="not dense"):
+        pq.read_ivfpq_index(spark, path)
