@@ -220,3 +220,54 @@ def excise_duplicate_spans(
     # note: a doc whose every token was excised gets "" via the
     # left-join coalesce, not a dropped row — row count is preserved
     return out
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    length: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty (memorization audit): the share of a
+    document's L-token rolling windows that occur exactly once
+    corpus-wide. Returns (doc_id, n_windows, dup_windows,
+    novelty_ratio); docs shorter than one window carry no windows and
+    are absent by contract (novelty of nothing is undefined).
+
+    Shape: the window extraction is materialized ONCE (the bare
+    freq-agg + join-back references it twice and would re-run the whole
+    tokenize+explode — no CSE across self-referencing plans), then one
+    window-frequency agg (map-side combined) + one equi-join back. A
+    COUNT() OVER (PARTITION BY win) is one pass and measured faster at
+    ×10, but funnels each hot boilerplate window into a single reducer
+    with NO AQE protection (AQE splits skewed joins, never skewed
+    windows) — the checkpoint + groupBy + AQE-skew-splittable join is
+    what survives a 1e9-copy boilerplate window at 100 TB.
+    """
+    w = (
+        token_windows(docs, length, text_col, id_col)
+        .select(F.col("doc_id"), "win")  # pos unused: halve the checkpoint
+        .localCheckpoint(eager=True)
+    )
+    freq = w.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        w.join(freq, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.lit(1.0)
+                - F.col("dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -2836,43 +2836,10 @@ def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (novelty of nothing is undefined)."""
     from etl_workflows_spark.operators import spans as spans_ops
 
+    # shape notes (checkpoint-once, groupBy-not-window) live with the
+    # operator: spans.ngram_novelty
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # materialize the window extraction ONCE: the bare freq-agg +
-    # join-back shape references w twice and re-runs the whole
-    # tokenize+explode (no CSE across self-referencing plans). A
-    # COUNT() OVER (PARTITION BY win) is one pass and measured fastest
-    # at x10 (2.2 s vs 3.4 s here) but funnels each hot boilerplate
-    # window into a single reducer with NO AQE protection (AQE splits
-    # skewed joins, never skewed windows) — the checkpoint + groupBy
-    # (map-side combined) + equi-join (AQE skew-splittable) shape is
-    # what survives a 1e9-copy boilerplate window at 100 TB.
-    w = (
-        spans_ops.token_windows(d, 8)
-        .select("doc_id", "win")  # pos unused: halve the checkpoint
-        .localCheckpoint(eager=True)
-    )
-    freq = w.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        w.join(freq, "win")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("dup_windows"),
-        )
-        .select(
-            "doc_id",
-            "n_windows",
-            "dup_windows",
-            F.round(
-                F.lit(1.0)
-                - F.col("dup_windows").cast("double")
-                / F.col("n_windows").cast("double"),
-                6,
-            ).alias("novelty_ratio"),
-        )
-    )
+    return spans_ops.ngram_novelty(d, 8)
 
 
 _NGRAM_NOVELTY_ORACLE = """
