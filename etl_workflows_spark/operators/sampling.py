@@ -569,6 +569,12 @@ def materialize_token_budget(
             salt,
         ),
     )
+    # materialize the exploded frame ONCE: the bucketed cumsum's offsets
+    # pass and window pass both read it, and without this the
+    # scan → broadcast-join → explode → md5 upstream runs twice (same
+    # contract as spans._duplicated_hits' checkpoint; at cluster scale
+    # persist to storage instead)
+    d = d.localCheckpoint(eager=True)
     out = ordering.global_cumsum(
         d,
         sort_cols=["__h", key_col, "epoch"],

@@ -1631,9 +1631,10 @@ def knn_join_fast(
     per-batch cut; exact ties (duplicate embeddings) are immune — all
     boundary ties survive the cut.
 
-    Scale shape: the corpus is scanned twice (candidate matmul pass +
-    re-score broadcast-hash join), with no row explosion — the shuffle
-    carries candidates, not the q×n score matrix.
+    Scale shape: ONE corpus scan — the kernel emits each candidate's
+    raw stored vector alongside its ids (Arrow round-trips the floats
+    bit-exactly), so re-scoring is a broadcast join of the tiny query
+    matrix onto ≤ k × batches candidate rows, no second corpus read.
     """
     import numpy as np
     import pandas as pd
@@ -1648,11 +1649,12 @@ def knn_join_fast(
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     id_field = corpus.schema[id_col]
+    vec_field = corpus.schema[vec_col]
     schema = T.StructType(
         [
             T.StructField("query_id", id_field.dataType, True),
             T.StructField("neighbor_id", id_field.dataType, True),
-            T.StructField("cos_sim", T.DoubleType(), True),
+            T.StructField("c_vec", vec_field.dataType, True),
         ]
     )
 
@@ -1665,8 +1667,9 @@ def knn_join_fast(
             sims = qm @ cm.T  # (q, batch)
             nb = sims.shape[1]
             kk = min(k, nb)
-            out_q, out_n, out_s = [], [], []
+            out_q, out_n, out_v = [], [], []
             nids = pdf[id_col].to_numpy()
+            raw = pdf[vec_col]
             for qi in range(sims.shape[0]):
                 s = sims[qi]
                 # argpartition (O(n)) bounds the candidate set, then ALL
@@ -1688,27 +1691,22 @@ def knn_join_fast(
                 sel = cand_idx[order]
                 out_q.extend([qids[qi]] * kk)
                 out_n.extend(nids[sel])
-                out_s.extend(s[sel])
+                # the candidate's STORED vector, untouched (no
+                # normalization): Arrow round-trips it bit-exactly so
+                # the Catalyst re-score sees knn_join's exact inputs
+                out_v.extend(np.asarray(raw.iloc[int(i)]).tolist() for i in sel)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+                {"query_id": out_q, "neighbor_id": out_n, "c_vec": out_v}
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
-    pairs = cand.select("query_id", "neighbor_id").distinct()
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        cv.join(F.broadcast(pairs), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("c_vec"), F.col("q_vec")).alias("cos_sim"),
-        )
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("c_vec"), F.col("q_vec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
