@@ -139,6 +139,21 @@ def global_rank_and_cumsum(
     Partition values must be non-null.
     """
     pcols = list(partition_cols)
+    if pcols:
+        from pyspark.sql.types import StringType
+
+        for c in pcols:
+            if not isinstance(df.schema[c].dataType, StringType):
+                # the offset map joins driver-side str() keys against a
+                # Spark cast('string') — the two representations agree
+                # only for strings (booleans: 'True' vs 'true'; floats:
+                # '1e-07' vs '1.0E-7'), and a mismatch would surface as
+                # silent NULL offsets, not an error
+                raise ValueError(
+                    f"partition_cols must be string-typed, got "
+                    f"{c}: {df.schema[c].dataType.simpleString()} — cast "
+                    "it to string first"
+                )
     d = df.withColumn("__bucket", bucket)
     rows = d.groupBy(*pcols, "__bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.col(val_col)).alias("s")
@@ -209,9 +224,15 @@ def _partitioned_rank_and_cumsum(
     offset map by (partition values, bucket), and partition the window by
     (partition cols, bucket) — so no group ever becomes one sort task.
 
-    Offset keys join partition values (via their Spark string cast — use
-    string-typed partition columns) and the bucket with ``\\x1f``; values
+    Offset keys join partition values (string-typed, enforced by the
+    caller's schema check) and the bucket with ``\\x1f``; values
     containing that separator are the caller's contract to exclude.
+
+    Deliberately a SIBLING of ``global_rank_and_cumsum``'s unpartitioned
+    tail rather than its generalization: unifying them would switch
+    every existing caller's int-keyed offset maps to string keys and
+    churn their pinned plans for zero behavior gain. A fix to the
+    offsets-reinjection algorithm must be applied to both.
     """
     if not rows:
         return (

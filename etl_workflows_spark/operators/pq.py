@@ -458,17 +458,26 @@ def build_ivfpq_index(
     """
     from etl_workflows_spark.operators import similarity
 
+    if isinstance(by_residual, str) and by_residual != "auto":
+        raise ValueError(
+            f"by_residual must be True, False, or 'auto', got "
+            f"{by_residual!r} — a stray string must not silently pick "
+            "a coding mode"
+        )
     cents = similarity.ivf_train_centroids(
         embeddings, n_lists, ivf_iterations, id_col, vec_col, fast=True
     )
     assigned = similarity.ivf_assign_fast(embeddings, cents, vec_col)
     res = None
     if by_residual == "auto":
-        res = _ivfpq_residuals(
-            assigned, cents, id_col, vec_col
-        ).localCheckpoint(eager=True)
+        # measure on the UN-checkpointed residual plan: one narrow pass.
+        # Checkpointing before the decision would materialize a
+        # corpus-sized array copy that is pure waste whenever auto
+        # declines residual (the near-uniform case this mode exists to
+        # detect); the True path pays one extra residual pass instead.
         mean_norm = float(
-            res.select(
+            _ivfpq_residuals(assigned, cents, id_col, vec_col)
+            .select(
                 F.avg(
                     F.sqrt(
                         F.aggregate(
@@ -726,7 +735,11 @@ def write_ivfpq_index(
     the write — one file per list, not one per (task × list)."""
     spark = codes.sparkSession
     spark.createDataFrame(
-        [(bool(by_residual),)], "by_residual boolean"
+        # m/k let the reader detect TAIL truncation of the codebook
+        # sidecar (a dense-range check alone cannot see missing trailing
+        # subs/codes)
+        [(bool(by_residual), len(codebooks), len(codebooks[0]))],
+        "by_residual boolean, m int, k int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     codes.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
@@ -786,6 +799,27 @@ def read_ivfpq_index(
                 f"sub {sub} codes {sorted(book)} are not dense 0..k-1 — "
                 "positional rebuild would decode codes to wrong centroids"
             )
+    # dense ranges can't see TAIL truncation (missing trailing codes of a
+    # sub, or a whole trailing sub). Uniform k across subs catches the
+    # former unless every sub truncated identically; the meta sidecar's
+    # recorded (m, k) — written since round 9 — catches both outright.
+    sizes = {len(b) for b in books.values()}
+    if len(sizes) > 1:
+        raise ValueError(
+            f"IVF-PQ codebook sidecar at {path}/codebooks is corrupt: "
+            f"subquantizer code counts differ ({sorted(sizes)}) — "
+            "tail rows of some sub are missing"
+        )
+    meta = read_ivfpq_meta(spark, path)
+    if meta.get("m") is not None:
+        if len(books) != meta["m"] or (books and len(books[0]) != meta["k"]):
+            raise ValueError(
+                f"IVF-PQ codebook sidecar at {path}/codebooks is corrupt: "
+                f"shape ({len(books)} subs × "
+                f"{len(books[0]) if books else 0} codes) does not match "
+                f"the meta sidecar's ({meta['m']} × {meta['k']}) — "
+                "trailing rows lost"
+            )
     return (
         codes,
         cents,
@@ -809,11 +843,17 @@ def read_ivfpq_meta(spark: SparkSession, path: str) -> dict:
         row = spark.read.parquet(f"{path}/meta").first()
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return {"by_residual": False}
+            return {"by_residual": False, "m": None, "k": None}
         raise
     if row is None:
         raise ValueError(f"IVF-PQ meta sidecar at {path}/meta is empty")
-    return {"by_residual": bool(row["by_residual"])}
+    d = row.asDict()
+    # m/k recorded since round 9; pre-r9 sidecars read as unknown shape
+    return {
+        "by_residual": bool(d["by_residual"]),
+        "m": d.get("m"),
+        "k": d.get("k"),
+    }
 
 
 def ivfpq_append(

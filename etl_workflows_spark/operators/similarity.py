@@ -1625,11 +1625,11 @@ def knn_join_fast(
     one broadcast join of the tiny candidate set against the corpus
     scan. Final floats therefore share ``knn_join``'s fold order, and
     the entry is SQL-oracle-checkable (the EWMA/Holt fixed-recursion
-    pattern applied to kNN). The one caveat inherited from candidate
-    selection: two DISTINCT neighbors whose cosines differ by less than
-    the matmul-vs-expression float error (~1e-15) could swap at a
-    per-batch cut; exact ties (duplicate embeddings) are immune — all
-    boundary ties survive the cut.
+    pattern applied to kNN). Per-batch cuts keep a 1e-9 guard band
+    below the k-th matmul similarity, so near-ties are adjudicated by
+    the exact re-score, never by matmul rounding (~1e-15) — equality
+    with ``knn_join`` holds unless the matmul errs by more than 1e-9,
+    far beyond unit-vector dot-product conditioning.
 
     Scale shape: ONE corpus scan — the kernel emits each candidate's
     raw stored vector alongside its ids (Arrow round-trips the floats
@@ -1681,15 +1681,26 @@ def knn_join_fast(
                 if nb > kk:
                     part = np.argpartition(-s, kk - 1)
                     thresh = s[part[kk - 1]]
-                    cand_idx = np.flatnonzero(s >= thresh)
+                    # 1e-9 guard band: the re-score uses Catalyst-fold
+                    # floats that can differ from these matmul floats by
+                    # ~1e-15, so everything within the band survives to
+                    # exact scoring — a true top-k member can only be
+                    # cut if matmul error exceeded 1e-9, far beyond
+                    # unit-vector dot-product conditioning; candidate
+                    # volume grows only by near-ties that needed exact
+                    # adjudication anyway
+                    cand_idx = np.flatnonzero(s >= thresh - 1e-9)
                 else:
                     cand_idx = np.arange(nb)
+                # every band member is emitted (no [:kk] truncation):
+                # the global exact-scored window adjudicates near-ties,
+                # so per-batch matmul rounding can never decide them
                 order = sorted(
                     range(len(cand_idx)),
                     key=lambda i: (-s[cand_idx[i]], nids[cand_idx[i]]),
-                )[:kk]
+                )
                 sel = cand_idx[order]
-                out_q.extend([qids[qi]] * kk)
+                out_q.extend([qids[qi]] * len(sel))
                 out_n.extend(nids[sel])
                 # the candidate's STORED vector, untouched (no
                 # normalization): Arrow round-trips it bit-exactly so

@@ -580,7 +580,7 @@ def _index_cache_path(sf_dir: str, kind: str) -> str:
     import tempfile
 
     p = os.path.join(sf_dir, "embeddings.parquet")
-    parts = [sf_dir]
+    parts = []
     if os.path.isdir(p):
         for f in sorted(os.listdir(p)):
             st = os.stat(os.path.join(p, f))
@@ -588,8 +588,21 @@ def _index_cache_path(sf_dir: str, kind: str) -> str:
     elif os.path.exists(p):
         st = os.stat(p)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"etlws_{kind}_{key}")
+    pathkey = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    contentkey = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    current = os.path.join(tmp, f"etlws_{kind}_{pathkey}_{contentkey}")
+    # evict the SAME corpus path's stale-content siblings (regeneration
+    # would otherwise leak one full persisted index per fixture rewrite);
+    # other corpus paths' caches are untouched — concurrent sf dirs each
+    # keep exactly one live slot
+    import glob
+    import shutil
+
+    for old in glob.glob(os.path.join(tmp, f"etlws_{kind}_{pathkey}_*")):
+        if old != current:
+            shutil.rmtree(old, ignore_errors=True)
+    return current
 
 
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1989,41 +2002,27 @@ def score_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _score_batched_oracle() -> str:
+    """Wrap ``classifier.quantized_oracle_sql`` — the ONE generated copy
+    of the frozen feature recipe — with the batched entry's projection:
+    the null-coalesced source (score_documents scores NULL text as ''),
+    the whitespace token-count column, and the trimmed column set. A
+    feature-recipe change regenerates both hash-checked entries from the
+    same source instead of drifting two hand-kept SQL twins apart."""
     from etl_workflows_spark.operators import classifier
 
-    from etl_workflows_spark.operators.text import STOPWORDS
-
-    w, b = classifier.QUANT_WEIGHTS, classifier.QUANT_BIAS
-    dot = " + ".join(
-        f"({int(w[name])} * {name})" for name in classifier.QUANT_FEATURES
+    inner = classifier.quantized_oracle_sql(
+        source_sql="SELECT doc_id, COALESCE(text, '') AS text FROM documents"
     )
-    stops = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
     return f"""
-WITH t AS (
+WITH scored AS ({inner}),
+nt AS (
   SELECT doc_id,
-         LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS rawtok,
-         GREATEST(LEN(STRING_SPLIT(COALESCE(text, ''), ' ')), 1) AS ntok,
-         GREATEST(LENGTH(COALESCE(text, '')), 1) AS nch,
-         LEN(LIST_DISTINCT(STRING_SPLIT(COALESCE(text, ''), ' '))) AS uq,
-         LEN(LIST_FILTER(STRING_SPLIT(COALESCE(text, ''), ' '),
-             x -> LIST_CONTAINS({stops}, x))) AS st,
-         LENGTH(REGEXP_REPLACE(COALESCE(text, ''), '[^0-9]', '', 'g')) AS dg,
-         LENGTH(REGEXP_REPLACE(COALESCE(text, ''), '[^A-Z]', '', 'g')) AS cp
+         CAST(LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS INTEGER)
+           AS n_tokens
   FROM documents
-), q AS (
-  SELECT doc_id, CAST(rawtok AS INTEGER) AS n_tokens,
-         LEAST(ntok, 1000) AS q_tok,
-         (uq * 1000) // ntok AS q_uniq,
-         (st * 1000) // ntok AS q_stop,
-         (nch * 100) // ntok AS q_avglen,
-         (dg * 1000) // nch AS q_digit,
-         (cp * 1000) // nch AS q_caps
-  FROM t
 )
-SELECT doc_id, n_tokens,
-       CAST({int(b)} + {dot} AS BIGINT) AS q_margin,
-       ({int(b)} + {dot}) >= 0 AS kept
-FROM q
+SELECT s.doc_id, nt.n_tokens, s.q_margin, s.kept
+FROM scored s JOIN nt USING (doc_id)
 """
 
 

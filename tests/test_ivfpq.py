@@ -225,7 +225,9 @@ def test_residual_persist_append_honors_meta(spark, emb, ivfpq_res, tmp_path):
     codes, cents, books = ivfpq_res
     path = str(tmp_path / "ivfpq_res")
     PQ.write_ivfpq_index(codes, cents, books, path, by_residual=True)
-    assert PQ.read_ivfpq_meta(spark, path) == {"by_residual": True}
+    meta = PQ.read_ivfpq_meta(spark, path)
+    assert meta["by_residual"] is True
+    assert meta["m"] == 8 and meta["k"] == 16  # r9: shape recorded
     base_n = codes.count()
 
     qv = _qvec(emb)
@@ -244,7 +246,7 @@ def test_residual_persist_append_honors_meta(spark, emb, ivfpq_res, tmp_path):
 
 def test_meta_missing_defaults_to_no_residual(spark, tmp_path):
     assert PQ.read_ivfpq_meta(spark, str(tmp_path / "nowhere")) == {
-        "by_residual": False
+        "by_residual": False, "m": None, "k": None
     }
 
 
@@ -311,3 +313,8 @@ def test_auto_residual_picks_from_measured_norm(spark, emb):
     )
     assert out2["by_residual"] is True, out2
     assert out2["mean_residual_norm"] < PQ.RESIDUAL_AUTO_THRESHOLD, out2
+
+
+def test_residual_mode_rejects_unknown_string(spark, emb):
+    with pytest.raises(ValueError, match="auto"):
+        PQ.build_ivfpq_index(emb, n_lists=4, by_residual="Auto")

@@ -20,7 +20,6 @@ ROWS_ONLY = {
     "dedup_near_end_to_end",
     "approx_event_sketches",
     "events_distinct_hll_range",
-    "knn_join_bench_fast",
     "equidepth_histogram_approx",
     "bpe_merges_docs",
     "bpe_encode_docs",
@@ -28,7 +27,6 @@ ROWS_ONLY = {
     "pipeline_curation_v2",  # contains the classifier stage
     "audience_overlap_events",  # HLL estimates
     "multimodal_phash_pairs",  # Arrow-kernel pixel packing + DCT
-    "score_documents_batched",  # iterative hash scorer — no SQL twin
     "embedding_near_dup_banded",  # LSH recall — exact twin similar_pairs
     "semantic_dedup_embeddings",  # k-means + iterative components
     "compression_ratio_docs",  # DEFLATE bit-state — no SQL twin

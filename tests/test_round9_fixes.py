@@ -207,3 +207,42 @@ def test_read_ivfpq_index_rejects_gapped_codebooks(spark, tmp_path, sf_dir):
     shutil.move(f"{path}/codebooks_tmp", f"{path}/codebooks")
     with pytest.raises(ValueError, match="not dense"):
         pq.read_ivfpq_index(spark, path)
+
+
+def test_read_ivfpq_index_rejects_tail_truncation(spark, tmp_path, sf_dir):
+    """Post-review hardening: dense-range checks can't see missing TAIL
+    rows — the meta sidecar's recorded (m, k) must catch a lost trailing
+    sub, and uniform-k must catch a truncated single sub."""
+    from etl_workflows_spark.operators import pq
+    from etl_workflows_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(64)
+    codes, cents, books = pq.build_ivfpq_index(
+        emb, n_lists=4, m=4, k_codes=8, ivf_iterations=1
+    )
+    path = str(tmp_path / "idx")
+    pq.write_ivfpq_index(codes, cents, books, path)
+    meta = pq.read_ivfpq_meta(spark, path)
+    assert (meta["m"], meta["k"]) == (4, 8)
+
+    import shutil
+
+    def _overwrite_codebooks(pred):
+        sb = spark.read.parquet(f"{path}/codebooks")
+        sb.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/cb_tmp"
+        )
+        shutil.rmtree(f"{path}/codebooks")
+        shutil.move(f"{path}/cb_tmp", f"{path}/codebooks")
+
+    # drop the entire trailing sub: dense 0..m-2 would pass a range
+    # check, the meta shape must reject it
+    _overwrite_codebooks(F.col("sub") < 3)
+    with pytest.raises(ValueError, match="meta sidecar"):
+        pq.read_ivfpq_index(spark, path)
+
+    # rebuild, then drop the TAIL codes of one sub: uniform-k rejects
+    pq.write_ivfpq_index(codes, cents, books, path)
+    _overwrite_codebooks(~((F.col("sub") == 2) & (F.col("code") >= 6)))
+    with pytest.raises(ValueError, match="differ|meta sidecar"):
+        pq.read_ivfpq_index(spark, path)
