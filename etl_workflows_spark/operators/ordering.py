@@ -139,21 +139,6 @@ def global_rank_and_cumsum(
     Partition values must be non-null.
     """
     pcols = list(partition_cols)
-    if pcols:
-        from pyspark.sql.types import StringType
-
-        for c in pcols:
-            if not isinstance(df.schema[c].dataType, StringType):
-                # the offset map joins driver-side str() keys against a
-                # Spark cast('string') — the two representations agree
-                # only for strings (booleans: 'True' vs 'true'; floats:
-                # '1e-07' vs '1.0E-7'), and a mismatch would surface as
-                # silent NULL offsets, not an error
-                raise ValueError(
-                    f"partition_cols must be string-typed, got "
-                    f"{c}: {df.schema[c].dataType.simpleString()} — cast "
-                    "it to string first"
-                )
     d = df.withColumn("__bucket", bucket)
     rows = d.groupBy(*pcols, "__bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.col(val_col)).alias("s")
@@ -220,53 +205,55 @@ def _partitioned_rank_and_cumsum(
     start: int,
 ) -> DataFrame:
     """Grouped variant of the offsets re-injection: cumulate per-bucket
-    stats WITHIN each partition group on the driver, key the literal
-    offset map by (partition values, bucket), and partition the window by
-    (partition cols, bucket) — so no group ever becomes one sort task.
+    stats WITHIN each partition group on the driver, then BROADCAST-JOIN
+    the (group, bucket) → offsets relation back and run the window
+    partitioned by (partition cols, bucket) — no group ever becomes one
+    sort task.
 
-    Offset keys join partition values (string-typed, enforced by the
-    caller's schema check) and the bucket with ``\\x1f``; values
-    containing that separator are the caller's contract to exclude.
+    The offsets travel as a broadcast join, not the unpartitioned path's
+    literal map: the product n_groups × n_buckets reaches thousands of
+    entries, and a create_map literal that size is a codegen bomb
+    (measured 25× on the mixture manifest at 20 sources × 256 buckets)
+    — while joining on the native column values also sidesteps every
+    driver-str()-vs-Spark-cast representation mismatch, so partition
+    columns may be any equatable type.
 
     Deliberately a SIBLING of ``global_rank_and_cumsum``'s unpartitioned
     tail rather than its generalization: unifying them would switch
-    every existing caller's int-keyed offset maps to string keys and
+    every existing caller's small int-keyed offset maps to a join and
     churn their pinned plans for zero behavior gain. A fix to the
     offsets-reinjection algorithm must be applied to both.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     if not rows:
         return (
             d.drop("__bucket")
             .withColumn(ordinal_col, F.lit(None).cast("bigint"))
             .withColumn(cum_col, F.lit(None).cast("bigint"))
         )
-    sep = "\x1f"
     groups: dict[tuple, list] = {}
     for r in rows:
-        groups.setdefault(tuple(str(r[c]) for c in pcols), []).append(
+        groups.setdefault(tuple(r[c] for c in pcols), []).append(
             (r["__bucket"], r["n"], r["s"])
         )
-    n_off: dict[str, int] = {}
-    s_off: dict[str, int] = {}
+    off_rows = []
     for gvals, stats in groups.items():
         acc_n, acc_s = start - 1, 0
         for b, n, s in sorted(stats):
-            k = sep.join((*gvals, str(b)))
-            n_off[k] = acc_n
-            s_off[k] = acc_s
+            off_rows.append((*gvals, b, acc_n, acc_s))
             acc_n += n
             acc_s += s or 0
-    key = F.concat_ws(
-        sep,
-        *[F.col(c).cast("string") for c in pcols],
-        F.col("__bucket").cast("string"),
+    schema = StructType(
+        [
+            *[d.schema[c] for c in pcols],
+            d.schema["__bucket"],
+            StructField("__noff", LongType(), False),
+            StructField("__soff", LongType(), False),
+        ]
     )
-    n_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kn in n_off.items() for x in kn]), key
-    )
-    s_expr = F.element_at(
-        F.create_map(*[F.lit(x) for ks in s_off.items() for x in ks]), key
-    )
+    offs = d.sparkSession.createDataFrame(off_rows, schema)
+    joined = d.join(F.broadcast(offs), [*pcols, "__bucket"])
     w = W.partitionBy(*pcols, "__bucket").orderBy(
         *[F.col(c) for c in sort_cols]
     )
@@ -275,9 +262,9 @@ def _partitioned_rank_and_cumsum(
         w.rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        d.withColumn(ordinal_col, rn.cast("bigint") + n_expr.cast("bigint"))
-        .withColumn(cum_col, cum + s_expr)
-        .drop("__bucket")
+        joined.withColumn(ordinal_col, rn.cast("bigint") + F.col("__noff"))
+        .withColumn(cum_col, cum + F.col("__soff"))
+        .drop("__bucket", "__noff", "__soff")
     )
 
 
