@@ -232,16 +232,26 @@ def _partitioned_rank_and_cumsum(
             .withColumn(ordinal_col, F.lit(None).cast("bigint"))
             .withColumn(cum_col, F.lit(None).cast("bigint"))
         )
+    def _hashable(v):
+        # collect() yields lists for array columns and Rows for structs;
+        # make the driver-side group key hashable without changing the
+        # values shipped back in the offsets relation
+        if isinstance(v, list):
+            return tuple(_hashable(x) for x in v)
+        return v
+
     groups: dict[tuple, list] = {}
+    originals: dict[tuple, tuple] = {}
     for r in rows:
-        groups.setdefault(tuple(r[c] for c in pcols), []).append(
-            (r["__bucket"], r["n"], r["s"])
-        )
+        gvals = tuple(r[c] for c in pcols)
+        gkey = tuple(_hashable(v) for v in gvals)
+        originals.setdefault(gkey, gvals)
+        groups.setdefault(gkey, []).append((r["__bucket"], r["n"], r["s"]))
     off_rows = []
-    for gvals, stats in groups.items():
+    for gkey, stats in groups.items():
         acc_n, acc_s = start - 1, 0
         for b, n, s in sorted(stats):
-            off_rows.append((*gvals, b, acc_n, acc_s))
+            off_rows.append((*originals[gkey], b, acc_n, acc_s))
             acc_n += n
             acc_s += s or 0
     schema = StructType(

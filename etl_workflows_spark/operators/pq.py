@@ -449,8 +449,10 @@ def build_ivfpq_index(
 
     ``by_residual="auto"`` (judge r8 #5) makes the choice from the DATA
     instead of doctrine: the mean within-list residual norm is measured
-    at train time (one aggregate over the checkpointed residuals) and
-    residual coding is picked iff it is below
+    at train time — one aggregate over the UN-checkpointed residual
+    plan, so a declined residual never materializes a corpus-sized
+    copy; the True branch then checkpoints residuals once for training
+    — and residual coding is picked iff the norm is below
     ``RESIDUAL_AUTO_THRESHOLD`` (1.0 — the unit-normalized raw cloud's
     own scale). Pass ``decision_out={}`` to receive
     ``{"by_residual": bool, "mean_residual_norm": float}`` for the meta
@@ -468,7 +470,6 @@ def build_ivfpq_index(
         embeddings, n_lists, ivf_iterations, id_col, vec_col, fast=True
     )
     assigned = similarity.ivf_assign_fast(embeddings, cents, vec_col)
-    res = None
     if by_residual == "auto":
         # measure on the UN-checkpointed residual plan: one narrow pass.
         # Checkpointing before the decision would materialize a
@@ -502,10 +503,9 @@ def build_ivfpq_index(
         # the list_id join read it again — without the checkpoint every
         # pass re-runs the normalize-and-subtract kernel over the corpus
         # (at cluster scale, persist to storage instead)
-        if res is None:
-            res = _ivfpq_residuals(
-                assigned, cents, id_col, vec_col
-            ).localCheckpoint(eager=True)
+        res = _ivfpq_residuals(
+            assigned, cents, id_col, vec_col
+        ).localCheckpoint(eager=True)
         books = train_pq_codebooks(
             res, m, k_codes, pq_iterations, id_col, "residual",
             normalize_inputs=False,
@@ -762,6 +762,16 @@ def read_ivfpq_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """Open a persisted IVF-PQ index → (codes, centroids, codebooks);
+    see ``_read_ivfpq_index``'s validation contract."""
+    codes, cents, books, _ = _read_ivfpq_index(spark, path)
+    return codes, cents, books
+
+
+def _read_ivfpq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list, list, dict]:
+    """``read_ivfpq_index`` plus the meta dict (single sidecar read —
+    ivfpq_append needs both and must not pay two meta jobs);
     ``list_id`` is a partition column, so probe filters prune files.
 
     The codebook sidecar is validated dense: subs must be exactly
@@ -827,6 +837,7 @@ def read_ivfpq_index(
             [books[sub][code] for code in sorted(books[sub])]
             for sub in sorted(books)
         ],
+        meta,
     )
 
 
@@ -871,9 +882,9 @@ def ivfpq_append(
     from etl_workflows_spark.operators import similarity
 
     spark = new_vectors.sparkSession
-    _, cents, books = read_ivfpq_index(spark, path)
+    _, cents, books, meta = _read_ivfpq_index(spark, path)
     assigned = similarity.ivf_assign_fast(new_vectors, cents, vec_col)
-    if read_ivfpq_meta(spark, path)["by_residual"]:
+    if meta["by_residual"]:
         # one residual pass over the batch, read by encode AND the join
         res = _ivfpq_residuals(assigned, cents, id_col, vec_col).localCheckpoint(
             eager=True

@@ -1635,6 +1635,13 @@ def knn_join_fast(
     raw stored vector alongside its ids (Arrow round-trips the floats
     bit-exactly), so re-scoring is a broadcast join of the tiny query
     matrix onto ≤ k × batches candidate rows, no second corpus read.
+
+    NaN-bearing corpus vectors rank first (Spark DESC treats NaN as the
+    greatest double), matching ``knn_join``; the NaN travels as a flag
+    because Arrow's pandas writer nulls NaN list elements. Vectors with
+    literal NULL elements are outside the equality contract — the Arrow
+    boundary collapses null and NaN elements, so the exact twin's NULL
+    cosine (ranks last) cannot be distinguished from NaN here.
     """
     import numpy as np
     import pandas as pd
@@ -1655,6 +1662,11 @@ def knn_join_fast(
             T.StructField("query_id", id_field.dataType, True),
             T.StructField("neighbor_id", id_field.dataType, True),
             T.StructField("c_vec", vec_field.dataType, True),
+            # Arrow's pandas writer turns NaN LIST elements into nulls,
+            # so a NaN-bearing vector cannot ride c_vec — it travels as
+            # this flag and is re-scored to NaN (which is what the exact
+            # twin's cosine computes), ranking first like Spark DESC does
+            T.StructField("c_nan", T.BooleanType(), False),
         ]
     )
 
@@ -1667,9 +1679,10 @@ def knn_join_fast(
             sims = qm @ cm.T  # (q, batch)
             nb = sims.shape[1]
             kk = min(k, nb)
-            out_q, out_n, out_v = [], [], []
+            out_q, out_n, out_v, out_f = [], [], [], []
             nids = pdf[id_col].to_numpy()
             raw = pdf[vec_col]
+            nan_rows = np.isnan(cm).any(axis=1)
             for qi in range(sims.shape[0]):
                 s = sims[qi]
                 # argpartition (O(n)) bounds the candidate set, then ALL
@@ -1678,9 +1691,14 @@ def knn_join_fast(
                 # tied similarities (duplicate embeddings are the NORM
                 # in a dedup corpus), breaking equality with knn_join's
                 # (cos_sim desc, neighbor_id asc) global ordering
+                # Spark window ORDER BY cos_sim DESC sorts NaN as the
+                # GREATEST double; mirror that here (key = +inf for NaN
+                # sims) so a NaN-bearing vector is never silently cut
+                # from the candidate set while knn_join ranks it first
+                key = np.where(np.isnan(s), np.inf, s)
                 if nb > kk:
-                    part = np.argpartition(-s, kk - 1)
-                    thresh = s[part[kk - 1]]
+                    part = np.argpartition(-key, kk - 1)
+                    thresh = key[part[kk - 1]]
                     # 1e-9 guard band: the re-score uses Catalyst-fold
                     # floats that can differ from these matmul floats by
                     # ~1e-15, so everything within the band survives to
@@ -1689,7 +1707,8 @@ def knn_join_fast(
                     # unit-vector dot-product conditioning; candidate
                     # volume grows only by near-ties that needed exact
                     # adjudication anyway
-                    cand_idx = np.flatnonzero(s >= thresh - 1e-9)
+                    band = thresh - 1e-9 if np.isfinite(thresh) else thresh
+                    cand_idx = np.flatnonzero(key >= band)
                 else:
                     cand_idx = np.arange(nb)
                 # every band member is emitted (no [:kk] truncation):
@@ -1697,7 +1716,7 @@ def knn_join_fast(
                 # so per-batch matmul rounding can never decide them
                 order = sorted(
                     range(len(cand_idx)),
-                    key=lambda i: (-s[cand_idx[i]], nids[cand_idx[i]]),
+                    key=lambda i: (-key[cand_idx[i]], nids[cand_idx[i]]),
                 )
                 sel = cand_idx[order]
                 out_q.extend([qids[qi]] * len(sel))
@@ -1706,8 +1725,14 @@ def knn_join_fast(
                 # normalization): Arrow round-trips it bit-exactly so
                 # the Catalyst re-score sees knn_join's exact inputs
                 out_v.extend(np.asarray(raw.iloc[int(i)]).tolist() for i in sel)
+                out_f.extend(bool(nan_rows[i]) for i in sel)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "c_vec": out_v}
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "c_vec": out_v,
+                    "c_nan": out_f,
+                }
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
@@ -1717,7 +1742,9 @@ def knn_join_fast(
     scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("c_vec"), F.col("q_vec")).alias("cos_sim"),
+        F.when(F.col("c_nan"), F.lit(float("nan")))
+        .otherwise(cosine(F.col("c_vec"), F.col("q_vec")))
+        .alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

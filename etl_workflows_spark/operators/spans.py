@@ -227,12 +227,21 @@ def ngram_novelty(
     length: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = True,
 ) -> DataFrame:
     """Per-document n-gram novelty (memorization audit): the share of a
     document's L-token rolling windows that occur exactly once
     corpus-wide. Returns (doc_id, n_windows, dup_windows,
     novelty_ratio); docs shorter than one window carry no windows and
     are absent by contract (novelty of nothing is undefined).
+
+    ``hashed=True`` (default) counts xxhash64 window keys — 8 bytes on
+    the shuffle instead of an L-token string, at the price that a
+    64-bit collision counts two distinct windows as duplicates of each
+    other (expected collisions ≈ n²/2⁶⁵: ~0.03 windows at 10⁹, so the
+    ratio's error is negligible but NOT zero at extreme scale). Pass
+    ``hashed=False`` for exact literal-window counting — the form the
+    DuckDB oracle replays.
 
     Shape: the window extraction is materialized ONCE (the bare
     freq-agg + join-back references it twice and would re-run the whole
@@ -245,7 +254,7 @@ def ngram_novelty(
     what survives a 1e9-copy boilerplate window at 100 TB.
     """
     w = (
-        token_windows(docs, length, text_col, id_col)
+        token_windows(docs, length, text_col, id_col, hashed)
         .select(F.col("doc_id"), "win")  # pos unused: halve the checkpoint
         .localCheckpoint(eager=True)
     )

@@ -246,3 +246,70 @@ def test_read_ivfpq_index_rejects_tail_truncation(spark, tmp_path, sf_dir):
     _overwrite_codebooks(~((F.col("sub") == 2) & (F.col("code") >= 6)))
     with pytest.raises(ValueError, match="differ|meta sidecar"):
         pq.read_ivfpq_index(spark, path)
+
+
+def test_knn_join_fast_nan_vectors_match_exact_twin(spark):
+    """Post-review hardening: Spark window DESC ranks NaN as the
+    greatest double, so a NaN-bearing corpus vector must surface from
+    the fast path exactly as knn_join ranks it — not be silently cut by
+    a NaN-poisoned candidate filter."""
+    from etl_workflows_spark.operators.similarity import knn_join, knn_join_fast
+
+    rows = [(i, [float(i + 1), 1.0, 0.5]) for i in range(30)]
+    rows.append((99, [float("nan"), 1.0, 0.0]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1000, [1.0, 0.2, 0.1])], "vec_id long, embedding array<double>"
+    )
+    exact = sorted(
+        (r["rank"], r["neighbor_id"]) for r in knn_join(queries, corpus, k=3).collect()
+    )
+    fast = sorted(
+        (r["rank"], r["neighbor_id"]) for r in knn_join_fast(queries, corpus, k=3).collect()
+    )
+    assert fast == exact
+    assert any(n == 99 for _, n in fast)  # the NaN row ranks, not drops
+
+
+def test_partitioned_cumsum_accepts_array_group_keys(spark):
+    """Post-review hardening: array-typed partition columns are
+    groupable/joinable in Spark and must work (the driver-side group key
+    is made hashable without altering the joined values)."""
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1, ["a"], 5), (2, ["a"], 7), (3, ["b", "c"], 11)],
+        "k long, g array<string>, v long",
+    ).withColumn("h", sampling.salted_hash(F2.col("k"), "r9b"))
+    got = ordering.global_cumsum(
+        df,
+        sort_cols=["h", "k"],
+        val_col="v",
+        bucket=ordering.hash_prefix_bucket(F2.col("h")),
+        out_col="cum",
+        partition_cols=["g"],
+    )
+    rows = {(r["k"], tuple(r["g"])): r["cum"] for r in got.collect()}
+    w = Window.partitionBy("g").orderBy("h", "k")
+    want = {
+        (r["k"], tuple(r["g"])): r["cum"]
+        for r in df.withColumn("cum", F2.sum("v").over(w)).collect()
+    }
+    assert rows == want
+
+
+def test_ngram_novelty_hashed_false_matches_hashed_true_small(spark):
+    """hashed=False (exact literal windows) must agree with the hashed
+    default wherever no 64-bit collision occurs — i.e. everywhere at
+    test scale."""
+    from etl_workflows_spark.operators.spans import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i j"),
+         (2, "k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, ngram_novelty(docs, 8).collect()))
+    b = sorted(map(tuple, ngram_novelty(docs, 8, hashed=False).collect()))
+    assert a == b
+    assert a  # non-empty: 10-token docs carry 8-token windows
