@@ -220,3 +220,21 @@ def test_compression_ratio_is_one_arrow_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # the row-at-a-time slow path
+
+
+def test_knn_fast_single_scan_broadcast_rescore(spark, sf_dir):
+    """knn_join_fast's round-9 exact re-score must keep the one-corpus-
+    scan shape: a single MapInPandas candidate pass, the query matrix
+    broadcast onto the tiny candidate set (never a second corpus read
+    for re-scoring), and rank-limited WindowGroupLimit top-k pruning."""
+    from etl_workflows_spark.queries.llm import knn_join_bench_fast
+
+    plan = _plan(knn_join_bench_fast(spark, sf_dir))
+    # formatted mode lists each node twice (tree line + detail block)
+    assert plan.count("MapInPandas") == 2, plan
+    # two scan NODES total: the corpus side feeding the kernel and the
+    # query-matrix side — re-scoring adds NO third scan
+    assert plan.count("Scan parquet") == 4, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # top-k pruned before the shuffle
