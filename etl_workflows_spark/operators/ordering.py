@@ -140,9 +140,10 @@ def global_rank_and_cumsum(
     """
     pcols = list(partition_cols)
     d = df.withColumn("__bucket", bucket)
-    rows = d.groupBy(*pcols, "__bucket").agg(
+    stats_df = d.groupBy(*pcols, "__bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.col(val_col)).alias("s")
-    ).collect()
+    )
+    rows = stats_df.collect()
     if any(r["__bucket"] is None for r in rows):
         raise ValueError(
             "global_rank_and_cumsum: bucket expression produced NULL — "
@@ -157,7 +158,15 @@ def global_rank_and_cumsum(
         )
     if pcols:
         return _partitioned_rank_and_cumsum(
-            d, rows, pcols, sort_cols, val_col, ordinal_col, cum_col, start
+            d,
+            rows,
+            pcols,
+            sort_cols,
+            val_col,
+            ordinal_col,
+            cum_col,
+            start,
+            sum_type=stats_df.schema["s"].dataType,
         )
     stats = sorted((r["__bucket"], r["n"], r["s"]) for r in rows)
     n_off: dict[int, int] = {}
@@ -203,6 +212,7 @@ def _partitioned_rank_and_cumsum(
     ordinal_col: str,
     cum_col: str,
     start: int,
+    sum_type=None,
 ) -> DataFrame:
     """Grouped variant of the offsets re-injection: cumulate per-bucket
     stats WITHIN each partition group on the driver, then BROADCAST-JOIN
@@ -233,10 +243,24 @@ def _partitioned_rank_and_cumsum(
             .withColumn(cum_col, F.lit(None).cast("bigint"))
         )
     def _hashable(v):
-        # collect() yields lists for array columns and Rows for structs;
-        # make the driver-side group key hashable without changing the
-        # values shipped back in the offsets relation
+        # collect() yields lists for array columns, bytearray for binary,
+        # Rows for structs, dicts for maps — make the driver-side group
+        # key hashable WITHOUT changing the values shipped back in the
+        # offsets relation. Float NaN needs a sentinel: Python dicts
+        # split NaN keys (NaN != NaN) while Spark's groupBy/join treat
+        # NaN as one equal group — unsentineled, every (NaN-group,
+        # bucket) would restart its offsets at zero, silently.
+        if isinstance(v, float) and v != v:
+            return ("__nan__",)
         if isinstance(v, list):
+            return tuple(_hashable(x) for x in v)
+        if isinstance(v, bytearray):
+            return bytes(v)
+        if isinstance(v, dict):
+            return tuple(
+                sorted((k, _hashable(x)) for k, x in v.items())
+            )
+        if hasattr(v, "__fields__"):  # pyspark Row (struct column)
             return tuple(_hashable(x) for x in v)
         return v
 
@@ -247,11 +271,32 @@ def _partitioned_rank_and_cumsum(
         gkey = tuple(_hashable(v) for v in gvals)
         originals.setdefault(gkey, gvals)
         groups.setdefault(gkey, []).append((r["__bucket"], r["n"], r["s"]))
+    from pyspark.sql.types import LongType as _Long
+
+    # __soff carries SUMS of val_col, so it takes F.sum's result type
+    # (long for ints, double for floats, widened decimal for decimals) —
+    # a hardcoded long rejects double/decimal value columns, which the
+    # public docstring supports. Python-side accumulation is coerced to
+    # the matching Python type so createDataFrame's verifier accepts it.
+    stype = sum_type if sum_type is not None else _Long()
+    tname = stype.typeName()
+
+    def _coerce_sum(x):
+        if tname == "double" or tname == "float":
+            return float(x)
+        if tname.startswith("decimal"):
+            from decimal import Decimal
+
+            return x if isinstance(x, Decimal) else Decimal(x)
+        return int(x)
+
     off_rows = []
     for gkey, stats in groups.items():
         acc_n, acc_s = start - 1, 0
         for b, n, s in sorted(stats):
-            off_rows.append((*originals[gkey], b, acc_n, acc_s))
+            off_rows.append(
+                (*originals[gkey], b, acc_n, _coerce_sum(acc_s))
+            )
             acc_n += n
             acc_s += s or 0
     schema = StructType(
@@ -259,7 +304,7 @@ def _partitioned_rank_and_cumsum(
             *[d.schema[c] for c in pcols],
             d.schema["__bucket"],
             StructField("__noff", LongType(), False),
-            StructField("__soff", LongType(), False),
+            StructField("__soff", stype, False),
         ]
     )
     offs = d.sparkSession.createDataFrame(off_rows, schema)
@@ -271,10 +316,14 @@ def _partitioned_rank_and_cumsum(
     cum = F.sum(F.col(val_col)).over(
         w.rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # the join moved the key columns to the front — restore the caller's
+    # column order (input columns, then ordinal, then cumsum: the same
+    # shape the unpartitioned sibling's withColumn appends produce)
+    orig_cols = [c for c in d.columns if c != "__bucket"]
     return (
         joined.withColumn(ordinal_col, rn.cast("bigint") + F.col("__noff"))
         .withColumn(cum_col, cum + F.col("__soff"))
-        .drop("__bucket", "__noff", "__soff")
+        .select(*orig_cols, ordinal_col, cum_col)
     )
 
 

@@ -1709,6 +1709,20 @@ def knn_join_fast(
                     # adjudication anyway
                     band = thresh - 1e-9 if np.isfinite(thresh) else thresh
                     cand_idx = np.flatnonzero(key >= band)
+                    # cap the NaN tie class at kk per batch: NaN rows all
+                    # re-score to NaN (a TRUE tie — ranked purely by id
+                    # in both engines), so only the kk smallest ids can
+                    # reach the global top-k. Without the cap a NaN
+                    # QUERY (every sim NaN ⇒ every key +inf) would emit
+                    # the whole corpus as candidates.
+                    inf_idx = cand_idx[np.isinf(key[cand_idx])]
+                    if len(inf_idx) > kk:
+                        drop = set(
+                            sorted(inf_idx, key=lambda i: nids[i])[kk:]
+                        )
+                        cand_idx = np.array(
+                            [i for i in cand_idx if i not in drop]
+                        )
                 else:
                     cand_idx = np.arange(nb)
                 # every band member is emitted (no [:kk] truncation):

@@ -313,3 +313,79 @@ def test_ngram_novelty_hashed_false_matches_hashed_true_small(spark):
     b = sorted(map(tuple, ngram_novelty(docs, 8, hashed=False).collect()))
     assert a == b
     assert a  # non-empty: 10-token docs carry 8-token windows
+
+
+def test_partitioned_cumsum_double_values_and_nan_groups(spark):
+    """Post-review hardening round 2: (a) double val_col must work (the
+    offsets field takes F.sum's result type, not a hardcoded long);
+    (b) float-NaN group values must form ONE group like Spark's
+    groupBy/join semantics, not one dict entry per bucket; (c) output
+    column order matches input + ordinal/cumsum appends."""
+    import math
+
+    rows = [(1, 1.5, 2.5), (2, 1.5, 3.5), (3, float("nan"), 1.0),
+            (4, float("nan"), 2.0), (5, float("nan"), 4.0),
+            (6, float("nan"), 8.0)]
+    df = spark.createDataFrame(rows, "k long, g double, v double").withColumn(
+        "h", sampling.salted_hash(F.col("k"), "r9c")
+    )
+    got = ordering.global_cumsum(
+        df,
+        sort_cols=["h", "k"],
+        val_col="v",
+        bucket=ordering.hash_prefix_bucket(F.col("h")),
+        out_col="cum",
+        partition_cols=["g"],
+    )
+    assert got.columns == ["k", "g", "v", "h", "cum"]  # order preserved
+    out = got.collect()
+    w = Window.partitionBy("g").orderBy("h", "k")
+    want = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    for r in out:
+        assert r["cum"] == want[r["k"]], (r, want)
+    # the four NaN-group rows must be one cumulative chain whose max
+    # equals the group total (split groups would restart at each bucket)
+    nan_cums = sorted(r["cum"] for r in out if math.isnan(r["g"]))
+    assert nan_cums[-1] == 15.0, nan_cums
+
+
+def test_partitioned_cumsum_binary_group_keys(spark):
+    """Binary partition columns (collect() yields bytearray) must work."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), 5), (2, bytearray(b"x"), 7),
+         (3, bytearray(b"y"), 11)],
+        "k long, g binary, v long",
+    ).withColumn("h", sampling.salted_hash(F.col("k"), "r9d"))
+    got = ordering.global_cumsum(
+        df,
+        sort_cols=["h", "k"],
+        val_col="v",
+        bucket=ordering.hash_prefix_bucket(F.col("h")),
+        out_col="cum",
+        partition_cols=["g"],
+    )
+    w = Window.partitionBy("g").orderBy("h", "k")
+    want = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert {r["k"]: r["cum"] for r in got.collect()} == want
+
+
+def test_knn_join_fast_nan_query_bounded_and_equal(spark):
+    """A NaN-bearing QUERY makes every similarity NaN; the fast path
+    must still emit at most kk candidates per batch (the NaN tie class
+    is capped by id) and match knn_join's id-ordered top-k."""
+    from etl_workflows_spark.operators.similarity import knn_join, knn_join_fast
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(7, [float("nan"), 1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    exact = sorted(
+        (r["rank"], r["neighbor_id"]) for r in knn_join(queries, corpus, k=3).collect()
+    )
+    fast = sorted(
+        (r["rank"], r["neighbor_id"]) for r in knn_join_fast(queries, corpus, k=3).collect()
+    )
+    assert fast == exact == [(1, 0), (2, 1), (3, 2)]  # pure id order
