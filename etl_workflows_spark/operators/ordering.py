@@ -79,6 +79,7 @@ def global_ordinals(
     bucket: Column,
     ordinal_col: str = "ordinal",
     start: int = 1,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact dense global row numbers by ``sort_cols``, no global sort.
 
@@ -92,6 +93,12 @@ def global_ordinals(
     ``row_number`` window. The count pass and the rank pass each scan the
     input once; bucket being value-determined makes the two passes agree
     without caching.
+
+    ``partition_cols`` makes the numbering RESET per group — the
+    scale-safe ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY k)`` for
+    when one group can overwhelm a single executor's sort (per-source
+    dataloader positions over a source holding most of the corpus).
+    Same bounded-offsets contract as ``global_rank_and_cumsum``.
     """
     out = global_rank_and_cumsum(
         df.withColumn("__ones", F.lit(0)),
@@ -101,6 +108,7 @@ def global_ordinals(
         ordinal_col="__rank64",
         cum_col="__cum0",
         start=start,
+        partition_cols=partition_cols,
     )
     return out.withColumn(
         ordinal_col, F.col("__rank64").cast("int")

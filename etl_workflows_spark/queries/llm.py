@@ -1970,6 +1970,42 @@ FROM documents
 """
 
 
+def per_source_positions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE dense dataloader positions, hash-ordered: the
+    partitioned form of epoch_shuffle_docs (round 9 —
+    ordering.global_ordinals with partition_cols=[source]). The window
+    is partitioned by (source, hash-bucket) with per-source offset
+    resets via a broadcast-joined offsets relation, so a source holding
+    most of a 100 TB corpus numbers as ~256 parallel sort tasks, never
+    one. Hash-exact against ROW_NUMBER() OVER (PARTITION BY source ...)
+    — the bucketed form changes the plan, never a position."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn(
+            "__h", sampling.salted_hash(F.col("doc_id"), "possrc")
+        )
+    )
+    out = ordering.global_ordinals(
+        d,
+        sort_cols=["__h", "doc_id"],
+        bucket=ordering.hash_prefix_bucket(F.col("__h")),
+        ordinal_col="pos",
+        partition_cols=["source"],
+    )
+    return out.select("doc_id", "source", "pos")
+
+
+_PER_SOURCE_POS_ORACLE = """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY source
+         ORDER BY md5('possrc:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INTEGER) AS pos
+FROM documents
+"""
+
+
 def score_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus scoring through the inference batching plumbing
     (operators/inference.py): length-sorted token-budget micro-batches
@@ -3067,6 +3103,7 @@ QUERIES = {
     "knn_join_bench": knn_join_bench,
     "knn_join_bench_fast": knn_join_bench_fast,
     "epoch_shuffle_docs": epoch_shuffle_docs,
+    "per_source_positions_docs": per_source_positions_docs,
     "epoch_shard_docs": epoch_shard_docs,
     "blend_sources_docs": blend_sources_docs,
     "temperature_mix_docs": temperature_mix_docs,
@@ -3147,6 +3184,7 @@ ORACLE_SQL = {
     # Catalyst expression, so the SAME oracle pins it hash-for-hash
     "knn_join_bench_fast": _KNN_JOIN_ORACLE,
     "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
+    "per_source_positions_docs": _PER_SOURCE_POS_ORACLE,
     "epoch_shard_docs": _EPOCH_SHARD_ORACLE,
     "blend_sources_docs": _BLEND_ORACLE,
     "temperature_mix_docs": _TEMPERATURE_MIX_ORACLE,

@@ -238,3 +238,18 @@ def test_knn_fast_single_scan_broadcast_rescore(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan  # top-k pruned before the shuffle
+
+
+def test_per_source_positions_window_is_bucketed(spark, sf_dir):
+    """The per-source numbering must partition its window by (source,
+    hash-bucket) — never source alone (one multi-TB sort task per source
+    at 100 TB) and never a single partition."""
+    import re
+
+    from etl_workflows_spark.queries.llm import per_source_positions_docs
+
+    plan = _plan(per_source_positions_docs(spark, sf_dir))
+    assert re.search(r"hashpartitioning\(source#\d+, __bucket", plan), plan[:2000]
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(source#\d+, (\w+)", plan)
+    assert specs and all(s.startswith("__bucket") for s in specs), specs

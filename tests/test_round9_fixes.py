@@ -389,3 +389,23 @@ def test_knn_join_fast_nan_query_bounded_and_equal(spark):
         (r["rank"], r["neighbor_id"]) for r in knn_join_fast(queries, corpus, k=3).collect()
     )
     assert fast == exact == [(1, 0), (2, 1), (3, 2)]  # pure id order
+
+
+def test_global_ordinals_partition_cols_matches_naive_window(spark):
+    """Per-group dense ordinals (round 9) must equal the naive
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...) row-for-row."""
+    df = _grouped_vals(spark).withColumn(
+        "h", sampling.salted_hash(F.col("k"), "r9e")
+    )
+    got = ordering.global_ordinals(
+        df,
+        sort_cols=["h", "k"],
+        bucket=ordering.hash_prefix_bucket(F.col("h")),
+        ordinal_col="pos",
+        partition_cols=["g"],
+    )
+    w = Window.partitionBy("g").orderBy("h", "k")
+    want = df.withColumn("pos", F.row_number().over(w))
+    a = sorted(map(tuple, got.select("k", "g", "pos").collect()))
+    b = sorted(map(tuple, want.select("k", "g", "pos").collect()))
+    assert a == b
