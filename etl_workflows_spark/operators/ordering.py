@@ -99,6 +99,12 @@ def global_ordinals(
     when one group can overwhelm a single executor's sort (per-source
     dataloader positions over a source holding most of the corpus).
     Same bounded-offsets contract as ``global_rank_and_cumsum``.
+
+    Ordinals are int32 BY CONTRACT: each numbering domain (the whole
+    frame, or one group under ``partition_cols``) must stay under 2^31
+    rows — beyond that use ``global_rank_and_cumsum``, whose rank stays
+    64-bit precisely for corpora that cross it (Spark's non-ANSI int
+    cast would wrap silently; the DuckDB oracles' INTEGER cast raises).
     """
     out = global_rank_and_cumsum(
         df.withColumn("__ones", F.lit(0)),
@@ -341,6 +347,7 @@ def epoch_shuffle(
     key_col: str = "doc_id",
     pos_col: str = "pos",
     salt: str = "epoch",
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Deterministic training-epoch shuffle: every row gets a dense 1..N
     position, permuted by ``md5(salt:epoch: || key)``.
@@ -351,6 +358,10 @@ def epoch_shuffle(
     (uniform by construction), so the ranking window is hash-partitioned
     256 ways; shard extraction for worker w of W is then just
     ``pos % W == w`` on top of this.
+
+    ``partition_cols`` shuffles WITHIN each group (positions reset per
+    group — per-source dataloader order); int32 positions per
+    ``global_ordinals``' contract.
     """
     h = salted_hash(F.col(key_col), f"{salt}:{epoch}")
     d = df.withColumn("__h", h)
@@ -359,6 +370,7 @@ def epoch_shuffle(
         sort_cols=["__h", key_col],
         bucket=hash_prefix_bucket(F.col("__h")),
         ordinal_col=pos_col,
+        partition_cols=partition_cols,
     )
     return out.drop("__h")
 

@@ -1971,38 +1971,36 @@ FROM documents
 
 
 def per_source_positions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-SOURCE dense dataloader positions, hash-ordered: the
+    """Per-SOURCE epoch-0 dataloader positions, hash-ordered: the
     partitioned form of epoch_shuffle_docs (round 9 —
-    ordering.global_ordinals with partition_cols=[source]). The window
-    is partitioned by (source, hash-bucket) with per-source offset
-    resets via a broadcast-joined offsets relation, so a source holding
-    most of a 100 TB corpus numbers as ~256 parallel sort tasks, never
-    one. Hash-exact against ROW_NUMBER() OVER (PARTITION BY source ...)
-    — the bucketed form changes the plan, never a position."""
+    ordering.epoch_shuffle with partition_cols=[source], ONE shared
+    recipe with the global shuffle). The ranking window is partitioned
+    by (source, hash-bucket) with per-source offset resets via a
+    broadcast-joined offsets relation, so a big source numbers as ~256
+    parallel sort tasks, never one. Hash-exact against ROW_NUMBER()
+    OVER (PARTITION BY source ...). Contracts stated, not hidden: NULL
+    sources are excluded up front (the operator rejects NULL groups
+    loudly; SQL would number NULL as its own partition), and positions
+    are int32 (per-source row counts past 2^31 need the 64-bit
+    global_rank_and_cumsum form)."""
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source")
-        .withColumn(
-            "__h", sampling.salted_hash(F.col("doc_id"), "possrc")
-        )
+        .filter(F.col("source").isNotNull())
     )
-    out = ordering.global_ordinals(
-        d,
-        sort_cols=["__h", "doc_id"],
-        bucket=ordering.hash_prefix_bucket(F.col("__h")),
-        ordinal_col="pos",
-        partition_cols=["source"],
-    )
-    return out.select("doc_id", "source", "pos")
+    return ordering.epoch_shuffle(
+        d, epoch=0, salt="possrc", partition_cols=["source"]
+    ).select("doc_id", "source", "pos")
 
 
 _PER_SOURCE_POS_ORACLE = """
 SELECT doc_id, source,
        CAST(ROW_NUMBER() OVER (
          PARTITION BY source
-         ORDER BY md5('possrc:' || CAST(doc_id AS VARCHAR)), doc_id
+         ORDER BY md5('possrc:0:' || CAST(doc_id AS VARCHAR)), doc_id
        ) AS INTEGER) AS pos
 FROM documents
+WHERE source IS NOT NULL
 """
 
 
