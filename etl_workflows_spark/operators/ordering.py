@@ -192,9 +192,22 @@ def global_rank_and_cumsum(
         acc_n += n
         acc_s += s or 0
     if not n_off:
+        # cum_col must carry F.sum's result type (double for floats,
+        # widened decimal for decimals) even on the empty path, or the
+        # empty-frame schema diverges from the non-empty one and breaks
+        # downstream unions / schema assertions. Same rule as the
+        # partitioned sibling's empty branch — keep them in sync.
         return df.withColumn(
             ordinal_col, F.lit(None).cast("bigint")
-        ).withColumn(cum_col, F.lit(None).cast("bigint"))
+        ).withColumn(
+            cum_col, F.lit(None).cast(stats_df.schema["s"].dataType)
+        )
+    # bounded literal: one map entry per bucket, and every bucket
+    # expression shipped with this module caps out at 256 entries
+    # (hash_prefix_bucket's 2 hex chars / numeric_cut_buckets' default
+    # 64) — far below the ~1k-entry create_map codegen cliff measured
+    # on the mixture manifest (25× at ~5000 entries). Many-group keyed
+    # offsets must use the partitioned sibling's broadcast join instead.
     n_expr = F.element_at(
         F.create_map(*[F.lit(x) for bn in n_off.items() for x in bn]),
         F.col("__bucket"),
@@ -251,10 +264,21 @@ def _partitioned_rank_and_cumsum(
     from pyspark.sql.types import LongType, StructField, StructType
 
     if not rows:
+        # empty-path cum_col takes the passed sum_type (F.sum's result
+        # type), not a hardcoded bigint — a double/decimal val_col must
+        # yield the same schema whether the frame is empty or not (the
+        # unpartitioned tail applies the same rule; keep them in sync).
+        from pyspark.sql.types import LongType as _EmptyLong
+
         return (
             d.drop("__bucket")
             .withColumn(ordinal_col, F.lit(None).cast("bigint"))
-            .withColumn(cum_col, F.lit(None).cast("bigint"))
+            .withColumn(
+                cum_col,
+                F.lit(None).cast(
+                    sum_type if sum_type is not None else _EmptyLong()
+                ),
+            )
         )
     def _hashable(v):
         # collect() yields lists for array columns, bytearray for binary,
@@ -425,6 +449,14 @@ def global_cumsum(
     return out.drop("__ord0")
 
 
+# Above this many sources, interleave_sources abandons the closed-form
+# chained-literal expression (2 nodes per source — the same codegen-bomb
+# class as a big create_map, measured 25× at ~5000 entries on the mixture
+# manifest) and re-derives positions as a bucketed global rank over
+# (round, source). Module constant so tests can pin both paths.
+_INTERLEAVE_LITERAL_MAX = 64
+
+
 def interleave_sources(
     df: DataFrame,
     source_col: str = "source",
@@ -445,6 +477,15 @@ def interleave_sources(
     #sources-row collect (bounded constant) folded into a literal
     expression — the same bounded-driver discipline as the bucketed
     ordinal rewrites, with zero second data pass.
+
+    The literal fold is 2 expression nodes per source — fine for tens of
+    sources, a codegen bomb at thousands (the create_map class, measured
+    25× at ~5000 entries). Past ``_INTERLEAVE_LITERAL_MAX`` sources the
+    positions are instead computed as the bucketed global rank over
+    ``(round, source)`` — the IDENTICAL permutation (one row per
+    (source, round), and interleave order IS lexicographic (round,
+    source) order), paying one extra bounded offsets pass instead of an
+    O(#sources)-deep expression tree.
     """
     h = salted_hash(F.col(key_col), salt)
     w = W.partitionBy(source_col).orderBy(h, F.col(key_col))
@@ -455,6 +496,10 @@ def interleave_sources(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    if len(counts) > _INTERLEAVE_LITERAL_MAX:
+        return _interleave_sources_bucketed(
+            d, counts, source_col, pos_col
+        )
     rnd = F.col("__round")
     before_rounds = F.lit(0)
     same_round = F.lit(0)
@@ -466,3 +511,68 @@ def interleave_sources(
     return d.withColumn(
         pos_col, (before_rounds + same_round + 1).cast("int")
     ).drop("__round")
+
+
+def _interleave_sources_bucketed(
+    d: DataFrame,
+    counts: list,
+    source_col: str,
+    pos_col: str,
+) -> DataFrame:
+    """Many-source tail of ``interleave_sources``: the interleave
+    position is exactly the dense rank of ``(round, source)`` (one row
+    per pair), so reuse ``global_ordinals``' bucketed two-pass instead
+    of folding thousands of per-source terms into one expression tree.
+
+    The bucket key cuts ROUND ranges, balanced by exact row mass: rows
+    in rounds ≤ r is Σ_s min(n_s, r) — piecewise linear in r with slope
+    = #active sources — so the driver walks the ≤ #sources distinct
+    count values (never r itself, which is unbounded) and places each
+    cut arithmetically inside its segment. Monotone in (round, source)
+    by construction (depends on round alone), bounded at 256 buckets.
+    """
+    import bisect
+    import math
+
+    ns = sorted(n for _, n in counts)
+    total = sum(ns)
+    n_buckets = min(256, max(1, len(counts)))
+    target = total / n_buckets
+    bps: list[int] = []
+    cum = 0.0
+    r_prev = 0
+    next_cut = target
+    for nv in sorted(set(ns)):
+        # rounds r in (r_prev, nv] all see the same active-source count
+        active = len(ns) - bisect.bisect_right(ns, r_prev)
+        seg_rows = (nv - r_prev) * active
+        while (
+            cum + seg_rows >= next_cut
+            and len(bps) < n_buckets - 1
+            and active > 0
+        ):
+            r_cut = r_prev + math.ceil((next_cut - cum) / active)
+            if not bps or r_cut > bps[-1]:
+                bps.append(int(r_cut))
+            next_cut += target
+        cum += seg_rows
+        r_prev = nv
+    if bps:
+        # bucket = #breakpoints ≤ round: one array literal + a filter/
+        # size pair — a single expression node regardless of cut count,
+        # not a per-source chain
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bps]),
+                lambda x: x <= F.col("__round"),
+            )
+        )
+    else:
+        bucket = F.lit(0)
+    out = global_ordinals(
+        d,
+        sort_cols=["__round", source_col],
+        bucket=bucket,
+        ordinal_col=pos_col,
+    )
+    return out.drop("__round")

@@ -164,3 +164,78 @@ def test_interleave_deterministic_and_plan_bounded(spark):
         interleave_sources(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan, plan  # no global ordering pass
+
+def test_interleave_bucketed_path_matches_literal(spark, monkeypatch):
+    """Past _INTERLEAVE_LITERAL_MAX sources the closed-form literal fold
+    is replaced by a bucketed (round, source) rank — same permutation,
+    bit for bit."""
+    import etl_workflows_spark.operators.ordering as ordering
+
+    rows = (
+        [(i, "a") for i in range(6)]
+        + [(10 + i, "b") for i in range(3)]
+        + [(20, "c")]
+        + [(30 + i, "d") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    literal = {
+        (r["doc_id"], r["pos"])
+        for r in ordering.interleave_sources(df).collect()
+    }
+    monkeypatch.setattr(ordering, "_INTERLEAVE_LITERAL_MAX", 0)
+    bucketed = {
+        (r["doc_id"], r["pos"])
+        for r in ordering.interleave_sources(df).collect()
+    }
+    assert bucketed == literal
+
+
+def test_interleave_many_sources_scale_path(spark):
+    """~2k sources: the literal fold would be a ~4000-node codegen bomb;
+    the scale path must auto-engage, stay off SinglePartition, and still
+    emit the exact interleave permutation (pos order == lexicographic
+    (round, source) order)."""
+    from etl_workflows_spark.operators.ordering import interleave_sources
+
+    rows = []
+    did = 0
+    for s in range(2000):
+        for _ in range(1 + s % 3):  # 1-3 rows per source
+            rows.append((did, f"src{s:04d}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    out = interleave_sources(df).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, len(rows) + 1))
+    # re-derive each row's round from its within-source pos order, then
+    # check global pos order IS (round, source) lexicographic order
+    by_source = {}
+    for r in sorted(out, key=lambda r: r["pos"]):
+        by_source.setdefault(r["source"], []).append(r)
+    keyed = []
+    for src, rs in by_source.items():
+        for rnd, r in enumerate(rs, start=1):
+            keyed.append(((rnd, src), r["pos"]))
+    keyed.sort()
+    assert [p for _, p in keyed] == list(range(1, len(rows) + 1))
+    plan = _executed_plan(interleave_sources(df))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_rank_cumsum_empty_frame_keeps_sum_type(spark):
+    """Empty input must produce the same cum_col type as non-empty input
+    (double val_col → double cumsum), on BOTH offset paths."""
+    df = spark.createDataFrame([], "k long, g string, v double")
+    plain = global_rank_and_cumsum(
+        df, ["k"], "v", (F.col("k") % 4).cast("int")
+    )
+    assert plain.schema["cumsum"].dataType.typeName() == "double"
+    grouped = global_rank_and_cumsum(
+        df, ["k"], "v", (F.col("k") % 4).cast("int"), partition_cols=["g"]
+    )
+    assert grouped.schema["cumsum"].dataType.typeName() == "double"
+    # and the non-empty schema is identical
+    df2 = spark.createDataFrame([(1, "a", 1.5)], "k long, g string, v double")
+    full = global_rank_and_cumsum(
+        df2, ["k"], "v", (F.col("k") % 4).cast("int"), partition_cols=["g"]
+    )
+    assert full.schema["cumsum"].dataType == grouped.schema["cumsum"].dataType
