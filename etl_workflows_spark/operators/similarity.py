@@ -1605,6 +1605,19 @@ def mean_pool_embeddings(
     )
 
 
+# knn_join_fast collects its query side to a driver-held matrix; past
+# this many vectors the caller wanted the distributed twin. ~100k rows
+# of 768-dim float64 is ~600 MB — near the sensible driver ceiling.
+_KNN_FAST_MAX_QUERIES = 100_000
+
+
+def _id_key(v):
+    """NULL-first sort key for neighbor ids inside the fast-path kernel —
+    mirrors Spark's ASC NULLS FIRST (the final window's neighbor_id
+    order) and never compares None against a value."""
+    return (v is not None, v)
+
+
 def knn_join_fast(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1617,6 +1630,13 @@ def knn_join_fast(
     Arrow batch computes its block of cosines with ONE numpy matmul,
     keeping only per-batch top-k candidates; a final per-query window
     over ≤ k × batches candidate rows yields the global top-k.
+
+    Query-side contract — ENFORCED, raises ``ValueError``: at most
+    ``_KNN_FAST_MAX_QUERIES`` (100k) vectors with non-null, UNIQUE ids.
+    The collect is limit-bounded so an oversized frame errors instead
+    of OOM-ing the driver; NULL ids would be dropped by the re-score
+    join and duplicate ids would multiply candidates, so both reject
+    early with a pointer at ``knn_join``, whose crossJoin handles them.
 
     Same output contract as ``knn_join`` — BIT-identical, not just
     tolerance-equal: the matmul only SELECTS candidates (≤ k × batches
@@ -1649,10 +1669,39 @@ def knn_join_fast(
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
-    qrows = queries.select(id_col, vec_col).collect()
+    # ENFORCED small-side contract, not just documented: the query side
+    # is collected to the driver, so a caller passing a corpus-sized
+    # frame must get an error with a pointer at the distributed twin,
+    # never a driver OOM. limit(N+1) bounds the collect itself.
+    qrows = (
+        queries.select(id_col, vec_col)
+        .limit(_KNN_FAST_MAX_QUERIES + 1)
+        .collect()
+    )
     if not qrows:
         raise ValueError("query side is empty — no vectors to search for")
-    qids = np.array([r[0] for r in qrows])
+    if len(qrows) > _KNN_FAST_MAX_QUERIES:
+        raise ValueError(
+            f"knn_join_fast collects the query side to the driver and got "
+            f"more than {_KNN_FAST_MAX_QUERIES} query vectors — use "
+            f"knn_join (the distributed exact twin) for large query sides"
+        )
+    # the re-score join keys on query_id, so the equality contract needs
+    # non-null, unique ids: a NULL id would be silently dropped by the
+    # inner join (knn_join keeps it as a ranked NULL partition) and a
+    # duplicate id would multiply candidate rows — raise early instead
+    qid_list = [r[0] for r in qrows]
+    if any(q is None for q in qid_list):
+        raise ValueError(
+            "knn_join_fast requires non-null query ids (the exact "
+            "re-score joins on query_id) — use knn_join for NULL ids"
+        )
+    if len(set(qid_list)) != len(qid_list):
+        raise ValueError(
+            "knn_join_fast requires unique query ids (duplicates would "
+            "multiply re-score candidates) — deduplicate or use knn_join"
+        )
+    qids = np.array(qid_list)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     id_field = corpus.schema[id_col]
@@ -1717,8 +1766,12 @@ def knn_join_fast(
                     # the whole corpus as candidates.
                     inf_idx = cand_idx[np.isinf(key[cand_idx])]
                     if len(inf_idx) > kk:
+                        # NULL-first id key mirrors the final window's
+                        # ORDER BY neighbor_id ASC (Spark sorts NULLs
+                        # first ascending) and avoids the TypeError a
+                        # bare None-vs-value comparison would raise
                         drop = set(
-                            sorted(inf_idx, key=lambda i: nids[i])[kk:]
+                            sorted(inf_idx, key=lambda i: _id_key(nids[i]))[kk:]
                         )
                         cand_idx = np.array(
                             [i for i in cand_idx if i not in drop]
@@ -1730,7 +1783,7 @@ def knn_join_fast(
                 # so per-batch matmul rounding can never decide them
                 order = sorted(
                     range(len(cand_idx)),
-                    key=lambda i: (-key[cand_idx[i]], nids[cand_idx[i]]),
+                    key=lambda i: (-key[cand_idx[i]], _id_key(nids[cand_idx[i]])),
                 )
                 sel = cand_idx[order]
                 out_q.extend([qids[qi]] * len(sel))

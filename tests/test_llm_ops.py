@@ -681,3 +681,57 @@ def test_multitable_batch_matches_per_query(spark, sf_dir):
             for r in ann_topk_multitable(index, qid, k=10).collect()
         ]
         assert batch.get(qid, []) == single
+
+
+def test_knn_join_fast_query_side_contract_enforced(spark, monkeypatch):
+    """The driver-collect contract is enforced, not just documented:
+    oversized / NULL-id / duplicate-id query sides raise with a pointer
+    at the distributed twin (round-10 ADVICE + verdict #5)."""
+    import pytest
+    import etl_workflows_spark.operators.similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "_KNN_FAST_MAX_QUERIES", 3)
+    big = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="knn_join"):
+        sim.knn_join_fast(big, corpus, k=1)
+    nullid = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        sim.knn_join_fast(nullid, corpus, k=1)
+    dupid = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (7, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="unique"):
+        sim.knn_join_fast(dupid, corpus, k=1)
+
+
+def test_knn_join_fast_null_neighbor_ids_no_typeerror(spark):
+    """NULL neighbor ids must not TypeError inside the kernel sorts; the
+    NaN-cap keeps NULL-first order (Spark ASC NULLS FIRST parity)."""
+    from etl_workflows_spark.operators.similarity import knn_join_fast
+
+    # NaN query → every sim NaN → the kk-cap sort runs over ALL corpus
+    # ids, including the NULL one (>k NaN-tied rows in one batch)
+    corpus = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [0.5, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(10, [float("nan"), 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = knn_join_fast(queries, corpus, k=2).collect()
+    assert len(out) == 2
+    # NULL id sorts first among the NaN tie class, like the window's ASC
+    assert out[0]["neighbor_id"] is None or min(
+        (r["rank"], r["neighbor_id"] is not None) for r in out
+    )[1] is False
