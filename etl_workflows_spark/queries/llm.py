@@ -595,7 +595,13 @@ def _index_cache_path(sf_dir: str, kind: str) -> str:
     # evict the SAME corpus path's stale-content siblings (regeneration
     # would otherwise leak one full persisted index per fixture rewrite);
     # other corpus paths' caches are untouched — concurrent sf dirs each
-    # keep exactly one live slot
+    # keep exactly one live slot. KNOWN, TOLERATED race (test-infra-only
+    # path): two processes observing different embeddings mtimes can each
+    # evict the other's live dir mid-read; the loser gets a read failure
+    # and rebuilds from scratch — a spurious slowdown, never a stale or
+    # corrupt result (builders write to the content-keyed dir and the
+    # _SUCCESS check gates reads). Production indexes live at caller-
+    # chosen durable paths via write_ivf_index and never enter this dir.
     import glob
     import shutil
 
