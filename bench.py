@@ -827,6 +827,60 @@ def _scaled_pass(spark, sf_dir: str, factor: int = 10) -> dict:
     }
 
 
+def _prev_round_bench(here: str) -> dict | None:
+    """Latest committed BENCH_r{N}.json's parsed block (queries + calib
+    probes) — the reference the two-run triage compares against. Returns
+    None when no prior-round artifact exists (first round, or detached
+    checkout)."""
+    import glob
+    import re
+
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed") or {}
+        if parsed.get("queries") and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), parsed
+    return best
+
+
+def _two_run_triage(prev: dict, run1: dict, run2: dict,
+                    norms1: dict, norms2: dict) -> dict:
+    """BASELINE.md's r10+ per-query protocol: a regression is REAL only
+    if the query is slower than last round under BOTH normalizers
+    (r3-protocol single probe AND med3) in BOTH of this round's passes.
+    Returns {query: min_normalized_ratio} for queries past 1.25× on all
+    four (normalizer × run) combinations; everything else is host noise
+    by definition of the protocol."""
+    flagged = {}
+    pq = prev.get("queries", {})
+    prev_norms = {
+        "calib": prev.get("calib_jvm_sec"),
+        "med3": prev.get("calib_jvm_med3"),
+    }
+    for q, t_prev in pq.items():
+        if q not in run1 or q not in run2 or not t_prev:
+            continue
+        ratios = []
+        for kind in ("calib", "med3"):
+            pn = prev_norms[kind]
+            if not pn:
+                continue
+            for t_now, n_now in ((run1[q], norms1[kind]),
+                                 (run2[q], norms2[kind])):
+                ratios.append((t_now / n_now) / (t_prev / pn))
+        if ratios and min(ratios) > 1.25:
+            flagged[q] = round(min(ratios), 2)
+    return flagged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -868,6 +922,20 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = _time_query(spark, QUERIES[name], sf_dir, runs=3)
 
+    # SECOND full timed pass (BASELINE.md r10+ protocol): per-query
+    # round-over-round conclusions are undecidable from one pass on a
+    # host whose single-thread speed swings ~60% within minutes, so the
+    # headline set runs twice with its own med3 probe each time; the
+    # triage below flags only queries that regress vs the previous
+    # round's artifact under BOTH normalizers in BOTH passes.
+    calib_run2 = _calibrate()
+    calib_med3_run2 = round(
+        sorted([calib_run2, _calibrate(), _calibrate()])[1], 3
+    )
+    timings_run2: dict[str, float] = {}
+    for name in HEADLINE:
+        timings_run2[name] = _time_query(spark, QUERIES[name], sf_dir, runs=3)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -876,7 +944,24 @@ def main() -> None:
         "sf": sf,
         "calib_jvm_sec": calib,
         "calib_jvm_med3": calib_med3,
+        "run2_total": round(sum(timings_run2.values()), 3),
+        "calib_jvm_sec_run2": calib_run2,
+        "calib_jvm_med3_run2": calib_med3_run2,
     }
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = _prev_round_bench(here)
+    if prev is not None:
+        out["flagged_regressions"] = _two_run_triage(
+            prev,
+            timings,
+            timings_run2,
+            {"calib": calib, "med3": calib_med3},
+            {"calib": calib_run2, "med3": calib_med3_run2},
+        )
+    # run2 per-query detail rides the full-detail line + the durable
+    # file, never the budget-capped final line
+    print(json.dumps({"queries_run2": timings_run2},
+                     separators=(",", ":")))
     # The PRE probe is the normalizer: its protocol (single probe, right
     # after the fixed warmup job) has been identical since r3, so
     # cross-round division is apples-to-apples. The POST probe below is
@@ -901,10 +986,13 @@ def main() -> None:
         # artifact came back "parsed": null because the single combined
         # line outgrew the driver's stdout tail capture; the compact
         # headline JSON must be the LAST line printed.
-        scaled_full = {"scaled": scaled, "scaling_ratio": ratios}
+        scaled_full = {
+            "scaled": scaled,
+            "scaling_ratio": ratios,
+            "queries_run2": timings_run2,
+        }
         print(json.dumps(scaled_full))
         try:
-            here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "BENCH_SCALED_LOCAL.json"), "w") as f:
                 json.dump({**out, **scaled_full}, f, indent=1)
         except OSError:
