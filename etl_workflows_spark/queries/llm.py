@@ -1506,8 +1506,10 @@ def _bpe_merges_for(spark: SparkSession, sf_dir: str):
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 15 BPE merges learned from the corpus (operators/bpe.py —
     distributed vocabulary induction over the word-frequency table).
-    Iterative/order-dependent → rows-only; exactness vs a reference
-    Python implementation is pinned in test_bpe."""
+    Hash-exact oracle via the unrolled fixed-recursion SQL below (the
+    EWMA/Holt conversion pattern applied to the merge-table fold);
+    exactness vs a reference Python implementation is additionally
+    pinned in test_bpe."""
     merges = _bpe_merges_for(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
@@ -1515,10 +1517,115 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_blocks(n_merges: int) -> str:
+    """DuckDB twin of ``bpe.train_bpe``: the fixed merge count unrolls
+    the training loop into ``n_merges`` chained CTE blocks (recursive
+    CTEs cannot aggregate over their own working table, but a FIXED
+    recursion needs no recursion at all — the same trick as the
+    EWMA/Holt oracles). Each block mirrors one iteration exactly:
+
+    - pair counts: LEAD over the dense symbol positions, SUM(word cnt);
+    - winner: max count, (left, right) lexicographic tiebreak — one row;
+    - greedy leftmost rewrite, RELATIONALLY: for left ≠ right adjacent
+      matches can never overlap, so every match merges; for left = right
+      overlaps resolve leftmost-first ⇔ keep matches at EVEN offsets
+      from their equal-symbol run start (gaps-and-islands run ids).
+      Merged rows absorb their successor (LAG(taken) drops it) and
+      positions renumber densely for the next block.
+
+    CTEs carrying per-iteration state are MATERIALIZED: s{{k}} is
+    referenced twice per block, and DuckDB's default single-use inlining
+    would otherwise duplicate the whole upstream chain 2^n times.
+    An exhausted corpus (no pair left) makes b{{k}} empty, which empties
+    every later block — the same early-stop train_bpe performs."""
+    parts = ["""WITH w AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, cnt, CAST(i AS BIGINT) AS pos,
+         SUBSTR(word, CAST(i AS INT), 1) AS sym
+  FROM w, UNNEST(RANGE(1, LENGTH(word) + 1)) AS t(i)
+)"""]
+    for k in range(1, n_merges + 1):
+        j = k - 1
+        parts.append(f""",
+p{k} AS (
+  SELECT sym AS l, nxt AS r, SUM(cnt) AS c FROM (
+    SELECT cnt, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM s{j}
+  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+x{k} AS (
+  SELECT word, cnt, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+         pos - ROW_NUMBER() OVER (PARTITION BY word, sym ORDER BY pos) AS isl
+  FROM s{j}
+),
+y{k} AS (
+  SELECT x.word, x.cnt, x.pos, x.sym, b.l, b.r,
+         COALESCE(x.sym = b.l AND x.nxt = b.r, FALSE) AS is_match,
+         MIN(x.pos) OVER (PARTITION BY x.word, x.sym, x.isl) AS run_start
+  FROM x{k} x, b{k} b
+),
+z{k} AS (
+  SELECT *, (is_match AND (l <> r OR (pos - run_start) % 2 = 0)) AS taken
+  FROM y{k}
+),
+g{k} AS (
+  SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY word ORDER BY pos), FALSE)
+            AS consumed
+  FROM z{k}
+),
+s{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN taken THEN l || r ELSE sym END AS sym
+  FROM g{k} WHERE NOT consumed
+)""")
+    return "".join(parts)
+
+
+def _build_bpe_merges_oracle(n_merges: int) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS \"left\", "
+        f"r AS \"right\", CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_oracle_blocks(n_merges) + "\n" + unions
+
+
+def _build_bpe_encode_oracle(n_merges: int) -> str:
+    """DuckDB twin of ``bpe_encode_docs``, riding the SAME unrolled
+    training chain: the final symbol table s{n} already holds every
+    distinct word's post-merge symbols, so a document's BPE token count
+    is just the per-word symbol count joined back through the corpus
+    word list. The left join keeps empty/whitespace-only documents at
+    count 0 (bpe_encode's empty flattened array)."""
+    return (
+        _bpe_oracle_blocks(n_merges)
+        + f""",
+final AS (SELECT word, COUNT(*) AS n_syms FROM s{n_merges} GROUP BY word),
+docw AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+),
+counts AS (
+  SELECT d.doc_id, SUM(f.n_syms) AS n
+  FROM docw d JOIN final f ON d.word = f.word
+  GROUP BY d.doc_id
+)
+SELECT dd.doc_id, CAST(COALESCE(c.n, 0) AS INTEGER) AS n_bpe_tokens
+FROM documents dd LEFT JOIN counts c ON dd.doc_id = c.doc_id"""
+    )
+
+
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BPE token counts under the corpus-learned merges —
     the in-plan encoder (pure Catalyst fold chain, no Python per row).
-    Rows-only (depends on the iterative training above)."""
+    Hash-exact oracle: the unrolled training SQL's final symbol table
+    gives per-word symbol counts, joined back through the corpus."""
     merges = _bpe_merges_for(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     return bpe.bpe_encode(d, merges).select(
@@ -3220,6 +3327,8 @@ ORACLE_SQL = {
     "near_dup_simhash_wide": _SIMHASH_WIDE_ORACLE,
     "token_budget_plan_docs": _BUDGET_PLAN_ORACLE,
     "mixture_materialize_docs": _MIXTURE_MATERIALIZE_ORACLE,
+    "bpe_merges_docs": _build_bpe_merges_oracle(15),
+    "bpe_encode_docs": _build_bpe_encode_oracle(15),
     # compression_ratio_docs: DEFLATE has no SQL twin → rows-only
     # near_dup_minhash_lsh, ann_cosine_topk_lsh: approximate → rows-only
 }

@@ -7,34 +7,15 @@ kept out of the default pytest run for speed; the driver runs it per-round.)
 
 import pytest
 
-from etl_workflows_spark.queries import ORACLE_SQL, QUERIES
-
-# Approximate / iterative operators intentionally have no SQL oracle.
-ROWS_ONLY = {
-    "near_dup_minhash_lsh",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_pq",
-    "ann_cosine_topk_multitable",  # LSH recall — exact twin ann_cosine_topk
-    "ann_cosine_topk_ivfpq",  # IVF pruning × PQ ADC — exact twin ann_cosine_topk
-    "dedup_near_end_to_end",
-    "approx_event_sketches",
-    "events_distinct_hll_range",
-    "equidepth_histogram_approx",
-    "bpe_merges_docs",
-    "bpe_encode_docs",
-    "quality_classifier_docs",  # iterative L-BFGS training — no SQL twin
-    "pipeline_curation_v2",  # contains the classifier stage
-    "audience_overlap_events",  # HLL estimates
-    "multimodal_phash_pairs",  # Arrow-kernel pixel packing + DCT
-    "embedding_near_dup_banded",  # LSH recall — exact twin similar_pairs
-    "semantic_dedup_embeddings",  # k-means + iterative components
-    "compression_ratio_docs",  # DEFLATE bit-state — no SQL twin
-}
+from etl_workflows_spark.queries import ORACLE_SQL, QUERIES, ROWS_ONLY_WHY
 
 
 def test_oracle_coverage():
-    assert set(ORACLE_SQL) == set(QUERIES) - ROWS_ONLY
+    # ROWS_ONLY_WHY is the single documented source for the no-oracle
+    # class: an entry can neither lose its oracle silently nor go
+    # rows-only without a stated reason (rendered into CATALOG.md).
+    assert set(ORACLE_SQL) == set(QUERIES) - set(ROWS_ONLY_WHY)
+    assert all(why.strip() for why in ROWS_ONLY_WHY.values())
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
