@@ -124,6 +124,10 @@ HEADLINE = [
     "token_budget_plan_docs",
     "mixture_materialize_docs",
     "compression_ratio_docs",
+    # round-9 addition, promoted to the headline set in round 10: the
+    # partitioned dataloader numbering (bucketed two-pass, broadcast
+    # offsets — shares one recipe with the global shuffle)
+    "per_source_positions_docs",
 ]
 
 
@@ -525,6 +529,25 @@ def _ann_recall_legs(spark, scaled_dir: str, factor: int = 10) -> tuple[dict, di
     )
     legs["ann_ivfpq_res_nprobe8_8q_x10"] = t
 
+    # by_residual='auto' (judge r10 #6): the data-driven coding decision
+    # recorded WITH its measured norm and recall, so the auto heuristic's
+    # real-corpus behavior is tracked round-over-round instead of only
+    # the two hand-picked modes above
+    auto_decision: dict = {}
+    auto_codes, auto_cents, auto_books = PQ.build_ivfpq_index(
+        emb, n_lists=n_lists, m=8, k_codes=16, by_residual="auto",
+        decision_out=auto_decision,
+    )
+    auto_codes = auto_codes.persist()
+    auto_codes.count()
+    t, ivfpq_auto_pred = run_batch(
+        lambda q: PQ.ann_topk_ivfpq(
+            spark, auto_codes, auto_cents, auto_books, qvecs[q], k=k,
+            nprobe=8, by_residual=auto_decision["by_residual"],
+        )
+    )
+    legs["ann_ivfpq_auto_nprobe8_8q_x10"] = t
+
     def recall(preds):
         return round(
             sum(
@@ -544,12 +567,21 @@ def _ann_recall_legs(spark, scaled_dir: str, factor: int = 10) -> tuple[dict, di
         "ivfpq_nprobe8": recall(ivfpq_pred),
         "ivfpq_nprobe2": recall(ivfpq_pred_2p),
         "ivfpq_res_nprobe8": recall(ivfpq_res_pred),
+        "ivfpq_auto_nprobe8": recall(ivfpq_auto_pred),
+        "ivfpq_auto_by_residual": bool(auto_decision["by_residual"]),
+        "ivfpq_auto_mean_residual_norm": (
+            round(auto_decision["mean_residual_norm"], 4)
+            if auto_decision["mean_residual_norm"] is not None
+            else None
+        ),
+        "ivfpq_auto_threshold": PQ.RESIDUAL_AUTO_THRESHOLD,
         "k": k,
         "queries": len(qids),
         "n_vectors": n,
     }
     for df in (
-        emb, lsh_index, mt_index, ivf_index, codes, ivfpq_codes, res_codes
+        emb, lsh_index, mt_index, ivf_index, codes, ivfpq_codes, res_codes,
+        auto_codes,
     ):
         df.unpersist()
     return legs, recalls
@@ -855,13 +887,20 @@ def _two_run_triage(prev: dict, run1: dict, run2: dict,
                     norms1: dict, norms2: dict) -> dict:
     """BASELINE.md's r10+ per-query protocol: a regression is REAL only
     if the query is slower than last round under BOTH normalizers
-    (r3-protocol single probe AND med3) in BOTH of this round's passes.
-    Returns {query: min_normalized_ratio} for queries past 1.25× on all
-    four (normalizer × run) combinations; everything else is host noise
-    by definition of the protocol."""
+    (r3-protocol single probe AND med3) in BOTH of this round's passes,
+    AND in RAW time in both passes. The raw gate exists because the two
+    probes measure the same single-thread host speed — when a probe
+    draw lands in a fast window (med3 swung 0.339 → 0.146 between the
+    two r10 passes, minutes apart) every normalized time inflates
+    together, while a genuine code regression cannot disappear from the
+    raw clock between back-to-back runs on the same host. Returns
+    {query: min_ratio} for queries past 1.25× on all six
+    (normalizer × run) combinations; everything else is host noise by
+    definition of the protocol."""
     flagged = {}
     pq = prev.get("queries", {})
     prev_norms = {
+        "raw": 1.0,
         "calib": prev.get("calib_jvm_sec"),
         "med3": prev.get("calib_jvm_med3"),
     }
@@ -869,12 +908,13 @@ def _two_run_triage(prev: dict, run1: dict, run2: dict,
         if q not in run1 or q not in run2 or not t_prev:
             continue
         ratios = []
-        for kind in ("calib", "med3"):
+        for kind in ("raw", "calib", "med3"):
             pn = prev_norms[kind]
             if not pn:
                 continue
-            for t_now, n_now in ((run1[q], norms1[kind]),
-                                 (run2[q], norms2[kind])):
+            n1 = 1.0 if kind == "raw" else norms1[kind]
+            n2 = 1.0 if kind == "raw" else norms2[kind]
+            for t_now, n_now in ((run1[q], n1), (run2[q], n2)):
                 ratios.append((t_now / n_now) / (t_prev / pn))
         if ratios and min(ratios) > 1.25:
             flagged[q] = round(min(ratios), 2)
