@@ -15,9 +15,12 @@ count + a symbol rewrite over the word table only:
    in the loop; lineage truncated per iteration with localCheckpoint
    (same discipline as dedup.cluster_duplicates).
 
-Iterative and order-dependent → no SQL oracle; correctness is pinned by
-a reference Python implementation on the classic low/lower/newest/widest
-corpus in tests.
+Iterative and order-dependent, but the FIXED merge count makes it
+SQL-expressible after all: queries/llm.py unrolls the loop into chained
+DuckDB CTEs (one block per merge, greedy rewrite done relationally), so
+both catalog entries are hash-exact oracle-checked since round 10;
+correctness is additionally pinned by a reference Python implementation
+on the classic low/lower/newest/widest corpus in tests.
 
 Net-new operator (no reference counterpart).
 """
