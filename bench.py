@@ -790,6 +790,46 @@ def _x100_worst_scaler_legs(spark, scaled_dir: str) -> dict:
     t0 = _time.perf_counter()
     spans_ops.ngram_novelty(d100, 8).count()
     legs["ngram_novelty_x100"] = round(_time.perf_counter() - t0, 3)
+
+    # round-10: the two embedding scalers, wall-clocked END-TO-END at
+    # ×100 vectors (~200k at the sf0.1 base) — the execution counterpart
+    # of corpus_embedding_growth_probe's pinned count exponents
+    # (SemDeDup exactly n^1.5, banded LSH n^(1+ρ)), same closing of the
+    # count-vs-wall gap the spans/ngram legs did in round 9. In-plan
+    # jittered replication of the materialized ×10 embeddings is part of
+    # the measured time, like the doc legs' replicate().
+    from etl_workflows_spark.operators import similarity as SIM
+    from etl_workflows_spark.operators.cache import release_checkpoint
+    from tools.scaling_probe import jittered_replicate_embeddings
+
+    emb10 = spark.read.parquet(
+        os.path.join(scaled_dir, "embeddings.parquet")
+    )
+    n100 = emb10.count() * 10  # untimed sizing count, like the 1× entries
+    # materialized UNTIMED (unlike the doc legs' in-plan replicate):
+    # the in-plan exploded relation inherits the 20k-row parquet's size
+    # estimate, so the planner broadcasts the 200k-vector side into the
+    # within-cell self-join and OOMs a warm driver heap — checkpointing
+    # gives honest (unknown→huge) stats, and a real ×100 corpus would be
+    # on disk anyway; the timed legs then measure the operators alone,
+    # matching what the count probe's exponents price
+    e100 = jittered_replicate_embeddings(emb10, 10).localCheckpoint(
+        eager=True
+    )
+    t0 = _time.perf_counter()
+    SIM.semantic_dedup(
+        e100, threshold=0.9, n_lists=max(8, int(n100 ** 0.5))
+    ).count()
+    legs["semantic_dedup_x100"] = round(_time.perf_counter() - t0, 3)
+    p, b = SIM.banded_lsh_params(n100, 0.9)
+    t0 = _time.perf_counter()
+    SIM.similar_pairs_banded(
+        e100, threshold=0.9, n_planes=p, bands=b
+    ).count()
+    legs["embedding_near_dup_banded_x100"] = round(
+        _time.perf_counter() - t0, 3
+    )
+    release_checkpoint(e100)
     return legs
 
 
