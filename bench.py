@@ -926,37 +926,36 @@ def _prev_round_bench(here: str) -> dict | None:
 def _two_run_triage(prev: dict, run1: dict, run2: dict,
                     norms1: dict, norms2: dict) -> dict:
     """BASELINE.md's r10+ per-query protocol: a regression is REAL only
-    if the query is slower than last round under BOTH normalizers
-    (r3-protocol single probe AND med3) in BOTH of this round's passes,
-    AND in RAW time in both passes. The raw gate exists because the two
-    probes measure the same single-thread host speed — when a probe
-    draw lands in a fast window (med3 swung 0.339 → 0.146 between the
-    two r10 passes, minutes apart) every normalized time inflates
-    together, while a genuine code regression cannot disappear from the
-    raw clock between back-to-back runs on the same host. Returns
-    {query: min_ratio} for queries past 1.25× on all six
-    (normalizer × run) combinations; everything else is host noise by
-    definition of the protocol."""
+    if the query is slower than last round under BOTH of run 1's
+    normalizers (r3-protocol single probe AND med3) AND in RAW time in
+    BOTH passes — four gates. Run 2 contributes only its raw clock: its
+    probes run on a JVM warmed by the whole run-1 pass, so dividing by
+    them against the previous round's COLD pre-probe systematically
+    inflates every run-2 normalized time (the file's own PRE-vs-POST
+    probe note) and a gate that is almost always 'regressed' filters
+    nothing. The raw gates exist for the converse failure: both probes
+    measure the same single-thread host speed, so one fast probe window
+    (med3 swung 0.339 → 0.146 between the two r10 passes) inflates all
+    normalized times together, while a genuine code regression cannot
+    disappear from the raw clock between back-to-back runs. Returns
+    {query: min_ratio} for queries past 1.25× on all four gates;
+    everything else is host noise by definition of the protocol."""
     flagged = {}
     pq = prev.get("queries", {})
     prev_norms = {
-        "raw": 1.0,
         "calib": prev.get("calib_jvm_sec"),
         "med3": prev.get("calib_jvm_med3"),
     }
+    del norms2  # see docstring: run-2 probes are warm, not comparable
     for q, t_prev in pq.items():
         if q not in run1 or q not in run2 or not t_prev:
             continue
-        ratios = []
-        for kind in ("raw", "calib", "med3"):
+        ratios = [run1[q] / t_prev, run2[q] / t_prev]  # raw, both passes
+        for kind in ("calib", "med3"):
             pn = prev_norms[kind]
-            if not pn:
-                continue
-            n1 = 1.0 if kind == "raw" else norms1[kind]
-            n2 = 1.0 if kind == "raw" else norms2[kind]
-            for t_now, n_now in ((run1[q], n1), (run2[q], n2)):
-                ratios.append((t_now / n_now) / (t_prev / pn))
-        if ratios and min(ratios) > 1.25:
+            if pn:
+                ratios.append((run1[q] / norms1[kind]) / (t_prev / pn))
+        if min(ratios) > 1.25:
             flagged[q] = round(min(ratios), 2)
     return flagged
 
@@ -1038,10 +1037,14 @@ def main() -> None:
             {"calib": calib, "med3": calib_med3},
             {"calib": calib_run2, "med3": calib_med3_run2},
         )
-    # run2 per-query detail rides the full-detail line + the durable
-    # file, never the budget-capped final line
-    print(json.dumps({"queries_run2": timings_run2},
-                     separators=(",", ":")))
+    # run2 per-query detail rides the scaled full-detail line + the
+    # durable file, never the budget-capped final line; a standalone
+    # line is printed only when the scaled pass (and therefore both
+    # other carriers) is disabled — printing it twice would waste the
+    # driver's ~2000-char stdout tail window
+    if os.environ.get("SPARK_GRAFT_SCALED", "1") == "0":
+        print(json.dumps({"queries_run2": timings_run2},
+                         separators=(",", ":")))
     # The PRE probe is the normalizer: its protocol (single probe, right
     # after the fixed warmup job) has been identical since r3, so
     # cross-round division is apples-to-apples. The POST probe below is
@@ -1101,6 +1104,20 @@ def main() -> None:
             elided += 1
             final["queries"] = kept
             final["queries_elided"] = elided
+            line = json.dumps(final, separators=(",", ":"))
+        # a genuinely slow host can flag MANY queries; a large flag dict
+        # can keep the line over budget after every timing is elided —
+        # keep only the worst five on the final line (full set printed
+        # on its own detail line first) rather than let the driver's
+        # stdout tail truncate the line into unparseable JSON
+        flags = final.get("flagged_regressions")
+        if len(line) > budget and flags and len(flags) > 5:
+            print(json.dumps({"flagged_regressions_full": flags},
+                             separators=(",", ":")))
+            final["flagged_regressions"] = dict(
+                sorted(flags.items(), key=lambda kv: -kv[1])[:5]
+            )
+            final["flagged_total"] = len(flags)
             line = json.dumps(final, separators=(",", ":"))
     print(line)
 

@@ -268,15 +268,13 @@ def _partitioned_rank_and_cumsum(
         # type), not a hardcoded bigint — a double/decimal val_col must
         # yield the same schema whether the frame is empty or not (the
         # unpartitioned tail applies the same rule; keep them in sync).
-        from pyspark.sql.types import LongType as _EmptyLong
-
         return (
             d.drop("__bucket")
             .withColumn(ordinal_col, F.lit(None).cast("bigint"))
             .withColumn(
                 cum_col,
                 F.lit(None).cast(
-                    sum_type if sum_type is not None else _EmptyLong()
+                    sum_type if sum_type is not None else LongType()
                 ),
             )
         )
@@ -309,14 +307,12 @@ def _partitioned_rank_and_cumsum(
         gkey = tuple(_hashable(v) for v in gvals)
         originals.setdefault(gkey, gvals)
         groups.setdefault(gkey, []).append((r["__bucket"], r["n"], r["s"]))
-    from pyspark.sql.types import LongType as _Long
-
     # __soff carries SUMS of val_col, so it takes F.sum's result type
     # (long for ints, double for floats, widened decimal for decimals) —
     # a hardcoded long rejects double/decimal value columns, which the
     # public docstring supports. Python-side accumulation is coerced to
     # the matching Python type so createDataFrame's verifier accepts it.
-    stype = sum_type if sum_type is not None else _Long()
+    stype = sum_type if sum_type is not None else LongType()
     tname = stype.typeName()
 
     def _coerce_sum(x):
@@ -513,6 +509,64 @@ def interleave_sources(
     ).drop("__round")
 
 
+def _interleave_round_source_cuts(
+    counts: list, n_buckets: int = 256
+) -> list:
+    """Bucket cut points for the many-source interleave: row-mass
+    quantiles of the (round, source) key space, returned as (round,
+    source) PAIRS so a single round spread across many sources still
+    splits into many buckets (round-only cuts collapse to one bucket in
+    the many-tiny-sources regime — every row is round 1 — recreating
+    the single-reducer trap; caught by the round-10 review).
+
+    Driver cost: the round containing each cut comes from a segment
+    walk over the ≤ #sources distinct count values (never rounds, which
+    are unbounded); the source at the cut's within-round offset is the
+    offset-th name among sources with n_s ≥ round. O(#cuts × #sources)
+    worst case, vectorized.
+    """
+    import bisect
+    import math
+
+    import numpy as np
+
+    if not counts:
+        return []
+    names = np.array([s for s, _ in counts], dtype=object)
+    ns_by_name = np.array([n for _, n in counts])
+    sorted_ns = sorted(int(n) for n in ns_by_name)
+    total = int(sum(sorted_ns))
+    n_cuts = min(n_buckets, max(1, total)) - 1
+    if n_cuts <= 0:
+        return []
+    # segments of constant slope: rounds r in [r_lo, r_hi] each hold
+    # `active` rows (one per source with n_s >= r)
+    segs = []  # (r_lo, r_hi, active, rows_before_r_lo)
+    r_prev, cum, idx = 0, 0, 0
+    for nv in sorted(set(sorted_ns)):
+        active = len(sorted_ns) - idx
+        segs.append((r_prev + 1, nv, active, cum))
+        cum += (nv - r_prev) * active
+        r_prev = nv
+        idx = bisect.bisect_right(sorted_ns, nv)
+    cuts = []
+    target = total / (n_cuts + 1)
+    for j in range(1, n_cuts + 1):
+        p = min(total, int(math.ceil(j * target)))  # 1-indexed position
+        for r_lo, r_hi, active, rows_before in segs:
+            seg_rows = (r_hi - r_lo + 1) * active
+            if p <= rows_before + seg_rows:
+                k = p - rows_before  # 1-indexed inside the segment
+                r = r_lo + (k - 1) // active
+                o = (k - 1) % active  # 0-indexed inside round r
+                src = names[ns_by_name >= r][o]
+                cut = (int(r), src)
+                if not cuts or cut != cuts[-1]:
+                    cuts.append(cut)
+                break
+    return cuts
+
+
 def _interleave_sources_bucketed(
     d: DataFrame,
     counts: list,
@@ -524,47 +578,30 @@ def _interleave_sources_bucketed(
     per pair), so reuse ``global_ordinals``' bucketed two-pass instead
     of folding thousands of per-source terms into one expression tree.
 
-    The bucket key cuts ROUND ranges, balanced by exact row mass: rows
-    in rounds ≤ r is Σ_s min(n_s, r) — piecewise linear in r with slope
-    = #active sources — so the driver walks the ≤ #sources distinct
-    count values (never r itself, which is unbounded) and places each
-    cut arithmetically inside its segment. Monotone in (round, source)
-    by construction (depends on round alone), bounded at 256 buckets.
+    Buckets come from ``_interleave_round_source_cuts`` — row-mass
+    quantile cuts expressed as (round, source) pairs, so both regimes
+    parallelize: few big sources (cuts spread across rounds) AND many
+    tiny sources (cuts spread across sources inside round 1). The cut
+    indicator is monotone in the (round, source) lexicographic sort
+    order by construction, and the whole lookup is ONE array-of-structs
+    literal + filter/size — constant expression depth regardless of
+    cut count, never a per-source chain.
     """
-    import bisect
-    import math
-
-    ns = sorted(n for _, n in counts)
-    total = sum(ns)
-    n_buckets = min(256, max(1, len(counts)))
-    target = total / n_buckets
-    bps: list[int] = []
-    cum = 0.0
-    r_prev = 0
-    next_cut = target
-    for nv in sorted(set(ns)):
-        # rounds r in (r_prev, nv] all see the same active-source count
-        active = len(ns) - bisect.bisect_right(ns, r_prev)
-        seg_rows = (nv - r_prev) * active
-        while (
-            cum + seg_rows >= next_cut
-            and len(bps) < n_buckets - 1
-            and active > 0
-        ):
-            r_cut = r_prev + math.ceil((next_cut - cum) / active)
-            if not bps or r_cut > bps[-1]:
-                bps.append(int(r_cut))
-            next_cut += target
-        cum += seg_rows
-        r_prev = nv
-    if bps:
-        # bucket = #breakpoints ≤ round: one array literal + a filter/
-        # size pair — a single expression node regardless of cut count,
-        # not a per-source chain
+    cuts = _interleave_round_source_cuts(counts, 256)
+    if cuts:
+        rnd = F.col("__round")
+        src = F.col(source_col)
+        pair_arr = F.array(
+            *[
+                F.struct(F.lit(int(r)).alias("r"), F.lit(s).alias("s"))
+                for r, s in cuts
+            ]
+        )
         bucket = F.size(
             F.filter(
-                F.array(*[F.lit(b) for b in bps]),
-                lambda x: x <= F.col("__round"),
+                pair_arr,
+                lambda x: (rnd > x["r"])
+                | ((rnd == x["r"]) & (src >= x["s"])),
             )
         )
     else:

@@ -1614,8 +1614,13 @@ _KNN_FAST_MAX_QUERIES = 100_000
 def _id_key(v):
     """NULL-first sort key for neighbor ids inside the fast-path kernel —
     mirrors Spark's ASC NULLS FIRST (the final window's neighbor_id
-    order) and never compares None against a value."""
-    return (v is not None, v)
+    order) and never compares None against a value. A NULL in a
+    NULLABLE int64 id column reaches pandas as float64 NaN (Arrow has
+    no masked int in this path), so NaN is treated as the same null —
+    a bare ``is not None`` check would let NaN poison the sort and
+    silently drop the row knn_join ranks first."""
+    is_null = v is None or (isinstance(v, float) and v != v)
+    return (not is_null, 0 if is_null else v)
 
 
 def knn_join_fast(

@@ -1536,8 +1536,22 @@ def _bpe_oracle_blocks(n_merges: int) -> str:
     CTEs carrying per-iteration state are MATERIALIZED: s{{k}} is
     referenced twice per block, and DuckDB's default single-use inlining
     would otherwise duplicate the whole upstream chain 2^n times.
-    An exhausted corpus (no pair left) makes b{{k}} empty, which empties
-    every later block — the same early-stop train_bpe performs."""
+    An exhausted corpus (no pair left) selects a typed NULL sentinel
+    winner instead of an empty b{{k}}: the rewrite block then no-ops
+    (is_match is never true against NULL), so the symbol state SURVIVES
+    early stop — the merges relation drops sentinel rows (train_bpe's
+    break) while the encode twin still counts real symbols, exactly like
+    ``bpe_encode`` running with the shorter learned merge list. (A bare
+    empty b{{k}} would cascade-empty every later block and zero the
+    encode counts — caught by the round-10 review on a no-pairs corpus.)
+
+    Character-boundary caveat: Spark's ``split(word, '(?!^)')`` cuts
+    between UTF-16 code units while DuckDB's SUBSTR/LENGTH count code
+    points, so supplementary-plane characters (outside the BMP) would
+    produce different initial symbol tables. The corpus contract (and
+    the driver's sf0.01 gate) is BMP text; non-BMP corpora need the
+    Spark side switched to a codepoint split before this oracle
+    applies."""
     parts = ["""WITH w AS MATERIALIZED (
   SELECT word, COUNT(*) AS cnt
   FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
@@ -1552,12 +1566,19 @@ s0 AS MATERIALIZED (
         j = k - 1
         parts.append(f""",
 p{k} AS (
-  SELECT sym AS l, nxt AS r, SUM(cnt) AS c FROM (
+  SELECT sym AS l, nxt AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
     SELECT cnt, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
     FROM s{j}
   ) WHERE nxt IS NOT NULL GROUP BY 1, 2
 ),
-b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+b{k} AS MATERIALIZED (
+  SELECT l, r, c FROM (
+    SELECT l, r, c, 1 AS pri FROM p{k}
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), 2
+  ) ORDER BY pri, c DESC, l, r LIMIT 1
+),
 x{k} AS (
   SELECT word, cnt, pos, sym,
          LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
@@ -1589,9 +1610,12 @@ s{k} AS MATERIALIZED (
 
 
 def _build_bpe_merges_oracle(n_merges: int) -> str:
+    # WHERE l IS NOT NULL drops the pair-exhausted sentinel rows — the
+    # merges relation stops where train_bpe's early-stop does
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS \"left\", "
-        f"r AS \"right\", CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        f"r AS \"right\", CAST(c AS BIGINT) AS pair_count FROM b{k} "
+        f"WHERE l IS NOT NULL"
         for k in range(1, n_merges + 1)
     )
     return _bpe_oracle_blocks(n_merges) + "\n" + unions

@@ -133,3 +133,44 @@ def test_train_bpe_leaves_no_cached_rdds(spark):
     train_bpe(_corpus_df(spark, {"low": 3, "lower": 2}), 3)
     final = settle(target=baseline)
     assert final <= baseline, f"leaked {final - baseline} cached RDDs"
+
+
+def test_bpe_oracle_early_stop_parity(spark):
+    """Round-10 review fix: a corpus that exhausts pairs before n_merges
+    must leave the encode oracle counting REAL symbols (the sentinel-
+    winner no-op), not cascade-empty to all-zero counts; the merges
+    oracle must stop exactly where train_bpe's break does."""
+    import duckdb
+    import pandas as pd
+
+    from etl_workflows_spark.operators import bpe
+    from etl_workflows_spark.queries.llm import (
+        _build_bpe_encode_oracle,
+        _build_bpe_merges_oracle,
+    )
+
+    for rows in (
+        [(1, "a b c"), (2, "x y")],       # zero merges possible
+        [(1, "ab ab"), (2, "ab")],        # one merge, then exhausted
+    ):
+        con = duckdb.connect()
+        con.register(
+            "documents_df", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_df")
+        m = con.execute(_build_bpe_merges_oracle(3)).fetchall()
+        e = sorted(con.execute(_build_bpe_encode_oracle(3)).fetchall())
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe.train_bpe(docs, 3)
+        sm = [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)]
+        enc = sorted(
+            tuple(r)
+            for r in bpe.bpe_encode(docs, merges)
+            .selectExpr(
+                "doc_id", "CAST(size(bpe_tokens) AS INT) AS n_bpe_tokens"
+            )
+            .collect()
+        )
+        assert m == sm, (rows, m, sm)
+        assert e == enc, (rows, e, enc)
+        con.close()

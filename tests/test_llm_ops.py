@@ -721,17 +721,22 @@ def test_knn_join_fast_null_neighbor_ids_no_typeerror(spark):
     from etl_workflows_spark.operators.similarity import knn_join_fast
 
     # NaN query → every sim NaN → the kk-cap sort runs over ALL corpus
-    # ids, including the NULL one (>k NaN-tied rows in one batch)
+    # ids, including the NULL one. The NULL row is deliberately NOT
+    # first in batch order: a nullable int64 id column reaches pandas as
+    # float64 with NaN, and a naive None-check key would let the NaN
+    # poison the sort and silently drop this row from the cap.
     corpus = spark.createDataFrame(
-        [(None, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [0.5, 1.0])],
+        [(5, [1.0, 0.0]), (3, [0.0, 1.0]), (None, [1.0, 1.0]), (2, [0.5, 1.0])],
         "vec_id bigint, embedding array<double>",
     ).coalesce(1)
     queries = spark.createDataFrame(
         [(10, [float("nan"), 1.0])], "vec_id bigint, embedding array<double>"
     )
-    out = knn_join_fast(queries, corpus, k=2).collect()
+    out = sorted(knn_join_fast(queries, corpus, k=2).collect(),
+                 key=lambda r: r["rank"])
     assert len(out) == 2
-    # NULL id sorts first among the NaN tie class, like the window's ASC
-    assert out[0]["neighbor_id"] is None or min(
-        (r["rank"], r["neighbor_id"] is not None) for r in out
-    )[1] is False
+    # all cosines are NaN (a true tie) → ranked purely by id, NULLS
+    # FIRST: the NULL row wins rank 1 and id 2 takes rank 2, exactly
+    # what knn_join's window (cos_sim DESC, neighbor_id ASC) produces
+    assert out[0]["neighbor_id"] is None, out
+    assert out[1]["neighbor_id"] == 2, out

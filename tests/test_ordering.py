@@ -239,3 +239,41 @@ def test_rank_cumsum_empty_frame_keeps_sum_type(spark):
         df2, ["k"], "v", (F.col("k") % 4).cast("int"), partition_cols=["g"]
     )
     assert full.schema["cumsum"].dataType == grouped.schema["cumsum"].dataType
+
+
+def test_interleave_cut_points_cover_both_regimes():
+    """Round-10 review fix: cuts must be (round, source) pairs. Round-
+    only cuts collapse to ONE bucket when every source has one row."""
+    from etl_workflows_spark.operators.ordering import (
+        _interleave_round_source_cuts,
+    )
+
+    # many tiny sources: all rows are round 1 — cuts must spread across
+    # SOURCES inside the single round
+    tiny = [(f"s{i:05d}", 1) for i in range(5000)]
+    cuts = _interleave_round_source_cuts(tiny, 256)
+    assert len(cuts) >= 200, len(cuts)
+    assert all(r == 1 for r, _ in cuts)
+    assert len({s for _, s in cuts}) == len(cuts)  # distinct sources
+    # few big sources: cuts must spread across ROUNDS
+    big = [("a", 100_000), ("b", 100_000), ("c", 50_000)]
+    cuts = _interleave_round_source_cuts(big, 256)
+    assert len(cuts) >= 200, len(cuts)
+    assert len({r for r, _ in cuts}) >= 100  # round spread
+    # cuts are sorted in (round, source) order and unique
+    assert cuts == sorted(set(cuts))
+
+
+def test_interleave_single_round_many_sources_exact(spark):
+    """5000 one-row sources: interleave order IS alphabetical source
+    order (all rows are round 1), positions must be that exact rank and
+    the plan must stay off SinglePartition with spread buckets."""
+    from etl_workflows_spark.operators.ordering import interleave_sources
+
+    rows = [(i, f"src{i:05d}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    out = interleave_sources(df).collect()
+    expect = {f"src{i:05d}": i + 1 for i in range(5000)}
+    assert all(expect[r["source"]] == r["pos"] for r in out)
+    plan = _executed_plan(interleave_sources(df))
+    assert "SinglePartition" not in plan, plan

@@ -185,3 +185,40 @@ def test_corpus_embedding_scalers_x100(spark):
     # self-sizing actually engaged across the two decades
     assert probe["n_lists"][0] < probe["n_lists"][-1], probe
     assert probe["params"][0][0] < probe["params"][-1][0], probe
+
+
+def test_jittered_replicate_matches_materialized_recipe(spark):
+    """jittered_replicate_embeddings promises THE SAME vectors a
+    materialized tools/scale_data.py dir would hold — the jitter hash
+    must key on the post-remap id + copy (round-10 review: a pre-remap
+    seed drew different noise). Compare bit-for-bit at float32 against
+    ensure_scaled's parquet output."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.queries.base import table
+    from tools.scale_data import ensure_scaled
+    from tools.scaling_probe import jittered_replicate_embeddings
+
+    sf_dir = (
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    )
+    scaled_dir = ensure_scaled(spark, sf_dir, 10, "/tmp/etlws_scaled")
+    mat = {
+        r["vec_id"]: r["emb32"]
+        for r in spark.read.parquet(
+            os.path.join(scaled_dir, "embeddings.parquet")
+        )
+        .select("vec_id", F.col("embedding").cast("array<float>").alias("emb32"))
+        .collect()
+    }
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rep = {
+        r["vec_id"]: r["emb32"]
+        for r in jittered_replicate_embeddings(emb, 10)
+        .select("vec_id", F.col("embedding").cast("array<float>").alias("emb32"))
+        .collect()
+    }
+    assert set(rep) == set(mat)
+    assert all(rep[k] == mat[k] for k in rep), "noise draw differs"

@@ -122,7 +122,19 @@ def jittered_replicate_embeddings(emb, copies: int):
     if copies == 1:
         return emb
     reps = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__copy")
-    out = emb.select("vec_id", "embedding", reps)
+    # remap the id FIRST, exactly like tools/scale_data.py's _replicate
+    # (the jitter hash keys on the POST-remap id + copy — seeding on the
+    # pre-remap id would draw different noise than a materialized scaled
+    # dir, breaking the same-recipe parity this function promises;
+    # pinned in test_scaling_probe against ensure_scaled output)
+    # __copy must be BIGINT like scale_data's spark.range copy id:
+    # xxhash64 hashes int and long differently, so an int sequence
+    # would draw different noise than the materialized recipe
+    out = emb.select("vec_id", "embedding", reps).select(
+        (F.col("vec_id") * copies + F.col("__copy")).alias("vec_id"),
+        "embedding",
+        F.col("__copy").cast("bigint").alias("__copy"),
+    )
     jit = F.transform(
         "embedding",
         lambda x, i: x
@@ -134,7 +146,7 @@ def jittered_replicate_embeddings(emb, copies: int):
     )
     norm = F.sqrt(F.aggregate(jit, F.lit(0.0), lambda a, x: a + x * x))
     return out.select(
-        (F.col("vec_id") * copies + F.col("__copy")).alias("vec_id"),
+        "vec_id",
         F.when(F.col("__copy") == 0, F.col("embedding"))
         .otherwise(F.transform(jit, lambda x: x / norm))
         .alias("embedding"),
