@@ -532,6 +532,10 @@ def _interleave_round_source_cuts(
 
     if not counts:
         return []
+    # the offset→source lookup requires name order; sort defensively so
+    # a caller passing raw groupBy().collect() order can't silently get
+    # out-of-order cuts and skewed buckets
+    counts = sorted(counts)
     names = np.array([s for s, _ in counts], dtype=object)
     ns_by_name = np.array([n for _, n in counts])
     sorted_ns = sorted(int(n) for n in ns_by_name)

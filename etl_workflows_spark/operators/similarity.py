@@ -1618,8 +1618,11 @@ def _id_key(v):
     NULLABLE int64 id column reaches pandas as float64 NaN (Arrow has
     no masked int in this path), so NaN is treated as the same null —
     a bare ``is not None`` check would let NaN poison the sort and
-    silently drop the row knn_join ranks first."""
-    is_null = v is None or (isinstance(v, float) and v != v)
+    silently drop the row knn_join ranks first. The NaN test is the
+    type-free ``v != v`` — an isinstance(float) guard would miss
+    np.float32 NaN (not a Python-float subclass) from float32 id
+    columns."""
+    is_null = v is None or v != v
     return (not is_null, 0 if is_null else v)
 
 

@@ -158,7 +158,10 @@ def test_bpe_oracle_early_stop_parity(spark):
             "documents_df", pd.DataFrame(rows, columns=["doc_id", "text"])
         )
         con.execute("CREATE VIEW documents AS SELECT * FROM documents_df")
-        m = con.execute(_build_bpe_merges_oracle(3)).fetchall()
+        # sort by merge_rank: the oracle is a bare UNION ALL with no
+        # ORDER BY, so row order is not guaranteed (the production
+        # harness sorts before comparing too)
+        m = sorted(con.execute(_build_bpe_merges_oracle(3)).fetchall())
         e = sorted(con.execute(_build_bpe_encode_oracle(3)).fetchall())
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         merges = bpe.train_bpe(docs, 3)
