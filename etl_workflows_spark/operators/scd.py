@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _differs(tracked: list[str]) -> Column:
@@ -145,3 +146,67 @@ def temporal_join(
         if c not in (key, "valid_from", "valid_to")
     ]
     return f.join(d, cond, how).select(*out_cols)
+
+
+def state_intervals(
+    df: DataFrame,
+    key: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Collapse an append-only event stream into SCD2 validity intervals:
+    consecutive runs of an equal ``state_col`` value per ``key`` become one
+    row ``(key, version, state, valid_from, valid_to, n_events)``.
+
+    The inverse of ``scd2_apply``'s batch merge — instead of maintaining a
+    dimension against update batches, it REBUILDS the full Type-2 history
+    from raw events in one pass (the backfill / bootstrap path every SCD2
+    pipeline needs). Classic gaps-and-islands: a LAG change flag, a running
+    sum assigning island ids, one agg per island, LEAD to close intervals.
+    ``valid_to`` is the next run's ``valid_from`` (half-open intervals,
+    NULL = still open), matching ``scd2_apply``'s row layout so ``as_of`` /
+    ``temporal_join`` work on the output unchanged.
+
+    Order within a key is ``(ts_col, tiebreak)`` — the tiebreak column must
+    make the order total, or runs at equal timestamps are nondeterministic.
+    NULL states are legal and form their own runs (NULL-safe comparison).
+
+    Scale: every window and the agg are partitioned by ``key`` (plus the
+    island id, a prefix extension) — one shuffle on the key, no global
+    sort; per-key data must fit a task, which holds whenever per-entity
+    event history does (the same contract as sessionize).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    prev = F.lag(state_col).over(w)
+    # row_number guard: eqNullSafe can't distinguish "first row" from "a
+    # NULL state following a NULL state" — the first row always opens a run
+    chg = (
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(prev.eqNullSafe(F.col(state_col)), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    islands = df.select(
+        key,
+        state_col,
+        ts_col,
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("version"),
+    )
+    runs = islands.groupBy(key, "version").agg(
+        # state is constant within an island; MIN is engine-portable
+        # (first()/any_value() are order-dependent) and all-NULL-safe
+        F.min(state_col).alias("state"),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    nxt = Window.partitionBy(key).orderBy("version")
+    return runs.select(
+        key,
+        "version",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        "n_events",
+    )

@@ -1857,7 +1857,66 @@ WHERE rn = 1
 """
 
 
+def scd2_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history REBUILD from the raw event stream
+    (operators/scd.py state_intervals): per user, consecutive runs of an
+    equal event_type collapse into validity intervals (version, state,
+    valid_from, valid_to half-open, n_events) — the backfill/bootstrap
+    twin of scd2_apply's incremental merge, and the gaps-and-islands
+    window recipe (LAG change flag → running-sum island id → one agg per
+    island → LEAD to close). Output feeds as_of/temporal_join unchanged.
+
+    Reference scope: the reference pipeline rebuilds destination tables
+    from full file snapshots (truncate-and-load); this is the same
+    rebuild stance applied to a Type-2 dimension. Hash-exact vs the
+    identical islands SQL in DuckDB.
+    """
+    from etl_workflows_spark.operators.scd import state_intervals
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return state_intervals(
+        ev, key="user_id", state_col="event_type", ts_col="ts",
+        tiebreak="event_id",
+    )
+
+
+_SCD2_INTERVALS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+              WHEN LAG(event_type) OVER w IS NOT DISTINCT FROM event_type
+                THEN 0
+              ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, event_type, ts,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS INTEGER)
+           AS version
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, version,
+         MIN(event_type) AS state,
+         MIN(ts) AS valid_from,
+         COUNT(*) AS n_events
+  FROM islands
+  GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       n_events
+FROM runs
+"""
+
+
 QUERIES = {
+    "scd2_intervals_events": scd2_intervals_events,
     "events_cusum_changepoint": events_cusum_changepoint,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "golden_record_customers": golden_record_customers,
@@ -1902,6 +1961,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "scd2_intervals_events": _SCD2_INTERVALS_ORACLE,
     "events_ewma": _EWMA_ORACLE,
     "holt_forecast_events": _HOLT_ORACLE,
     "events_cusum_changepoint": _CUSUM_ORACLE,

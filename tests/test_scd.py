@@ -112,3 +112,74 @@ def test_temporal_join_rejects_colliding_columns_and_outer(spark):
         temporal_join(facts, dim, "k", "ts")
     with _pytest.raises(ValueError, match="inner/left"):
         temporal_join(facts.drop("seg"), dim, "k", "ts", how="full")
+
+
+def test_state_intervals_collapses_runs(spark):
+    from etl_workflows_spark.operators.scd import state_intervals
+
+    ev = spark.createDataFrame(
+        [
+            (1, "A", T0, 10),
+            (1, "A", T1, 11),
+            (1, "B", T2, 12),
+            (2, "X", T0, 20),
+        ],
+        "user_id long, state string, ts timestamp, event_id long",
+    )
+    out = state_intervals(ev, "user_id", "state", "ts", "event_id")
+    rows = {(r["user_id"], r["version"]): r for r in out.collect()}
+    assert len(rows) == 3
+    a = rows[(1, 1)]
+    assert (a["state"], a["valid_from"], a["valid_to"], a["n_events"]) == (
+        "A", T0, T2, 2
+    )
+    b = rows[(1, 2)]
+    assert (b["state"], b["valid_from"], b["valid_to"]) == ("B", T2, None)
+    assert rows[(2, 1)]["valid_to"] is None
+
+
+def test_state_intervals_null_states_and_reappearing_value(spark):
+    """NULL states form their own runs; a value that REAPPEARS after an
+    interruption opens a new version (islands, not groupBy-state)."""
+    from etl_workflows_spark.operators.scd import state_intervals
+
+    T3 = datetime.datetime(2024, 4, 1)
+    ev = spark.createDataFrame(
+        [(1, None, T0, 1), (1, "A", T1, 2), (1, None, T2, 3), (1, None, T3, 4)],
+        "user_id long, state string, ts timestamp, event_id long",
+    )
+    out = state_intervals(ev, "user_id", "state", "ts", "event_id")
+    got = [
+        (r["version"], r["state"], r["n_events"])
+        for r in out.orderBy("version").collect()
+    ]
+    assert got == [(1, None, 1), (2, "A", 1), (3, None, 2)]
+
+
+def test_state_intervals_ties_break_deterministically(spark):
+    """Two events at the SAME timestamp order by the tiebreak column, so
+    the island assignment (and version numbering) is reproducible."""
+    from etl_workflows_spark.operators.scd import state_intervals
+
+    ev = spark.createDataFrame(
+        [(1, "B", T0, 2), (1, "A", T0, 1), (1, "B", T1, 3)],
+        "user_id long, state string, ts timestamp, event_id long",
+    )
+    out = state_intervals(ev, "user_id", "state", "ts", "event_id")
+    got = [(r["version"], r["state"]) for r in out.orderBy("version").collect()]
+    assert got == [(1, "A"), (2, "B")]
+    # B at T0 and B at T1 are CONSECUTIVE after the tie-break → one run
+    assert out.count() == 2
+
+
+def test_state_intervals_feeds_as_of(spark):
+    """Rebuilt history answers point-in-time queries via as_of unchanged."""
+    from etl_workflows_spark.operators.scd import as_of, state_intervals
+
+    ev = spark.createDataFrame(
+        [(1, "A", T0, 1), (1, "B", T2, 2)],
+        "user_id long, state string, ts timestamp, event_id long",
+    )
+    hist = state_intervals(ev, "user_id", "state", "ts", "event_id")
+    at_t1 = as_of(hist, T1).collect()
+    assert len(at_t1) == 1 and at_t1[0]["state"] == "A"
