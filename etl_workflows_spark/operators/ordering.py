@@ -412,6 +412,94 @@ def shard_for_epoch(
     return d.filter((F.col("pos") - 1) % n_shards == shard)
 
 
+def competence_curriculum(
+    df: DataFrame,
+    difficulty_col: str,
+    n_stages: int = 4,
+    total_steps: int = 10_000,
+    key_col: str = "doc_id",
+    salt: str = "curr",
+) -> DataFrame:
+    """Competence-based curriculum schedule (Platanios et al. 2019,
+    "Competence-based Curriculum Learning for NMT"): examples are bucketed
+    into ``n_stages`` difficulty quantile stages; stage ``s`` unlocks when
+    the model's competence ``c(t) = sqrt(t / total_steps)`` reaches
+    ``(s+1) / n_stages`` — i.e. at step ``total_steps·((s+1)/n_stages)²``,
+    so easy data trains first and the hardest quartile arrives last.
+
+    Output adds three columns: ``stage`` (0-based), ``pos`` (dense 1..N
+    per-stage dataloader position, the deterministic md5 epoch-0 shuffle —
+    same recipe as ``epoch_shuffle``), and ``unlock_step``.
+
+    Stage cuts are EXACT VALUE quantiles computed from the difficulty
+    value histogram, not row-NTILE: ``q_p`` = smallest difficulty value
+    whose cumulative row count reaches ``p`` of the corpus (integer
+    arithmetic: ``n_stages·cum ≥ k·n``), and ALL rows sharing a value land
+    in one stage — tie-safe (no arbitrary split of equal-difficulty rows
+    across stages) and reproducible on any engine. NULL difficulties sort
+    above every value (SQL CASE falls through) → hardest stage.
+
+    Scale: the histogram is one groupBy on the difficulty value; its
+    cumsum window is unpartitioned but runs over DISTINCT VALUES (bounded
+    by signal cardinality — lengths, scores in fixed ranges — not rows;
+    for an unbounded-cardinality signal, quantize it first). Cuts rejoin
+    as a broadcast single row; positions ride the bucketed
+    ``global_ordinals`` machinery — one hash-partitioned window per
+    (stage, bucket), no single-reducer sort anywhere.
+    """
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be ≥ 2, got {n_stages}")
+    # NULL difficulties are EXCLUDED from the quantile distribution (they
+    # fall through every cut to the hardest stage regardless) — and they
+    # must be: Spark sorts NULL first, DuckDB last, so a NULL row in the
+    # histogram would shift every cumulative count on one engine only.
+    n = F.sum("c").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    hist = (
+        df.filter(F.col(difficulty_col).isNotNull())
+        .groupBy(F.col(difficulty_col).alias("__dv"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "__dv",
+            F.sum("c")
+            .over(W.orderBy("__dv").rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum"),
+            n.alias("n"),
+        )
+    )
+    cuts = hist.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * n_stages >= F.col("n") * k, F.col("__dv")
+                )
+            ).alias(f"__q{k}")
+            for k in range(1, n_stages)
+        ]
+    )
+    stage = F.lit(None)
+    for s in range(n_stages - 1):
+        stage = F.coalesce(
+            stage,
+            F.when(F.col(difficulty_col) <= F.col(f"__q{s + 1}"), F.lit(s)),
+        )
+    stage = F.coalesce(stage, F.lit(n_stages - 1)).cast("int")
+    staged = (
+        df.crossJoin(F.broadcast(cuts))  # 1-row build side → BNLJ, no shuffle
+        .withColumn("stage", stage)
+        .drop(*[f"__q{k}" for k in range(1, n_stages)])
+    )
+    unlock = (
+        (F.col("stage") + 1) * (F.col("stage") + 1) * total_steps
+        + F.lit(n_stages * n_stages - 1)
+    ) / (n_stages * n_stages)
+    out = epoch_shuffle(
+        staged, epoch=0, key_col=key_col, salt=salt, partition_cols=["stage"]
+    )
+    return out.withColumn(
+        "unlock_step", F.floor(unlock).cast("int")
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     sort_cols: Sequence[str],

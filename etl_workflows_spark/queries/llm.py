@@ -2141,6 +2141,61 @@ WHERE source IS NOT NULL
 """
 
 
+def curriculum_pacing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum schedule over the corpus
+    (ordering.competence_curriculum; Platanios et al. 2019): docs are cut
+    into 4 difficulty stages by EXACT VALUE quartiles of n_chars (computed
+    from the length histogram — cardinality-bounded, never a row-NTILE
+    global sort), given a deterministic md5 epoch-0 dataloader position
+    within their stage, and stamped with the training step at which
+    competence c(t)=sqrt(t/T) unlocks the stage (T=10000 → steps
+    625/2500/5625/10000). Ties share a stage by construction, so the whole
+    schedule is hash-exact against the mirrored integer-arithmetic SQL:
+    quartile cuts via n_stages·cum ≥ k·n on the cumulative histogram,
+    positions via ROW_NUMBER() PARTITION BY stage."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = ordering.competence_curriculum(
+        d, difficulty_col="n_chars", n_stages=4, total_steps=10_000
+    )
+    return out.select("doc_id", "n_chars", "stage", "pos", "unlock_step")
+
+
+_CURRICULUM_ORACLE = """
+WITH hist AS (
+  SELECT n_chars AS dv, COUNT(*) AS c
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars
+),
+cum AS (
+  SELECT dv,
+         SUM(c) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+cuts AS (
+  SELECT MIN(CASE WHEN 4 * cum >= 1 * n THEN dv END) AS q1,
+         MIN(CASE WHEN 4 * cum >= 2 * n THEN dv END) AS q2,
+         MIN(CASE WHEN 4 * cum >= 3 * n THEN dv END) AS q3
+  FROM cum
+),
+staged AS (
+  SELECT d.doc_id, d.n_chars,
+         CAST(CASE WHEN d.n_chars <= q1 THEN 0
+                   WHEN d.n_chars <= q2 THEN 1
+                   WHEN d.n_chars <= q3 THEN 2
+                   ELSE 3 END AS INTEGER) AS stage
+  FROM documents d CROSS JOIN cuts
+)
+SELECT doc_id, n_chars, stage,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY stage
+         ORDER BY md5('curr:0:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INTEGER) AS pos,
+       CAST(FLOOR((10000 * (stage + 1) * (stage + 1) + 15) / 16.0)
+            AS INTEGER) AS unlock_step
+FROM staged
+"""
+
+
 def score_documents_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus scoring through the inference batching plumbing
     (operators/inference.py): length-sorted token-budget micro-batches
@@ -3239,6 +3294,7 @@ QUERIES = {
     "knn_join_bench_fast": knn_join_bench_fast,
     "epoch_shuffle_docs": epoch_shuffle_docs,
     "per_source_positions_docs": per_source_positions_docs,
+    "curriculum_pacing_docs": curriculum_pacing_docs,
     "epoch_shard_docs": epoch_shard_docs,
     "blend_sources_docs": blend_sources_docs,
     "temperature_mix_docs": temperature_mix_docs,
@@ -3320,6 +3376,7 @@ ORACLE_SQL = {
     "knn_join_bench_fast": _KNN_JOIN_ORACLE,
     "epoch_shuffle_docs": _EPOCH_SHUFFLE_ORACLE,
     "per_source_positions_docs": _PER_SOURCE_POS_ORACLE,
+    "curriculum_pacing_docs": _CURRICULUM_ORACLE,
     "epoch_shard_docs": _EPOCH_SHARD_ORACLE,
     "blend_sources_docs": _BLEND_ORACLE,
     "temperature_mix_docs": _TEMPERATURE_MIX_ORACLE,

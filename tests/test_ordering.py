@@ -277,3 +277,74 @@ def test_interleave_single_round_many_sources_exact(spark):
     assert all(expect[r["source"]] == r["pos"] for r in out)
     plan = _executed_plan(interleave_sources(df))
     assert "SinglePartition" not in plan, plan
+
+
+def test_competence_curriculum_stages_and_unlocks(spark):
+    """Uniform 1..100 difficulties → exact quartile stages (cut at the
+    smallest value reaching k/4 of rows), pacing steps at T·((s+1)/4)²."""
+    from etl_workflows_spark.operators.ordering import competence_curriculum
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 101)], "doc_id long, diff long"
+    )
+    out = competence_curriculum(df, "diff", n_stages=4, total_steps=10_000)
+    rows = out.collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert {s: len(v) for s, v in by_stage.items()} == {0: 25, 1: 25, 2: 25, 3: 25}
+    assert max(r["diff"] for r in by_stage[0]) == 25
+    assert min(r["diff"] for r in by_stage[3]) == 76
+    assert {r["unlock_step"] for r in rows} == {625, 2500, 5625, 10000}
+    # per-stage positions are dense 1..N
+    for s, v in by_stage.items():
+        assert sorted(r["pos"] for r in v) == list(range(1, 26))
+
+
+def test_competence_curriculum_ties_share_a_stage(spark):
+    """VALUE quantiles, not row-NTILE: every row with the same difficulty
+    lands in one stage even when the tie straddles a quartile boundary."""
+    from etl_workflows_spark.operators.ordering import competence_curriculum
+
+    # 10 rows of difficulty 1, 2 rows of difficulty 9 — q1..q3 all = 1
+    rows = [(i, 1) for i in range(10)] + [(100, 9), (101, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, diff long")
+    out = competence_curriculum(df, "diff", n_stages=4).collect()
+    stages = {r["diff"]: set() for r in out}
+    for r in out:
+        stages[r["diff"]].add(r["stage"])
+    assert stages[1] == {0}  # all ties together, never split
+    assert stages[9] == {3}
+
+
+def test_competence_curriculum_null_difficulty_hardest_stage(spark):
+    """NULL difficulty is excluded from the cut distribution and falls
+    through to the final stage (matches SQL CASE fall-through)."""
+    from etl_workflows_spark.operators.ordering import competence_curriculum
+
+    rows = [(i, i) for i in range(1, 9)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, diff long")
+    out = {r["doc_id"]: r for r in competence_curriculum(df, "diff").collect()}
+    assert out[99]["stage"] == 3
+    # cuts computed over the 8 NON-NULL rows: 2 per stage
+    assert out[2]["stage"] == 0 and out[8]["stage"] == 3
+
+    with pytest.raises(ValueError, match="n_stages"):
+        competence_curriculum(df, "diff", n_stages=1)
+
+
+def test_competence_curriculum_plan_stays_partitioned(spark):
+    """The row-sized ranking window is (stage, hash-bucket)-partitioned
+    and the cuts row arrives broadcast. Exactly ONE SinglePartition is
+    allowed: the cumulative-histogram window, whose input is one row per
+    DISTINCT difficulty value (cardinality-bounded, never row-sized —
+    same accepted class as the mixture manifest's post-agg window)."""
+    from etl_workflows_spark.operators.ordering import competence_curriculum
+
+    df = spark.createDataFrame(
+        [(i, i % 37) for i in range(500)], "doc_id long, diff long"
+    ).repartition(8)
+    plan = _executed_plan(competence_curriculum(df, "diff"))
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "hashpartitioning(stage" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
