@@ -128,6 +128,11 @@ HEADLINE = [
     # partitioned dataloader numbering (bucketed two-pass, broadcast
     # offsets — shares one recipe with the global shuffle)
     "per_source_positions_docs",
+    # round-10 additions: SCD2 history rebuild (gaps-and-islands, all
+    # windows entity-partitioned) and the competence curriculum schedule
+    # (value-quantile stages + bucketed per-stage numbering)
+    "scd2_intervals_events",
+    "curriculum_pacing_docs",
 ]
 
 

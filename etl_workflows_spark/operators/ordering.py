@@ -449,6 +449,12 @@ def competence_curriculum(
     """
     if n_stages < 2:
         raise ValueError(f"n_stages must be ≥ 2, got {n_stages}")
+    clash = sorted({"stage", "pos", "unlock_step"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"competence_curriculum owns output columns {clash}; rename "
+            "them on the input first"
+        )
     # NULL difficulties are EXCLUDED from the quantile distribution (they
     # fall through every cut to the hardest stage regardless) — and they
     # must be: Spark sorts NULL first, DuckDB last, so a NULL row in the

@@ -171,12 +171,22 @@ def state_intervals(
     Order within a key is ``(ts_col, tiebreak)`` — the tiebreak column must
     make the order total, or runs at equal timestamps are nondeterministic.
     NULL states are legal and form their own runs (NULL-safe comparison).
+    The output owns the ``version/state/valid_from/valid_to/n_events``
+    names; inputs already carrying one of them (other than ``state_col``
+    itself) are rejected loudly rather than silently shadowed.
 
     Scale: every window and the agg are partitioned by ``key`` (plus the
     island id, a prefix extension) — one shuffle on the key, no global
     sort; per-key data must fit a task, which holds whenever per-entity
     event history does (the same contract as sessionize).
     """
+    owned = {"version", "state", "valid_from", "valid_to", "n_events"}
+    clash = sorted(owned & {c for c in df.columns if c != state_col})
+    if clash:
+        raise ValueError(
+            f"state_intervals owns output columns {clash}; rename them on "
+            "the input first"
+        )
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
     prev = F.lag(state_col).over(w)
     # row_number guard: eqNullSafe can't distinguish "first row" from "a

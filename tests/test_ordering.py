@@ -348,3 +348,11 @@ def test_competence_curriculum_plan_stays_partitioned(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "hashpartitioning(stage" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_competence_curriculum_rejects_colliding_columns(spark):
+    from etl_workflows_spark.operators.ordering import competence_curriculum
+
+    df = spark.createDataFrame([(1, 2, 3)], "doc_id long, diff long, pos int")
+    with pytest.raises(ValueError, match="pos"):
+        competence_curriculum(df, "diff")

@@ -183,3 +183,21 @@ def test_state_intervals_feeds_as_of(spark):
     hist = state_intervals(ev, "user_id", "state", "ts", "event_id")
     at_t1 = as_of(hist, T1).collect()
     assert len(at_t1) == 1 and at_t1[0]["state"] == "A"
+
+
+def test_state_intervals_rejects_colliding_columns(spark):
+    import pytest as _pytest
+
+    from etl_workflows_spark.operators.scd import state_intervals
+
+    ev = spark.createDataFrame(
+        [(1, "A", T0, 1, 9)],
+        "user_id long, state string, ts timestamp, event_id long, version int",
+    )
+    with _pytest.raises(ValueError, match="version"):
+        state_intervals(ev, "user_id", "state", "ts", "event_id")
+    # state_col itself named 'state' is NOT a collision
+    ok = state_intervals(
+        ev.drop("version"), "user_id", "state", "ts", "event_id"
+    )
+    assert ok.count() == 1
