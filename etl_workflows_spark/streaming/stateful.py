@@ -9,6 +9,10 @@ supplies the stateful-operator tier a production pipeline needs on top of
   built-in ``session_window`` — the idiomatic, fully JVM-side path. Use
   this whenever plain gap semantics are enough: state is managed by the
   engine, merge-sorted, and spillable.
+- ``streaming_state_intervals``: stateful SCD2 maintenance — each key's
+  open (state, valid_from, count) run persists across micro-batches;
+  a state change emits the closed validity interval. The streaming twin
+  of ``operators/scd.state_intervals`` (batch-parity-pinned).
 - ``streaming_sessionize``: the same semantics via
   ``applyInPandasWithState``, PLUS a ``max_events`` session cap —
   a policy ``session_window`` cannot express (the built-in merges any
@@ -286,6 +290,142 @@ def streaming_ewma(
         fn,
         outputStructType=out_schema,
         stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_INTERVALS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("state_val", T.StringType()),
+        T.StructField("state_is_null", T.BooleanType()),
+        T.StructField("valid_from_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("last_tie", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("version", T.IntegerType()),
+    ]
+)
+
+
+def streaming_state_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``operators/scd.state_intervals``: maintains each
+    key's OPEN run — (state value, valid_from, last event position, count,
+    version) — across micro-batches via ``applyInPandasWithState`` and
+    emits an SCD2 interval row the moment a state change CLOSES a run.
+
+    Emitted rows carry (key, version, state, valid_from_ms, valid_to_ms,
+    n_events, late=false) and are exactly the closed intervals the batch
+    rebuild would produce on the same prefix — the still-open run lives
+    only in state (append mode cannot retract; read the final open run
+    from state by ending the stream, or rebuild with the batch twin).
+    Rows arriving out of order ACROSS micro-batches — event position
+    (ts, tiebreak) at or before the last folded position — are emitted
+    with ``late=true`` and NULL interval fields rather than silently
+    corrupting the run structure (same stance as ``streaming_ewma``:
+    islands are order-defined; late data needs an upstream
+    watermark+sort). NULL-ts rows are skipped: no event-time position.
+    NULL STATES are legal runs (mirroring the batch twin) — the state
+    row encodes them with an explicit is-null flag.
+
+    Scale: state is O(keys) × one small row, never the events; one
+    shuffle per micro-batch on the key — identical to the batch twin's
+    partitioning.
+    """
+    key_type = events.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),
+            T.StructField("version", T.IntegerType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("valid_from_ms", T.LongType()),
+            T.StructField("valid_to_ms", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("late", T.BooleanType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in pdfs:
+            for t, tie, sv in zip(
+                pdf["__ts_ms"], pdf[tiebreak_col], pdf[state_col]
+            ):
+                if pd.isna(t):
+                    continue  # no event-time position — not an observation
+                # normalize pandas NaN to Python None (null string cell);
+                # a NULL tiebreak sorts first, like the batch twin's
+                # NULLS FIRST window order
+                rows.append(
+                    (
+                        int(t),
+                        -(2**62) if pd.isna(tie) else int(tie),
+                        None if pd.isna(sv) else str(sv),
+                    )
+                )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        if state.exists:
+            sv, is_null, vfrom, last_ms, last_tie, n, ver = state.get
+            cur = (None if is_null else sv, vfrom, last_ms, last_tie, n, ver)
+        else:
+            cur = None
+        out = []
+        for t, tie, sv in rows:
+            if cur is not None and (t, tie) <= (cur[2], cur[3]):
+                out.append((key[0], None, sv, t, None, None, True))
+                continue
+            if cur is None:
+                cur = (sv, t, t, tie, 1, 1)
+            elif sv == cur[0]:
+                cur = (cur[0], cur[1], t, tie, cur[4] + 1, cur[5])
+            else:
+                # state change: the open run closes AT this event's time
+                out.append(
+                    (key[0], cur[5], cur[0], cur[1], t, cur[4], False)
+                )
+                cur = (sv, t, t, tie, 1, cur[5] + 1)
+        if cur is not None:
+            state.update(
+                (
+                    cur[0],
+                    cur[0] is None,
+                    cur[1],
+                    cur[2],
+                    cur[3],
+                    cur[4],
+                    cur[5],
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                key_col,
+                "version",
+                "state",
+                "valid_from_ms",
+                "valid_to_ms",
+                "n_events",
+                "late",
+            ],
+        )
+
+    ev = events.withColumn(
+        "__ts_ms", (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1000).cast("long")
+    )
+    return ev.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_INTERVALS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

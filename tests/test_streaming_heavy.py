@@ -196,3 +196,91 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
         sorted(map(tuple, read_cms_state(spark, "hhdb.cms_state").collect()))
         == scratch
     )
+
+
+def test_streaming_state_intervals_matches_batch_closed_runs(spark, tmp_path):
+    """The stateful SCD2 maintainer must emit, across two micro-batches,
+    exactly the CLOSED intervals the batch rebuild produces on the same
+    events (the open run stays in state), and flag cross-batch late rows
+    instead of folding them."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators.scd import state_intervals
+    from etl_workflows_spark.streaming.stateful import streaming_state_intervals
+
+    base = 1_600_000_000_000
+    states = ["A", "A", "B", "B", "B", "C", "A", "A", "C", "C"]
+    rows = [
+        (u, base + i * 60_000, states[(i + u) % len(states)], u * 100 + i)
+        for u in (1, 2)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ms long, event_type string, event_id long"
+    )
+    as_events = lambda d: d.select(  # noqa: E731
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "event_type",
+        "event_id",
+    )
+    src = tmp_path / "scd_in"
+    src.mkdir()
+    cut = base + 15 * 60_000
+    as_events(df.filter(F.col("ms") < F.lit(cut))).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    # second half PLUS one late straggler (event time inside the first half)
+    late = spark.createDataFrame(
+        [(1, base + 3 * 60_000 + 1, "Z", 999)],
+        "user_id long, ms long, event_type string, event_id long",
+    )
+    as_events(df.filter(F.col("ms") >= F.lit(cut)).unionByName(late)).coalesce(
+        1
+    ).write.parquet(str(src / "b"))
+
+    stream_schema = "user_id long, ts timestamp, event_type string, event_id long"
+    stream = spark.readStream.schema(stream_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "*"))
+    out = streaming_state_intervals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_scd"))
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table("scd_out").collect()
+    late_rows = [r for r in emitted if r["late"]]
+    closed = {
+        (r["user_id"], r["version"]): (
+            r["state"],
+            r["valid_from_ms"],
+            r["valid_to_ms"],
+            r["n_events"],
+        )
+        for r in emitted
+        if not r["late"]
+    }
+    # the straggler is flagged, not folded
+    assert [(r["user_id"], r["state"]) for r in late_rows] == [(1, "Z")]
+    assert all(r["version"] is None for r in late_rows)
+    # batch rebuild on the same events (straggler excluded: the batch twin
+    # would legitimately fold it — streaming declares it late by contract)
+    batch = state_intervals(
+        as_events(df), "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    batch_closed = {
+        (r["user_id"], r["version"]): (
+            r["state"],
+            int(r["valid_from"].timestamp() * 1000),
+            int(r["valid_to"].timestamp() * 1000),
+            r["n_events"],
+        )
+        for r in batch
+        if r["valid_to"] is not None
+    }
+    assert closed == batch_closed
