@@ -284,3 +284,52 @@ def test_streaming_state_intervals_matches_batch_closed_runs(spark, tmp_path):
         if r["valid_to"] is not None
     }
     assert closed == batch_closed
+
+
+def test_streaming_state_intervals_null_states_cross_batch(spark, tmp_path):
+    """NULL states are legal runs in the streaming maintainer too: a NULL
+    run persisted in state across a micro-batch boundary must continue
+    (not restart) when more NULL-state events arrive, and close with the
+    right count when a non-NULL state lands."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.streaming.stateful import streaming_state_intervals
+
+    base = 1_600_000_000_000
+    # batch a: two NULL-state events; batch b: one more NULL then 'A'
+    a_rows = [(1, base, None, 1), (1, base + 60_000, None, 2)]
+    b_rows = [(1, base + 120_000, None, 3), (1, base + 180_000, "A", 4)]
+    schema = "user_id long, ms long, event_type string, event_id long"
+    src = tmp_path / "scd_null_in"
+    src.mkdir()
+    for name, rows in (("a", a_rows), ("b", b_rows)):
+        spark.createDataFrame(rows, schema).select(
+            "user_id",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            "event_type",
+            "event_id",
+        ).coalesce(1).write.parquet(str(src / name))
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, event_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+    q = (
+        streaming_state_intervals(stream)
+        .writeStream.format("memory")
+        .queryName("scd_null_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_scd_null"))
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table("scd_null_out").collect()
+    assert len(emitted) == 1
+    r = emitted[0]
+    # ONE closed NULL run spanning both batches: 3 events, version 1,
+    # closed at the 'A' event's time
+    assert not r["late"]
+    assert r["version"] == 1 and r["state"] is None
+    assert r["n_events"] == 3
+    assert r["valid_from_ms"] == base
+    assert r["valid_to_ms"] == base + 180_000
