@@ -342,7 +342,14 @@ FROM nation, LATERAL (
 
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide → long): per-nation customer/supplier balance columns
-    melted into (n_name, side, bal) — the inverse of agg_pivot."""
+    melted into (n_name, side, bal) — the inverse of agg_pivot.
+
+    NULL cells are EXCLUDED, pinning SQL-standard UNPIVOT semantics
+    (DuckDB/BigQuery default). Spark's ``unpivot`` KEEPS NULL cells, so
+    the explicit filter is the contract, not decoration — at sf0.001
+    some nations have customers but no suppliers and the two engines
+    would otherwise disagree 50 vs 35 rows (found by the sf0.001 sweep;
+    sf0.01 has no NULL cells, which masked it)."""
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
     supp = table(spark, sf_dir, "supplier")
@@ -357,7 +364,9 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("s_acctbal").alias("supp_bal"))
     )
     wide = cb.join(sb, "n_name", "full_outer")
-    return wide.unpivot(["n_name"], ["cust_bal", "supp_bal"], "side", "bal")
+    return wide.unpivot(["n_name"], ["cust_bal", "supp_bal"], "side", "bal").filter(
+        F.col("bal").isNotNull()
+    )
 
 
 _UNPIVOT_ORACLE = """
@@ -422,16 +431,29 @@ WITH g AS (
          SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
   FROM lineitem GROUP BY l_returnflag
+),
+-- decimal → double goes THROUGH VARCHAR: DuckDB's direct cast of an
+-- int128-backed DECIMAL divides component-wise (two roundings) and can
+-- land one ulp off the correctly-rounded double (seen at sf0.001:
+-- syy 7096786968835.8685 → .869 direct, .868 correct). The string of a
+-- decimal is exact and string→double parsing is correctly rounded, so
+-- the varchar route always agrees with Spark's BigDecimal.doubleValue.
+gd AS (
+  SELECT l_returnflag, CAST(n AS DOUBLE) AS nd,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+  FROM g
 )
 SELECT l_returnflag,
-       n AS n_rows,
-       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
-         AS covar_qty_price,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       CAST(nd AS BIGINT) AS n_rows,
+       (sxyd - sxd * syd / nd) / nd AS covar_qty_price,
+       (nd * sxyd - sxd * syd)
+       / (SQRT(nd * sxxd - sxd * sxd) * SQRT(nd * syyd - syd * syd))
          AS corr_qty_price
-FROM g
+FROM gd
 """
 
 
