@@ -988,6 +988,23 @@ def main() -> None:
         spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
         return round(time.perf_counter() - t0, 3)
 
+    # Round-10 addition: a 32-way PARALLEL throughput probe recorded
+    # alongside the single-thread one. The second r10 invocation proved
+    # the two can DECOUPLE (single-thread probes ~2× faster than the 0.5
+    # reference while every 32-partition query clock ran ~1.4× slower —
+    # a re-provisioned VM with different parallel bandwidth), which
+    # defeats any normalization built on the scalar probe alone. Queries
+    # are 32-way jobs, so r11+ triage should prefer this probe; r10 only
+    # records it (no history to gate against yet).
+    def _calibrate_parallel() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 1_600_000_000, 1, 32)
+            .selectExpr("sum(id * 2 + 1)")
+            .collect()
+        )
+        return round(time.perf_counter() - t0, 3)
+
     # all rounds are compared at this reference host speed (≈ the r6 probe)
     CALIB_REF = 0.5
     calib = _calibrate()
@@ -999,6 +1016,9 @@ def main() -> None:
     # includes the first probe, so calib_jvm_med3 <= noise of any single
     # draw and rounds r10+ can divide by it without re-deriving history.
     calib_med3 = round(sorted([calib, _calibrate(), _calibrate()])[1], 3)
+    calib_par_med3 = round(
+        sorted([_calibrate_parallel() for _ in range(3)])[1], 3
+    )
 
     # One untimed warmup pass, then the MEDIAN of three timed passes per
     # query: steady-state execution (codegen compiled, footers cached)
@@ -1019,6 +1039,9 @@ def main() -> None:
     calib_med3_run2 = round(
         sorted([calib_run2, _calibrate(), _calibrate()])[1], 3
     )
+    calib_par_med3_run2 = round(
+        sorted([_calibrate_parallel() for _ in range(3)])[1], 3
+    )
     timings_run2: dict[str, float] = {}
     for name in HEADLINE:
         timings_run2[name] = _time_query(spark, QUERIES[name], sf_dir, runs=3)
@@ -1031,9 +1054,11 @@ def main() -> None:
         "sf": sf,
         "calib_jvm_sec": calib,
         "calib_jvm_med3": calib_med3,
+        "calib_parallel_med3": calib_par_med3,
         "run2_total": round(sum(timings_run2.values()), 3),
         "calib_jvm_sec_run2": calib_run2,
         "calib_jvm_med3_run2": calib_med3_run2,
+        "calib_parallel_med3_run2": calib_par_med3_run2,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     prev = _prev_round_bench(here)
