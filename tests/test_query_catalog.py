@@ -70,3 +70,21 @@ def test_recursive_hierarchy_depths(spark, sf_dir):
     assert got[100] == (6, 7)        # 100 → 50 → 25 → 12 → 6 → 3 → 1
     assert got[127] == (6, 7)        # 127 → 63 → 31 → 15 → 7 → 3 → 1
     assert got[128] == (7, 8)        # exact power of two: one level deeper
+
+
+def test_agg_unpivot_excludes_null_cells(spark, sf_dir):
+    """SQL-standard UNPIVOT contract pinned at the SF that exposes it:
+    sf0.001 has nations with customers but no suppliers, so the wide
+    frame carries NULL cells — Spark's unpivot would keep them (50 rows);
+    the entry's contract excludes them, matching DuckDB/BigQuery (35)."""
+    from etl_workflows_spark.queries.relational_ext import agg_unpivot
+
+    rows = agg_unpivot(spark, sf_dir).collect()
+    assert all(r["bal"] is not None for r in rows)
+    sides = {}
+    for r in rows:
+        sides.setdefault(r["side"], 0)
+        sides[r["side"]] += 1
+    # every nation has customers; only some have suppliers at this SF
+    assert sides["cust_bal"] == 25
+    assert sides["supp_bal"] < 25
