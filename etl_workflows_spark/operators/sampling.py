@@ -65,6 +65,85 @@ def deterministic_sample(
     return df.filter(_keep(_hash8(F.col(key_col), salt), fraction))
 
 
+def aqp_sum_estimate(
+    df: DataFrame,
+    value_col: Column,
+    key: Column,
+    fraction: float,
+    group_cols: list[str] | None = None,
+    salt: str = "aqp",
+    z: float = 1.96,
+) -> DataFrame:
+    """Approximate-query-processing SUM with error bars: scan only the
+    deterministic ~``fraction`` Bernoulli sample and return the
+    Horvitz-Thompson estimate of the full-table sum per group, with a
+    normal-approximation ±z·σ half-width.
+
+    The 100 TB reason this exists: an exact daily revenue total scans
+    every byte; a 1-5% deterministic sample answers dashboards and data
+    validation in 1/20 the IO with a quantified error — and because
+    membership is the corpus-contract content hash (``salted_hash``),
+    the estimate is bit-reproducible on ANY engine, not a new random
+    draw per run.
+
+    Exactness contract (what the DuckDB twin mirrors): the inclusion
+    probability is the EXACT rational threshold/2³² the hash compare
+    implements — not the requested ``fraction`` — so the estimator is
+    genuinely unbiased for the hash design AND both engines compute
+    from the identical double ``p``. Sample sums are EXACT decimals
+    (Σv, Σv² via decimal arithmetic); the estimate
+    ``Σv/p`` and Bernoulli-HT variance ``(1-p)/p²·Σv²`` are then fixed-
+    association double expressions of those exact sums. ``value_col``
+    must already be a decimal expression (use ``queries.base.dec``).
+
+    Plan: ONE scan with the hash filter fused into it (codegen predicate,
+    no shuffle of unsampled rows), one map-side-combined agg on the
+    group key. n_sampled < 2 in a group → NULL ci (no variance basis).
+    """
+    if not 0.0 < fraction < 1.0:
+        raise ValueError(f"fraction must be in (0, 1), got {fraction}")
+    thr = min(int(fraction * 16**8), 16**8 - 1)
+    p = thr / 4294967296.0  # the EXACT inclusion probability of the compare
+    g = group_cols or []
+    s = df.filter(_keep(_hash8(key, salt), p))
+    v = value_col
+    agg = s.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__s2"),
+    )
+    sd = F.col("__s").cast("double")
+    s2d = F.col("__s2").cast("double")
+    est = sd / F.lit(p)
+    # ONE pre-folded literal for the variance factor: z²·(1−p)/p² is
+    # computed HERE (plain python doubles) and enters both engines as a
+    # single constant, leaving only literal×column and sqrt at runtime.
+    # Leaving the chain to the engines invites constant reassociation —
+    # DuckDB's optimizer rewrote ((1−p)/p²)·Σv² and landed one ulp off
+    # the sequential evaluation (seen at sf0.01, group R).
+    cf = z * z * (1.0 - p) / (p * p)
+    ci = F.sqrt(F.lit(cf) * s2d)
+    return agg.select(
+        *g,
+        "n_sampled",
+        est.alias("est_total"),
+        F.when(F.col("n_sampled") >= 2, ci).alias("ci_half"),
+    )
+
+
+def aqp_oracle_math_sql(fraction: float, z: float = 1.96) -> tuple[str, str, str]:
+    """The (hex threshold, p literal, variance-factor literal) triple for
+    an AQP oracle: one generated source for the constants both engines
+    must share, so a fraction change cannot drift the SQL twin. The
+    variance factor z²·(1−p)/p² is pre-folded here (see
+    ``aqp_sum_estimate``'s reassociation note); ``repr`` of a double
+    round-trips exactly through DuckDB's literal parser."""
+    thr = min(int(fraction * 16**8), 16**8 - 1)
+    p = thr / 4294967296.0
+    cf = z * z * (1.0 - p) / (p * p)
+    return format(thr, "08x"), repr(p), repr(cf)
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -1857,6 +1857,75 @@ WHERE rn = 1
 """
 
 
+def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with error bars
+    (sampling.aqp_sum_estimate): per-returnflag revenue estimated from
+    the deterministic 5% content-hash Bernoulli sample — Horvitz-Thompson
+    Σv/p plus the ±1.96σ half-width from the Bernoulli variance
+    (1−p)/p²·Σv². At 100 TB this answers the dashboard from 1/20 of the
+    IO with quantified error; here it is hash-exact against DuckDB
+    because the sample membership is the shared md5 recipe, p is the
+    exact rational the hash compare implements, the sample sums are
+    exact decimals, and the estimate is a mirrored fixed-association
+    double expression (decimal→double via VARCHAR on the DuckDB side —
+    its direct int128-decimal cast can land one ulp off)."""
+    from etl_workflows_spark.operators.sampling import aqp_sum_estimate
+
+    li = table(spark, sf_dir, "lineitem")
+    v = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    key = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return aqp_sum_estimate(
+        li,
+        value_col=v,
+        key=key,
+        fraction=0.05,
+        group_cols=["l_returnflag"],
+        salt="aqp",
+    )
+
+
+def _aqp_oracle() -> str:
+    from etl_workflows_spark.operators.sampling import aqp_oracle_math_sql
+
+    thr_hex, p, cf = aqp_oracle_math_sql(0.05)
+    return f"""
+WITH s AS (
+  SELECT l_returnflag,
+         -- DECIMAL(19,4): int128-backed so v*v cannot overflow DuckDB's
+         -- int64 multiply, and 19+19=38 satisfies its width rule; the
+         -- VALUES are identical to Spark's (18,4) cast
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(19,4)) AS v
+  FROM lineitem
+  WHERE substr(md5('aqp:' || CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 8) < '{thr_hex}'
+),
+g AS (
+  SELECT l_returnflag, COUNT(*) AS n_sampled,
+         SUM(v) AS sv, SUM(v * v) AS sv2
+  FROM s GROUP BY l_returnflag
+),
+gd AS (
+  SELECT l_returnflag, n_sampled,
+         CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS svd,
+         CAST(CAST(sv2 AS VARCHAR) AS DOUBLE) AS sv2d
+  FROM g
+)
+SELECT l_returnflag, n_sampled,
+       svd / {p} AS est_total,
+       CASE WHEN n_sampled >= 2
+            THEN SQRT({cf} * sv2d)
+       END AS ci_half
+FROM gd
+"""
+
+
 def scd2_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history REBUILD from the raw event stream
     (operators/scd.py state_intervals): per user, consecutive runs of an
@@ -1916,6 +1985,7 @@ FROM runs
 
 
 QUERIES = {
+    "aqp_revenue_estimate": aqp_revenue_estimate,
     "scd2_intervals_events": scd2_intervals_events,
     "events_cusum_changepoint": events_cusum_changepoint,
     "fuzzy_name_pairs": fuzzy_name_pairs,
@@ -1961,6 +2031,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "aqp_revenue_estimate": _aqp_oracle(),
     "scd2_intervals_events": _SCD2_INTERVALS_ORACLE,
     "events_ewma": _EWMA_ORACLE,
     "holt_forecast_events": _HOLT_ORACLE,

@@ -337,3 +337,74 @@ def test_temperature_mix_validates_alpha(spark):
         temperature_mix(df, alpha=0.0)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, alpha=1.5)
+
+
+def test_aqp_sum_estimate_covers_truth_and_is_deterministic(spark, sf_dir):
+    """The HT estimate from the 5% deterministic sample must land within
+    its own ±1.96σ band of the exact per-group total on the test corpus
+    (deterministic data + deterministic sample ⇒ a stable assertion, not
+    a flaky statistical one), and re-running reproduces it bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from etl_workflows_spark.operators.sampling import aqp_sum_estimate
+    from etl_workflows_spark.queries.base import dec, table
+
+    li = table(spark, sf_dir, "lineitem")
+    v = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    key = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    est = {
+        r["l_returnflag"]: r
+        for r in aqp_sum_estimate(
+            li, v, key, 0.05, group_cols=["l_returnflag"]
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: float(r["t"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(v).alias("t"))
+        .collect()
+    }
+    n_total = li.count()
+    n_sampled = sum(r["n_sampled"] for r in est.values())
+    assert 0.02 * n_total < n_sampled < 0.09 * n_total
+    for rf, truth in exact.items():
+        r = est[rf]
+        assert r["ci_half"] is not None
+        assert abs(r["est_total"] - truth) <= r["ci_half"], (
+            rf, r["est_total"], truth, r["ci_half"]
+        )
+        # the band is informative, not vacuous: within ±35% of truth
+        assert r["ci_half"] < 0.35 * truth
+    again = {
+        r["l_returnflag"]: (r["n_sampled"], r["est_total"], r["ci_half"])
+        for r in aqp_sum_estimate(
+            li.repartition(16), v, key, 0.05, group_cols=["l_returnflag"]
+        ).collect()
+    }
+    assert again == {
+        rf: (r["n_sampled"], r["est_total"], r["ci_half"])
+        for rf, r in est.items()
+    }
+
+
+def test_aqp_sum_estimate_validates_fraction_and_small_groups(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etl_workflows_spark.operators.sampling import aqp_sum_estimate
+
+    df = spark.createDataFrame(
+        [(i, i * 1.0) for i in range(40)], "k long, val double"
+    ).select("k", F.col("val").cast("decimal(18,4)").alias("val"))
+    with _pytest.raises(ValueError, match="fraction"):
+        aqp_sum_estimate(df, F.col("val"), F.col("k"), 1.0)
+    # tiny fraction → 0- or 1-row sample: ci_half must be NULL, not a
+    # fabricated zero-variance band
+    out = aqp_sum_estimate(df, F.col("val"), F.col("k"), 0.03).collect()
+    if out and out[0]["n_sampled"] < 2:
+        assert out[0]["ci_half"] is None
