@@ -129,10 +129,12 @@ HEADLINE = [
     # offsets — shares one recipe with the global shuffle)
     "per_source_positions_docs",
     # round-10 additions: SCD2 history rebuild (gaps-and-islands, all
-    # windows entity-partitioned) and the competence curriculum schedule
-    # (value-quantile stages + bucketed per-stage numbering)
+    # windows entity-partitioned), the competence curriculum schedule
+    # (value-quantile stages + bucketed per-stage numbering), and the
+    # sampled-scan AQP class (hash filter fused into the scan)
     "scd2_intervals_events",
     "curriculum_pacing_docs",
+    "aqp_revenue_estimate",
 ]
 
 
