@@ -102,6 +102,15 @@ def aqp_sum_estimate(
     """
     if not 0.0 < fraction < 1.0:
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
+    from pyspark.sql.types import DecimalType
+
+    vtype = df.select(value_col.alias("__v")).schema["__v"].dataType
+    if not isinstance(vtype, DecimalType):
+        raise ValueError(
+            f"value_col must be a decimal expression (got {vtype}): the "
+            "bit-reproducibility contract rests on exact decimal sample "
+            "sums — cast with queries.base.dec or .cast('decimal(18,4)')"
+        )
     thr = min(int(fraction * 16**8), 16**8 - 1)
     p = thr / 4294967296.0  # the EXACT inclusion probability of the compare
     g = group_cols or []

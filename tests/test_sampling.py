@@ -408,3 +408,14 @@ def test_aqp_sum_estimate_validates_fraction_and_small_groups(spark):
     out = aqp_sum_estimate(df, F.col("val"), F.col("k"), 0.03).collect()
     if out and out[0]["n_sampled"] < 2:
         assert out[0]["ci_half"] is None
+
+
+def test_aqp_sum_estimate_requires_decimal_values(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etl_workflows_spark.operators.sampling import aqp_sum_estimate
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, val double")
+    with _pytest.raises(ValueError, match="decimal"):
+        aqp_sum_estimate(df, F.col("val"), F.col("k"), 0.05)
