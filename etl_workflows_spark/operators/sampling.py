@@ -132,11 +132,18 @@ def aqp_sum_estimate(
     # the sequential evaluation (seen at sf0.01, group R).
     cf = z * z * (1.0 - p) / (p * p)
     ci = F.sqrt(F.lit(cf) * s2d)
+    # COUNT is the same HT estimator with v ≡ 1: Σ1/p and Σ1² = n_s, so
+    # its band needs no extra aggregation state
+    nd = F.col("n_sampled").cast("double")
+    est_n = nd / F.lit(p)
+    ci_n = F.sqrt(F.lit(cf) * nd)
     return agg.select(
         *g,
         "n_sampled",
         est.alias("est_total"),
         F.when(F.col("n_sampled") >= 2, ci).alias("ci_half"),
+        est_n.alias("est_count"),
+        F.when(F.col("n_sampled") >= 2, ci_n).alias("count_ci_half"),
     )
 
 

@@ -1921,7 +1921,11 @@ SELECT l_returnflag, n_sampled,
        svd / {p} AS est_total,
        CASE WHEN n_sampled >= 2
             THEN SQRT({cf} * sv2d)
-       END AS ci_half
+       END AS ci_half,
+       CAST(n_sampled AS DOUBLE) / {p} AS est_count,
+       CASE WHEN n_sampled >= 2
+            THEN SQRT({cf} * CAST(n_sampled AS DOUBLE))
+       END AS count_ci_half
 FROM gd
 """
 

@@ -419,3 +419,36 @@ def test_aqp_sum_estimate_requires_decimal_values(spark):
     df = spark.createDataFrame([(1, 2.0)], "k long, val double")
     with _pytest.raises(ValueError, match="decimal"):
         aqp_sum_estimate(df, F.col("val"), F.col("k"), 0.05)
+
+
+def test_aqp_count_estimate_covers_truth(spark, sf_dir):
+    """The COUNT leg (HT with v≡1) must band the exact per-group row
+    counts on the deterministic corpus."""
+    import pyspark.sql.functions as F
+
+    from etl_workflows_spark.operators.sampling import aqp_sum_estimate
+    from etl_workflows_spark.queries.base import dec, table
+
+    li = table(spark, sf_dir, "lineitem")
+    v = dec("l_quantity").cast("decimal(18,4)")
+    key = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    est = {
+        r["l_returnflag"]: r
+        for r in aqp_sum_estimate(
+            li, v, key, 0.05, group_cols=["l_returnflag"]
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for rf, truth in exact.items():
+        r = est[rf]
+        assert abs(r["est_count"] - truth) <= r["count_ci_half"], (
+            rf, r["est_count"], truth, r["count_ci_half"]
+        )
