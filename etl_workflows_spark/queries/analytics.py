@@ -1930,6 +1930,62 @@ FROM gd
 """
 
 
+def link_components_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the FREQUENT-transition browse graph:
+    edges are page→page transitions seen ≥4 times (graph.browse_graph +
+    a count filter), symmetrized; every page gets the min page id of its
+    component via the distributed min-label propagation the dedup
+    clustering uses (dedup.cluster_duplicates — one join+agg per
+    iteration, localCheckpoint-truncated lineage, loud on
+    non-convergence). The iterative-graph class made oracle-checkable:
+    the fixpoint is exactly "min REACHABLE id", which DuckDB computes
+    with a recursive reachability CTE — convergence dynamics cancel out
+    of the answer, so the hash check is exact."""
+    from etl_workflows_spark.operators.dedup import cluster_duplicates
+    from etl_workflows_spark.operators.graph import browse_graph
+
+    ev = table(spark, sf_dir, "events")
+    raw = browse_graph(ev)
+    freq = (
+        raw.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 4)
+        .select("src", "dst")
+    )
+    pairs = freq.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    labels = cluster_duplicates(pairs, max_iterations=64)
+    return labels.select(
+        F.col("doc_id").alias("page"), F.col("cluster").alias("component")
+    )
+
+
+_LINK_COMPONENTS_ORACLE = """
+WITH RECURSIVE raw AS (
+  SELECT prev AS src, page AS dst FROM (
+    SELECT LAG(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev,
+           page
+    FROM (SELECT user_id, ts, event_id,
+                 CAST(props->>'$.k' AS BIGINT) AS page
+          FROM events
+          WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL)
+  ) WHERE prev IS NOT NULL
+),
+freq AS (SELECT src, dst FROM raw GROUP BY src, dst HAVING COUNT(*) >= 4),
+e AS (SELECT src, dst FROM freq UNION SELECT dst, src FROM freq),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+)
+SELECT id AS page, MIN(r) AS component
+FROM reach GROUP BY id
+"""
+
+
 def scd2_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history REBUILD from the raw event stream
     (operators/scd.py state_intervals): per user, consecutive runs of an
@@ -1990,6 +2046,7 @@ FROM runs
 
 QUERIES = {
     "aqp_revenue_estimate": aqp_revenue_estimate,
+    "link_components_events": link_components_events,
     "scd2_intervals_events": scd2_intervals_events,
     "events_cusum_changepoint": events_cusum_changepoint,
     "fuzzy_name_pairs": fuzzy_name_pairs,
@@ -2036,6 +2093,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "aqp_revenue_estimate": _aqp_oracle(),
+    "link_components_events": _LINK_COMPONENTS_ORACLE,
     "scd2_intervals_events": _SCD2_INTERVALS_ORACLE,
     "events_ewma": _EWMA_ORACLE,
     "holt_forecast_events": _HOLT_ORACLE,

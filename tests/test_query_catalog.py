@@ -88,3 +88,26 @@ def test_agg_unpivot_excludes_null_cells(spark, sf_dir):
     # every nation has customers; only some have suppliers at this SF
     assert sides["cust_bal"] == 25
     assert sides["supp_bal"] < 25
+
+
+def test_link_components_multi_component_structure(spark):
+    """The frequent-transition component entry is a real partition at
+    sf0.01: multiple components, each labeled by its min page id, labels
+    closed under the edge set (every frequent edge's endpoints share a
+    component)."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.queries.analytics import link_components_events
+
+    sf = "/root/testdata/sf0.01"
+    comp = {
+        r["page"]: r["component"]
+        for r in link_components_events(spark, sf).collect()
+    }
+    assert len(comp) > 10
+    comps = set(comp.values())
+    assert len(comps) >= 2
+    # every component label is the min member id
+    for c in comps:
+        members = [p for p, cc in comp.items() if cc == c]
+        assert min(members) == c
