@@ -135,6 +135,7 @@ HEADLINE = [
     "scd2_intervals_events",
     "curriculum_pacing_docs",
     "aqp_revenue_estimate",
+    "link_components_events",
 ]
 
 
