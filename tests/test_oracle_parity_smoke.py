@@ -30,6 +30,7 @@ SMOKE = [
     "scd2_intervals_events",   # round-10: SCD2 rebuild
     "curriculum_pacing_docs",  # round-10: value-quantile curriculum
     "aqp_revenue_estimate",    # round-10: sampled-scan AQP
+    "link_components_events",  # round-10: iterative CC vs recursive CTE
     "tfidf_top_terms",         # text stats
 ]
 
