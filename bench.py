@@ -206,6 +206,11 @@ SCALED = [
     # round-10: the gaps-and-islands SCD2 rebuild under 10× events — all
     # windows entity-partitioned, so the ratio should track the shuffle
     "scd2_intervals_events",
+    # round-10: the curriculum's histogram+bucketed-rank plan and the
+    # AQP sampled scan under 10× rows (the sample grows 10×; the whole
+    # point is that the scan+filter, not the agg, is the cost)
+    "curriculum_pacing_docs",
+    "aqp_revenue_estimate",
 ]
 
 
