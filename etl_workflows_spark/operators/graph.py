@@ -128,15 +128,29 @@ def pagerank_weighted(
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     wtot = e.groupBy("src").agg(F.sum("w").alias("wt")).localCheckpoint(eager=True)
 
-    r = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    # dangling membership is STATIC (a node either has out-edges or not),
+    # so it is computed once and carried on the rank relation; the
+    # per-iteration dangling MASS then rides the plan as a one-row
+    # broadcast (BNLJ) instead of a driver collect — one Spark job per
+    # iteration (the checkpoint) instead of two (guide §2.4/§5: the
+    # driver does no data work, and the blocking collect is gone).
+    marked = (
+        nodes.join(
+            wtot.select(F.col("src").alias("node"), F.lit(True).alias("__o")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__o").isNull().alias("__dang"))
+        .localCheckpoint(eager=True)
+    )
+    r = marked.withColumn("rank", F.lit(scale // n).cast("long"))
     base = (tele_num * scale) // (100 * n)
     for _ in range(iterations):
-        dang_row = (
-            r.join(wtot, r["node"] == wtot["src"], "left_anti")
-            .agg(F.sum("rank").alias("d"))
-            .collect()[0]["d"]
+        # integer algebra identical to the collected form: the dangling
+        # share is floor(sum(rank over dangling) / n), ranks nonnegative
+        dang = r.filter(F.col("__dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dsum")
         )
-        dang_share = (dang_row or 0) // n
         inflow = (
             e.join(r, e["src"] == r["node"])
             .join(wtot, "src")
@@ -148,19 +162,22 @@ def pagerank_weighted(
             .agg(F.sum("c").alias("inflow"))
         )
         r = (
-            nodes.join(inflow, "node", "left")
+            marked.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "__dang",
                 (
                     F.lit(base)
                     + F.expr(
-                        f"({damp_num} * (coalesce(inflow, 0) + {dang_share})) div 100"
+                        f"({damp_num} * (coalesce(inflow, 0)"
+                        f" + (__dsum div {n}))) div 100"
                     )
                 ).cast("long").alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    return r
+    return r.select("node", "rank")
 
 
 def pagerank_personalized(
@@ -217,13 +234,27 @@ def pagerank_personalized(
         raise ValueError("no seed touches the graph")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
 
-    marked = nodes.join(
-        s.withColumn("is_seed", F.lit(True)), "node", "left"
-    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
-    marked = marked.localCheckpoint(eager=True)
+    # seed AND dangling membership are static — mark both once; the
+    # per-iteration dangling mass rides the plan as a one-row broadcast
+    # (same no-driver-collect rewrite as pagerank_weighted's loop).
+    marked = (
+        nodes.join(s.withColumn("is_seed", F.lit(True)), "node", "left")
+        .join(
+            deg.select(F.col("src").alias("node"), F.lit(True).alias("__o")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            F.col("__o").isNull().alias("__dang"),
+        )
+        .localCheckpoint(eager=True)
+    )
     # all mass starts at the seeds (the standard PPR initialization)
     r = marked.select(
         "node",
+        "__dang",
         F.when(F.col("is_seed"), F.lit(scale // n_seeds))
         .otherwise(F.lit(0))
         .cast("long")
@@ -231,12 +262,9 @@ def pagerank_personalized(
     )
     base = (tele_num * scale) // (100 * n_seeds)
     for _ in range(iterations):
-        dang_row = (
-            r.join(deg, r["node"] == deg["src"], "left_anti")
-            .agg(F.sum("rank").alias("d"))
-            .collect()[0]["d"]
+        dang = r.filter(F.col("__dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("__dsum")
         )
-        dang_share = (dang_row or 0) // n_seeds
         inflow = (
             e.join(r, e["src"] == r["node"])
             .join(deg, "src")
@@ -246,19 +274,21 @@ def pagerank_personalized(
         )
         r = (
             marked.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "__dang",
                 (
                     F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
                     + F.expr(
                         f"({damp_num} * (coalesce(inflow, 0) + "
-                        f"if(is_seed, {dang_share}, 0))) div 100"
+                        f"if(is_seed, __dsum div {n_seeds}, 0))) div 100"
                     )
                 ).cast("long").alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    return r
+    return r.select("node", "rank")
 
 
 def pagerank_personalized_oracle_sql(

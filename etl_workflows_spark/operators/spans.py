@@ -61,12 +61,39 @@ def token_windows(
     from etl_workflows_spark.operators.parallelism import widen
 
     docs = widen(docs)
-    toks = F.split(F.col(text_col), " ")
-    mk = lambda i: F.concat_ws(" ", F.slice(toks, i, length))  # noqa: E731
-    body = (lambda i: F.xxhash64(mk(i))) if hashed else mk
-    wins = F.transform(_window_starts(toks, length), body)
-    return docs.select(
+    if not hashed:
+        toks = F.split(F.col(text_col), " ")
+        wins = F.transform(
+            _window_starts(toks, length),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, length)),
+        )
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(wins).alias("p0", "win"),
+        ).select("doc_id", (F.col("p0") + 1).alias("pos"), "win")
+    # hashed path: the window key is xxhash64 over the L token STRINGS
+    # directly (multi-arg hash) instead of xxhash64(concat_ws(slice())) —
+    # same injective-up-to-64-bit-collisions key class (split tokens
+    # cannot contain the separator), but each window costs L element_at
+    # reads instead of an array slice + a fresh L-token string build
+    # (guide §1.2 per-task work; measured ~2× on the window projection).
+    # The token array must be a REAL projected column: expressions
+    # referenced inside a higher-order-function lambda are re-evaluated
+    # per element (the shingles()/_char_bigrams trap), so an embedded
+    # split() would re-split the document once per window.
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    tcol = F.col("__toks")
+    wins = F.transform(
+        _window_starts(tcol, length),
+        lambda i: F.xxhash64(
+            *[F.element_at(tcol, i + j) for j in range(length)]
+        ),
+    )
+    return base.select(
+        "doc_id",
         F.posexplode(wins).alias("p0", "win"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "win")
 

@@ -392,16 +392,45 @@ def _char_bigrams(c: Column, lowered: bool = False) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def charlm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def charlm_grams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, bg): every character bigram of every document — the
+    relation BOTH ``charlm_train`` and ``charlm_score`` consume. A
+    caller running train-then-score over the same corpus should build
+    this once, ``localCheckpoint`` it, and pass it to both via their
+    ``grams`` parameter: the explode + per-element bigram construction
+    is the dominant cost of the pair, and without the shared relation
+    it runs twice (guide §1.2 — remove the duplicated pass, not the
+    per-element work first). The materialization is corpus-×-L sized,
+    the standard trade of one local-disk write/read against a second
+    full scan + explode."""
+    return docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.explode(_char_bigrams(F.col("__t"), lowered=True)).alias("bg"),
+    )
+
+
+def charlm_train(
+    docs: DataFrame, text_col: str = "text", grams: DataFrame | None = None
+) -> DataFrame:
     """Train a character-bigram language model over the corpus:
     (bigram, logp) with add-one smoothing, logp = ln(count+1 / ctx+V).
 
     The model is vocabulary-sized (≤ |alphabet|² rows — KBs), so scoring
     broadcasts it; training is one explode + two vocabulary aggregations.
+    ``grams``: a precomputed ``charlm_grams`` relation (any extra
+    columns ignored) — pass it when scoring follows on the same corpus
+    so the explode runs once for the pair.
     """
-    grams = docs.select(F.lower(F.col(text_col)).alias("__t")).select(
-        F.explode(_char_bigrams(F.col("__t"), lowered=True)).alias("bg")
-    )
+    if grams is not None:
+        grams = grams.select("bg")
+    else:
+        grams = docs.select(F.lower(F.col(text_col)).alias("__t")).select(
+            F.explode(_char_bigrams(F.col("__t"), lowered=True)).alias("bg")
+        )
     counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     ctx = counts.groupBy(F.substring("bg", 1, 1).alias("h")).agg(
         F.sum("c").alias("hc")
@@ -422,6 +451,7 @@ def charlm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     unseen_logp: float = -12.0,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under a trained model —
     the perplexity-proxy quality signal (gibberish / wrong-charset /
@@ -429,6 +459,8 @@ def charlm_score(
 
     Scale: explode doc bigrams, ONE broadcast join against the KB-sized
     model, one groupBy doc. Unseen bigrams get a fixed floor logp.
+    ``grams``: a precomputed ``charlm_grams`` relation — pass the same
+    (checkpointed) one used for training so the explode runs once.
 
     EVERY doc gets a row: documents too short for a bigram (len < 2 —
     exactly the junk a perplexity gate exists to flag) come back with
@@ -436,12 +468,10 @@ def charlm_score(
     silently vanishing from the output and slipping through a
     ``mean_logp < floor`` filter unscored.
     """
-    grams = docs.select(
-        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
-    ).select(
-        F.col(id_col),
-        F.explode(_char_bigrams(F.col("__t"), lowered=True)).alias("bg"),
-    )
+    if grams is None:
+        grams = charlm_grams(docs, text_col, id_col)
+    else:
+        grams = grams.select(id_col, "bg")
     scored = grams.join(F.broadcast(model), "bg", "left").select(
         id_col, F.coalesce(F.col("logp"), F.lit(unseen_logp)).alias("logp")
     )

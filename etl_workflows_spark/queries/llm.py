@@ -3130,10 +3130,13 @@ def charlm_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary²-sized model). Add-one smoothing → ln of integer ratios
     → value-hash oracle-checked."""
     d = table(spark, sf_dir, "documents")
-    # the model is KB-sized; materialize it so the broadcast build does
-    # not re-run the training explode on every action
-    model = text.charlm_train(d).localCheckpoint(eager=True)
-    scored = text.charlm_score(d, model)
+    # ONE bigram explode for the train+score pair (guide §1.2): the
+    # per-element bigram construction dominates both passes, so the
+    # gram relation is materialized once and shared; the KB-sized model
+    # is materialized so the broadcast build does not re-run training
+    g = text.charlm_grams(d).localCheckpoint(eager=True)
+    model = text.charlm_train(d, grams=g).localCheckpoint(eager=True)
+    scored = text.charlm_score(d, model, grams=g)
     return scored.select(
         "doc_id",
         F.round("mean_logp", 6).alias("mean_logp"),
