@@ -70,24 +70,39 @@ def bm25_topk(
         F.col(id_col),
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__arr"),
     )
-    # doc length rides the token explosion — no separate corpus-sized
-    # doclen relation to join (or worse, broadcast) later
-    toks = arr.select(
-        id_col,
-        F.size("__arr").alias("len"),
-        F.explode("__arr").alias("token"),
-    )
-    # restrict to query-term tokens BEFORE any aggregation — the broadcast
-    # semi-filter sits under the shuffle, so only query-term postings ever
-    # shuffle; tf and df computed on the restricted postings equal their
-    # global values for those terms, and the full-vocabulary tf/df passes
-    # never run
-    qtok = qterms.select("token").distinct()
-    tf_q = (
-        toks.join(F.broadcast(qtok), "token")
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
-    )
+    # restrict to query-term tokens BEFORE the explode, not merely before
+    # the aggregation: the term list is a literal the caller passed, so
+    # an in-plan array filter keeps non-matching tokens from ever
+    # becoming rows — the explode emits only query-term postings
+    # (guide §2.3 "project before the exchange" taken one step earlier:
+    # don't generate the rows at all). tf and df computed on the
+    # restricted postings equal their global values for those terms.
+    # Fallback for huge programmatic term lists: a broadcast semi-join
+    # after a full explode (the pre-round-10 shape).
+    distinct_terms = sorted({t for _, ts in queries for t in ts})
+    if len(distinct_terms) <= 256:
+        toks = arr.select(
+            id_col,
+            F.size("__arr").alias("len"),
+            F.explode(
+                F.filter("__arr", lambda t: t.isin(*distinct_terms))
+            ).alias("token"),
+        )
+        tf_q = toks.groupBy(id_col, "token").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("len").alias("len")
+        )
+    else:
+        toks = arr.select(
+            id_col,
+            F.size("__arr").alias("len"),
+            F.explode("__arr").alias("token"),
+        )
+        qtok = qterms.select("token").distinct()
+        tf_q = (
+            toks.join(F.broadcast(qtok), "token")
+            .groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
+        )
     df_q = tf_q.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
     # corpus stats (N, avg doclen) in ONE aggregate riding the same scan
     # — no separate count() job; exact integer sums → portable divisions

@@ -704,8 +704,18 @@ def similar_pairs_banded(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
     if fast:
-        rows = _band_buckets_fast(
-            embeddings, dim, n_planes, bands, id_col, vec_col
+        # candidate generation and exact verification fused per bucket:
+        # vectors ride the (band, bucket) shuffle ONCE (n·bands rows)
+        # and every bucket's pairs are verified in-task by the same
+        # gathered-einsum arithmetic — the candidate-pair relation
+        # (O(Σ|bucket|²) rows, each carrying BOTH vectors) never exists,
+        # so the dominant JVM→Python pair stream is gone (guide §2.3:
+        # shuffle keys+payload once, never per pair). A pair colliding
+        # in several bands is re-verified per band — identical floats,
+        # collapsed by the final distinct; the extra einsum is C-speed
+        # and tiny next to the transfer it replaces.
+        return _banded_verified_pairs(
+            embeddings, threshold, dim, n_planes, bands, id_col, vec_col
         )
     else:
         # pure-JVM twin (no Python anywhere): per-row literal-array
@@ -747,23 +757,113 @@ def similar_pairs_banded(
     va = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     paired = cands.join(va, "id_a").join(vb, "id_b")
-    if not fast:
-        return paired.select(
-            "id_a",
-            "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
-        ).filter(F.col("cos_sim") > threshold)
+    return paired.select(
+        "id_a",
+        "id_b",
+        cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") > threshold)
 
-    # vectorized verify: per-pair zip_with cosine is interpreted HOF
-    # work (~64 lambda evals per candidate); one numpy batch computes
-    # the same row-wise dot products in C
+
+def _gathered_pair_cosines(ids, m, iu, ju, chunk: int = 1 << 18):
+    """Per-pair cosines over gathered rows of one in-task matrix, in
+    bounded chunks: the SAME einsum/norm arithmetic as the old per-pair
+    verify kernels (row-wise einsum on gathered float64 rows is
+    bit-identical however the pairs were batched), so callers replacing
+    a join-then-verify plan with an in-task kernel keep exact outputs.
+    Yields (ia, ja, cs) index/cosine arrays per chunk."""
+    import numpy as np
+
+    for s in range(0, len(iu), chunk):
+        ii, jj = iu[s : s + chunk], ju[s : s + chunk]
+        va, vb = m[ii], m[jj]
+        cs = np.einsum("ij,ij->i", va, vb) / (
+            np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        )
+        yield ii, jj, cs
+
+
+def _banded_verified_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int | None,
+    n_planes: int,
+    bands: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Fused candidate generation + exact verification for the banded
+    hyperplane-LSH join: one Arrow pass computes each vector's (band,
+    bucket) keys and emits the vector ONCE PER BAND; one
+    groupBy(band, bucket) then verifies every within-bucket pair
+    in-task with gathered-einsum cosines. Compared to the former
+    candidate-join (ids) → distinct → two vector-attach joins →
+    per-pair Python verify, the shuffled volume is O(n·bands·dim)
+    instead of O(candidate pairs · 2·dim) through the Python boundary,
+    and the candidate-pair relation never materializes. A hot bucket
+    concentrates its pairs in one task exactly as the former equi-join
+    did — no new skew class. Output identical: a multi-band pair
+    re-verifies to bit-identical floats and collapses in the final
+    ``distinct``."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    planes = (
+        None
+        if dim is None
+        else np.array(
+            [_hyperplane(dim, p) for p in range(bands * n_planes)],
+            dtype=np.float64,
+        )
+    )
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
     id_field = embeddings.schema[id_col]
+    vec_field = embeddings.schema[vec_col]
+    bucket_schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType, True),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("v", vec_field.dataType, True),
+        ]
+    )
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes_local = planes
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if planes_local is None:
+                planes_local = np.array(
+                    [
+                        _hyperplane(m.shape[1], p)
+                        for p in range(bands * n_planes)
+                    ],
+                    dtype=np.float64,
+                )
+            bits = (m @ planes_local.T > 0).astype(np.int64)
+            frames = []
+            for b in range(bands):
+                seg = bits[:, b * n_planes : (b + 1) * n_planes]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf[id_col].to_numpy(),
+                            "band": b,
+                            "bucket": seg @ weights,
+                            "v": pdf[vec_col].to_numpy(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    rows = embeddings.select(id_col, vec_col).mapInPandas(
+        bucketize, bucket_schema
+    )
+
     out_schema = T.StructType(
         [
             T.StructField("id_a", id_field.dataType, True),
@@ -771,26 +871,44 @@ def similar_pairs_banded(
             T.StructField("cos_sim", T.DoubleType(), True),
         ]
     )
+    integral_id = id_field.dataType.typeName() in (
+        "long", "integer", "short", "byte",
+    )
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a = np.array(list(pdf["va"]), dtype=np.float64)
-            b = np.array(list(pdf["vb"]), dtype=np.float64)
-            cs = np.einsum("ij,ij->i", a, b) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-            )
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["id"])
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"cos_sim": "float64"})
+        # ascending id order makes every emitted pair (smaller, larger) —
+        # the former join's ra.id < rb.id orientation
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        if integral_id and ids.dtype.kind == "f":
+            ids = ids.astype(np.int64)  # NULLs gone; undo Arrow's NaN float
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        iu, ju = np.triu_indices(n, k=1)
+        outs = []
+        for ii, jj, cs in _gathered_pair_cosines(ids, m, iu, ju):
             keep = cs > threshold
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "cos_sim": cs[keep],
-                }
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[ii[keep]],
+                        "id_b": ids[jj[keep]],
+                        "cos_sim": cs[keep],
+                    }
+                )
             )
+        return pd.concat(outs, ignore_index=True)
 
-    return paired.mapInPandas(verify, out_schema)
+    return (
+        rows.groupBy("band", "bucket")
+        .applyInPandas(verify_bucket, out_schema)
+        .distinct()
+    )
 
 
 def semantic_dedup(
@@ -878,6 +996,61 @@ def _rowwise_cosine_pairs(
     return paired.mapInPandas(verify, schema)
 
 
+def _within_cell_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b) within-cell cosine-duplicate pairs over an
+    (id, v, list_id) relation — the cell self-join and the per-pair
+    verify fused into ONE groupBy(list_id) kernel. The former
+    list_id-equi-self-join emitted every candidate pair carrying BOTH
+    vectors (Σ|cell|² · 2·dim doubles through the Python boundary);
+    here each vector crosses once per cell and the Σ|cell|² pairwise
+    work happens in-task on gathered rows with the identical
+    einsum/norm arithmetic (``_gathered_pair_cosines``), so verdicts
+    are bit-for-bit the old ones. One cell = one task, exactly the
+    concentration the former equi-join had — SemDeDup's n_lists ~ √n
+    contract keeps cells bounded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = assigned.schema["id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_a", id_type, True),
+            T.StructField("doc_b", id_type, True),
+        ]
+    )
+    integral_id = id_type.typeName() in ("long", "integer", "short", "byte")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL ids never paired (the former join's id < id predicate)
+        pdf = pdf.dropna(subset=["id"])
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        if integral_id and ids.dtype.kind == "f":
+            ids = ids.astype(np.int64)
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        iu, ju = np.triu_indices(n, k=1)
+        outs = []
+        for ii, jj, cs in _gathered_pair_cosines(ids, m, iu, ju):
+            keep = cs >= threshold
+            outs.append(
+                pd.DataFrame({"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]]})
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    # a NULL list_id row never paired under the former equi-join
+    # (NULL == NULL is not true); groupBy WOULD group them — filter first
+    return (
+        assigned.filter(F.col("list_id").isNotNull())
+        .select("id", "v", "list_id")
+        .groupBy("list_id")
+        .applyInPandas(kernel, schema)
+    )
+
+
 def _semantic_verdicts(
     assigned: DataFrame,
     threshold: float,
@@ -899,20 +1072,7 @@ def _semantic_verdicts(
     from etl_workflows_spark.operators.cache import release_checkpoint
     from etl_workflows_spark.operators.dedup import cluster_duplicates
 
-    a, b = assigned.alias("ca"), assigned.alias("cb")
-    raw_pairs = a.join(
-        b,
-        (F.col("ca.list_id") == F.col("cb.list_id"))
-        & (F.col("ca.id") < F.col("cb.id")),
-    ).select(
-        F.col("ca.id").alias("doc_a"),
-        F.col("ca.v").alias("va"),
-        F.col("cb.id").alias("doc_b"),
-        F.col("cb.v").alias("vb"),
-    )
-    pairs = _rowwise_cosine_pairs(
-        raw_pairs, "doc_a", "doc_b", threshold, assigned.schema["id"].dataType
-    )
+    pairs = _within_cell_pairs(assigned, threshold)
     comps = None
     labeled = None
     use_distributed = True
