@@ -71,30 +71,28 @@ def token_windows(
             F.col(id_col).alias("doc_id"),
             F.posexplode(wins).alias("p0", "win"),
         ).select("doc_id", (F.col("p0") + 1).alias("pos"), "win")
-    # hashed path: the window key is xxhash64 over the L token STRINGS
-    # directly (multi-arg hash) instead of xxhash64(concat_ws(slice())) —
-    # same injective-up-to-64-bit-collisions key class (split tokens
-    # cannot contain the separator), but each window costs L element_at
-    # reads instead of an array slice + a fresh L-token string build
-    # (guide §1.2 per-task work; measured ~2× on the window projection).
-    # The token array must be a REAL projected column: expressions
-    # referenced inside a higher-order-function lambda are re-evaluated
-    # per element (the shingles()/_char_bigrams trap), so an embedded
-    # split() would re-split the document once per window.
+    # hashed path — the dedup._shingled recipe: hash each token ONCE
+    # (one transform), build windows as arrays_zip of L shifted slices
+    # (bulk builtins, no per-element lambda), posexplode, then one
+    # codegen'd xxhash64 over the L token-hash longs per row — the
+    # per-window array slice + L-token string build + string hash of
+    # the old concat_ws form never happens, and the only remaining
+    # higher-order lambda is the O(n) token hash. Key equivalence class
+    # unchanged: injective up to 64-bit collisions (same class as
+    # hashing the window text). Docs shorter than one window are
+    # filtered BEFORE slicing (F.slice throws on negative length; such
+    # docs carry no windows by contract).
+    ht = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
     base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("__toks"),
-    )
-    tcol = F.col("__toks")
+        F.col(id_col).alias("doc_id"), ht.alias("__ht")
+    ).filter(F.size("__ht") >= length)
+    m = F.size("__ht") - (length - 1)
+    z = F.arrays_zip(*[F.slice("__ht", j + 1, m) for j in range(length)])
     wins = F.transform(
-        _window_starts(tcol, length),
-        lambda i: F.xxhash64(
-            *[F.element_at(tcol, i + j) for j in range(length)]
-        ),
+        z, lambda s: F.xxhash64(*[s[str(j)] for j in range(length)])
     )
     return base.select(
-        "doc_id",
-        F.posexplode(wins).alias("p0", "win"),
+        "doc_id", F.posexplode(wins).alias("p0", "win")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "win")
 
 

@@ -534,13 +534,24 @@ def word_bigram_lm_scores(
         )
         .localCheckpoint(eager=True)
     )
-    c12 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # the bigram model is materialized: it is consumed twice (the c1
+    # context agg and the model join) and would otherwise re-run its
+    # corpus-sized agg per reference — vocabulary²-sized, i.e. far
+    # smaller than the gram relation it summarizes
+    c12 = (
+        b.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = c1.agg(F.count(F.lit(1)).alias("v"))
+    # fold context counts into the bigram model FIRST (vocabulary²-sized
+    # shuffle), so the corpus-sized doc-bigram relation is shuffled ONCE
+    # by (w1, w2) instead of once by (w1, w2) and again by w1
+    # (guide §2.3: shuffle the small relation twice, the big one once)
+    model = c12.join(c1, "w1").crossJoin(F.broadcast(v))
     return (
-        b.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
+        b.join(model, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -52,6 +52,18 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(max(shuffle_partitions * 8, 256)),
         )
+        # Let AQE coalesce the output partitioning of CACHED plans too
+        # (off by default): a persisted relation downstream of any
+        # exchange otherwise materializes at initialPartitionNum
+        # partitions, and every consumer of the cache then pays
+        # hundreds of near-empty tasks PER PASS — measured 512-task
+        # iteration stages in cluster_duplicates' cached pair graph
+        # (guide §2.2: fewer, larger partitions; this turns the knob
+        # AQE already owns back on for caches).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Arrow batches for every Python<->JVM exchange (Pandas UDFs etc.).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Runtime row-level join pruning: when one side of a shuffle join
