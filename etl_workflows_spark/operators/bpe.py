@@ -141,21 +141,67 @@ def bpe_encode(
     merges: List[Tuple[str, str, int]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Apply learned merges (in rank order) to every word of ``text_col``;
-    adds ``out_col`` as the flat token sequence. The fold chain is a pure
-    Catalyst expression — one codegen'd projection, no Python per row.
-    Expression depth grows with len(merges); intended for the modest
-    merge counts this in-plan encoder targets (tests cover 10-50).
+    adds ``out_col`` as the flat token sequence. Expression depth grows
+    with len(merges); intended for the modest merge counts this in-plan
+    encoder targets (tests cover 10-50).
+
+    ``id_col`` (a unique row key) switches to the vocabulary-join form:
+    the greedy merge fold is interpreted higher-order work that costs
+    O(|word|² · merges) PER TOKEN OCCURRENCE in the direct projection —
+    with an id to reassemble by, the fold instead runs once per DISTINCT
+    word (vocabulary-sized, the same insight train_bpe rests on), and
+    occurrences get their encoding from an equi-join + ordered rebuild
+    (guide §1.2: don't recompute what a join can attach). Outputs are
+    identical — same fold, same words, same order. Without ``id_col``
+    the direct in-plan projection is kept (no key to rebuild rows by).
     """
-    return docs.withColumn(
-        out_col,
-        F.flatten(
-            F.transform(
-                F.filter(_corpus_tokens(F.col(text_col)), lambda w: w != ""),
-                lambda w: _apply_merges_expr(w, merges),
-            )
-        ),
+    clean = lambda c: F.filter(  # noqa: E731
+        _corpus_tokens(c), lambda w: w != ""
+    )
+    if id_col is None:
+        return docs.withColumn(
+            out_col,
+            F.flatten(
+                F.transform(
+                    clean(F.col(text_col)),
+                    lambda w: _apply_merges_expr(w, merges),
+                )
+            ),
+        )
+    enc = (
+        docs.select(F.explode(clean(F.col(text_col))).alias("word"))
+        .distinct()
+        .select("word", _apply_merges_expr(F.col("word"), merges).alias("__syms"))
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__bpe_id"),
+        F.posexplode(clean(F.col(text_col))).alias("__pos", "word"),
+    )
+    per_doc = (
+        toks.join(enc, "word")
+        .groupBy("__bpe_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__syms"))),
+                    lambda s: s["__syms"],
+                )
+            ).alias(out_col)
+        )
+    )
+    # reserved temp key: renaming id_col directly would collide when the
+    # input carries another column of the join name (the excise trick)
+    return (
+        docs.withColumn("__bpe_id", F.col(id_col))
+        .join(per_doc, "__bpe_id", "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+        )
+        .drop("__bpe_id")
     )
 
 

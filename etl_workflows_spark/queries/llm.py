@@ -1652,7 +1652,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives per-word symbol counts, joined back through the corpus."""
     merges = _bpe_merges_for(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    return bpe.bpe_encode(d, merges).select(
+    return bpe.bpe_encode(d, merges, id_col="doc_id").select(
         "doc_id", F.size("bpe_tokens").cast("int").alias("n_bpe_tokens")
     )
 
