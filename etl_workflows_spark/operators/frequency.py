@@ -161,7 +161,13 @@ def _cms_pos_sql(key_expr: str, r: int, w: int) -> str:
     )
 
 
-def cms_build(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
+def cms_build(
+    df: DataFrame,
+    col: str,
+    w: int = 1024,
+    d: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key column:
     d hash rows × w counters as a DataFrame (row, pos, cnt) — ≤ d·w rows
     regardless of input cardinality, built with one explode + one
@@ -171,10 +177,18 @@ def cms_build(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
     ε·n with probability ≥ 1-δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Sketches
     with the same (w, d) merge by counter addition (:func:`cms_merge`) —
     the shard/epoch rollup story. Deterministic md5 positions make the
-    sketch itself exact-oracle-checkable."""
+    sketch itself exact-oracle-checkable.
+
+    ``weight_col``: each key contributes that many occurrences — pass a
+    pre-aggregated (key, count) relation when one is already at hand,
+    so the d position hashes run once per DISTINCT key instead of once
+    per occurrence (identical counters by construction; guide §1.2,
+    don't recompute per occurrence what an aggregation already holds)."""
     if w < 2 or d < 1:
         raise ValueError(f"need w >= 2 and d >= 1, got w={w} d={d}")
+    wcol = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
     rows = df.select(
+        wcol.alias("__w"),
         F.explode(
             F.array(
                 *[
@@ -185,12 +199,12 @@ def cms_build(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
                     for r in range(d)
                 ]
             )
-        ).alias("rp")
+        ).alias("rp"),
     )
     return (
-        rows.select("rp.row", "rp.pos")
+        rows.select("rp.row", "rp.pos", "__w")
         .groupBy("row", "pos")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 

@@ -2869,8 +2869,18 @@ def cms_token_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         F.explode(text.tokens(F.col("text"))).alias("token")
     )
-    sketch = frequency.cms_build(toks, "token")
-    return frequency.cms_estimate(toks.distinct(), sketch, "token")
+    # ONE corpus explode: aggregate to (token, count) first — the sketch
+    # builds weighted from the vocabulary-sized relation (4 position
+    # hashes per DISTINCT token, identical counters) and the SAME
+    # relation is the probe side, instead of exploding the corpus once
+    # for the build and again for the distinct probe
+    tc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = frequency.cms_build(tc, "token", weight_col="__n")
+    return frequency.cms_estimate(tc.select("token"), sketch, "token")
 
 
 def _cms_oracle() -> str:
