@@ -205,18 +205,37 @@ def excise_duplicate_spans(
             F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
         ).alias("tpos"),
     )
+    # drop is consumed twice below (the anti-join and the affected-doc
+    # set) and is tiny (non-canonical duplicated positions only) —
+    # materialize it so the window/cover subtree runs once
     drop = (
         cover.groupBy("doc_id", "tpos")
         .agg(F.max(F.col("canonical").cast("int")).alias("__c"))
         .filter(F.col("__c") == 0)
         .select("doc_id", "tpos")
+        .localCheckpoint(eager=True)
     )
     from etl_workflows_spark.operators.parallelism import widen
 
-    toks = widen(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
+    # rebuild ONLY documents that lose at least one token: an untouched
+    # document's rebuild (split → anti-join nothing → ordered concat)
+    # reproduces its text byte-for-byte (split/concat_ws round-trips
+    # empty tokens), so the corpus-wide token explode + anti-join +
+    # per-doc collect_list sort — the dominant cost when duplication is
+    # sparse — runs over the affected slice instead of every document
+    # (guide §1.2: don't compute what you throw away). Worst case
+    # (everything duplicated) degenerates to the old full rebuild.
+    affected = drop.select("doc_id").distinct()
+    toks = (
+        widen(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(affected, "doc_id", "leftsemi")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "tok"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
+    )
     kept = toks.join(drop, ["doc_id", "tpos"], "leftanti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
@@ -233,17 +252,33 @@ def excise_duplicate_spans(
     out = (
         docs.withColumn("__excise_id", F.col(id_col))
         .join(
+            affected.select(
+                F.col("doc_id").alias("__excise_id"),
+                F.lit(True).alias("__aff"),
+            ),
+            "__excise_id",
+            "left",
+        )
+        .join(
             rebuilt.withColumnRenamed("doc_id", "__excise_id"),
             "__excise_id",
             "left",
         )
         .withColumn(
-            text_col, F.coalesce(F.col("__new_text"), F.lit(""))
+            text_col,
+            F.when(
+                F.col("__aff").isNull(),
+                # untouched: original text (NULL text normalizes to "",
+                # exactly what its empty rebuild produced before)
+                F.coalesce(F.col(text_col), F.lit("")),
+            ).otherwise(
+                # affected: rebuilt text; every token excised → no
+                # rebuilt row → "" (row count always preserved)
+                F.coalesce(F.col("__new_text"), F.lit(""))
+            ),
         )
-        .drop("__new_text", "__excise_id")
+        .drop("__new_text", "__excise_id", "__aff")
     )
-    # note: a doc whose every token was excised gets "" via the
-    # left-join coalesce, not a dropped row — row count is preserved
     return out
 
 
