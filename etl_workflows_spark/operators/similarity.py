@@ -764,7 +764,7 @@ def similar_pairs_banded(
     ).filter(F.col("cos_sim") > threshold)
 
 
-def _gathered_pair_cosines(ids, m, iu, ju, chunk: int = 1 << 18):
+def _gathered_pair_cosines(ids, m, iu, ju, chunk: int = 1 << 16):
     """Per-pair cosines over gathered rows of one in-task matrix, in
     bounded chunks: the SAME einsum/norm arithmetic as the old per-pair
     verify kernels (row-wise einsum on gathered float64 rows is
@@ -875,40 +875,97 @@ def _banded_verified_pairs(
         "long", "integer", "short", "byte",
     )
 
-    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.dropna(subset=["id"])
-        n = len(pdf)
+    def _verify_group(ids, vecs):
+        """One (band, bucket) group → kept-pair frame (or None).
+        Same ordering and arithmetic as the former join+verify."""
+        ok = ~pd.isna(ids)
+        ids, vecs = ids[ok], vecs[ok]
+        n = len(ids)
         if n < 2:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "cos_sim": []}
-            ).astype({"cos_sim": "float64"})
-        # ascending id order makes every emitted pair (smaller, larger) —
-        # the former join's ra.id < rb.id orientation
-        pdf = pdf.sort_values("id", kind="mergesort")
-        ids = pdf["id"].to_numpy()
+            return None
+        order = np.argsort(ids, kind="stable")
+        ids, vecs = ids[order], vecs[order]
         if integral_id and ids.dtype.kind == "f":
-            ids = ids.astype(np.int64)  # NULLs gone; undo Arrow's NaN float
-        m = np.array(list(pdf["v"]), dtype=np.float64)
+            ids = ids.astype(np.int64)
+        m = np.array(list(vecs), dtype=np.float64)
         iu, ju = np.triu_indices(n, k=1)
         outs = []
         for ii, jj, cs in _gathered_pair_cosines(ids, m, iu, ju):
             keep = cs > threshold
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ids[ii[keep]],
-                        "id_b": ids[jj[keep]],
-                        "cos_sim": cs[keep],
-                    }
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ii[keep]],
+                            "id_b": ids[jj[keep]],
+                            "cos_sim": cs[keep],
+                        }
+                    )
                 )
-            )
+        if not outs:
+            return None
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        rows.groupBy("band", "bucket")
-        .applyInPandas(verify_bucket, out_schema)
-        .distinct()
+    # groups are processed as SORTED RUNS inside one mapInPandas, not
+    # via groupBy().applyInPandas: the banding geometry makes the group
+    # count O(bands · 2^planes) — hundreds of thousands of tiny groups
+    # at scale — and applyInPandas pays a per-group pandas round-trip
+    # that dominated the x100 leg (~4 min of pure group overhead). The
+    # hash repartition colocates each (band, bucket) group, the
+    # in-partition sort makes it contiguous, and the kernel walks run
+    # boundaries with one carry buffer across Arrow batches.
+    sorted_rows = rows.repartition("band", "bucket").sortWithinPartitions(
+        "band", "bucket"
     )
+
+    def verify_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_key = None
+        carry_ids: list = []
+        carry_vecs: list = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            band = pdf["band"].to_numpy()
+            bucket = pdf["bucket"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            vecs = pdf["v"].to_numpy()
+            # run boundaries over the sorted (band, bucket) keys
+            change = np.flatnonzero(
+                (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+            )
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(pdf)]))
+            outs = []
+            for s, e in zip(starts, ends):
+                key = (band[s], bucket[s])
+                gids, gvecs = ids[s:e], vecs[s:e]
+                if carry_key is not None and key == carry_key:
+                    gids = np.concatenate((carry_ids[0], gids))
+                    gvecs = np.concatenate((carry_vecs[0], gvecs))
+                    carry_key = None
+                    carry_ids, carry_vecs = [], []
+                elif carry_key is not None:
+                    got = _verify_group(carry_ids[0], carry_vecs[0])
+                    if got is not None:
+                        outs.append(got)
+                    carry_key = None
+                    carry_ids, carry_vecs = [], []
+                if e == len(pdf):
+                    # last run may continue into the next batch — buffer
+                    carry_key = key
+                    carry_ids, carry_vecs = [gids], [gvecs]
+                else:
+                    got = _verify_group(gids, gvecs)
+                    if got is not None:
+                        outs.append(got)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if carry_key is not None:
+            got = _verify_group(carry_ids[0], carry_vecs[0])
+            if got is not None:
+                yield got
+
+    return sorted_rows.mapInPandas(verify_runs, out_schema).distinct()
 
 
 def semantic_dedup(
