@@ -704,18 +704,8 @@ def similar_pairs_banded(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
     if fast:
-        # candidate generation and exact verification fused per bucket:
-        # vectors ride the (band, bucket) shuffle ONCE (n·bands rows)
-        # and every bucket's pairs are verified in-task by the same
-        # gathered-einsum arithmetic — the candidate-pair relation
-        # (O(Σ|bucket|²) rows, each carrying BOTH vectors) never exists,
-        # so the dominant JVM→Python pair stream is gone (guide §2.3:
-        # shuffle keys+payload once, never per pair). A pair colliding
-        # in several bands is re-verified per band — identical floats,
-        # collapsed by the final distinct; the extra einsum is C-speed
-        # and tiny next to the transfer it replaces.
-        return _banded_verified_pairs(
-            embeddings, threshold, dim, n_planes, bands, id_col, vec_col
+        rows = _band_buckets_fast(
+            embeddings, dim, n_planes, bands, id_col, vec_col
         )
     else:
         # pure-JVM twin (no Python anywhere): per-row literal-array
@@ -757,11 +747,65 @@ def similar_pairs_banded(
     va = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     paired = cands.join(va, "id_a").join(vb, "id_b")
-    return paired.select(
-        "id_a",
-        "id_b",
-        cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
-    ).filter(F.col("cos_sim") > threshold)
+    if not fast:
+        return paired.select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        ).filter(F.col("cos_sim") > threshold)
+
+    # vectorized verify: per-pair zip_with cosine is interpreted HOF
+    # work (~64 lambda evals per candidate); one numpy batch computes
+    # the same row-wise dot products in C.
+    #
+    # ROUND-10 NOTE (measured, kept deliberately): a fused
+    # bucketize→groupBy(band,bucket)→verify-in-task kernel (vectors
+    # riding the bucket shuffle once, per-bucket gathered-einsum
+    # verify, first-shared-band dedup) was built and benchmarked as the
+    # replacement for this candidate-join shape. At 1× (20k vectors) it
+    # was ~25% faster, but at ×100 (200k vectors, the regime this
+    # operator exists for) it was 1.8-2× SLOWER under matched host
+    # calibration: candidates here travel as 16-byte id pairs and only
+    # the post-distinct survivors ever carry vectors, while the fused
+    # kernel ships every vector once per band (n·bands·dim doubles)
+    # through two Arrow boundaries and a shuffle. The id-only candidate
+    # join is the shape that scales; the fused kernel lives on in
+    # _within_cell_pairs where the cell count — not O(bands·2^planes) —
+    # bounds the groups and it wins at every scale.
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = embeddings.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType, True),
+            T.StructField("id_b", id_field.dataType, True),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.array(list(pdf["va"]), dtype=np.float64)
+            b = np.array(list(pdf["vb"]), dtype=np.float64)
+            cs = np.einsum("ij,ij->i", a, b) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            keep = cs > threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos_sim": cs[keep],
+                }
+            )
+
+    return paired.mapInPandas(verify, out_schema)
 
 
 def _gathered_pair_cosines(ids, m, iu, ju, chunk: int = 1 << 16):
@@ -782,190 +826,6 @@ def _gathered_pair_cosines(ids, m, iu, ju, chunk: int = 1 << 16):
         yield ii, jj, cs
 
 
-def _banded_verified_pairs(
-    embeddings: DataFrame,
-    threshold: float,
-    dim: int | None,
-    n_planes: int,
-    bands: int,
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """Fused candidate generation + exact verification for the banded
-    hyperplane-LSH join: one Arrow pass computes each vector's (band,
-    bucket) keys and emits the vector ONCE PER BAND; one
-    groupBy(band, bucket) then verifies every within-bucket pair
-    in-task with gathered-einsum cosines. Compared to the former
-    candidate-join (ids) → distinct → two vector-attach joins →
-    per-pair Python verify, the shuffled volume is O(n·bands·dim)
-    instead of O(candidate pairs · 2·dim) through the Python boundary,
-    and the candidate-pair relation never materializes. A hot bucket
-    concentrates its pairs in one task exactly as the former equi-join
-    did — no new skew class. Output identical: a multi-band pair
-    re-verifies to bit-identical floats and collapses in the final
-    ``distinct``."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    planes = (
-        None
-        if dim is None
-        else np.array(
-            [_hyperplane(dim, p) for p in range(bands * n_planes)],
-            dtype=np.float64,
-        )
-    )
-    weights = (2 ** np.arange(n_planes)).astype(np.int64)
-    id_field = embeddings.schema[id_col]
-    vec_field = embeddings.schema[vec_col]
-    bucket_schema = T.StructType(
-        [
-            T.StructField("id", id_field.dataType, True),
-            T.StructField("band", T.IntegerType(), False),
-            T.StructField("bucket", T.LongType(), False),
-            T.StructField("v", vec_field.dataType, True),
-        ]
-    )
-
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes_local = planes
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if planes_local is None:
-                planes_local = np.array(
-                    [
-                        _hyperplane(m.shape[1], p)
-                        for p in range(bands * n_planes)
-                    ],
-                    dtype=np.float64,
-                )
-            bits = (m @ planes_local.T > 0).astype(np.int64)
-            frames = []
-            for b in range(bands):
-                seg = bits[:, b * n_planes : (b + 1) * n_planes]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "id": pdf[id_col].to_numpy(),
-                            "band": b,
-                            "bucket": seg @ weights,
-                            "v": pdf[vec_col].to_numpy(),
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    rows = embeddings.select(id_col, vec_col).mapInPandas(
-        bucketize, bucket_schema
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", id_field.dataType, True),
-            T.StructField("id_b", id_field.dataType, True),
-            T.StructField("cos_sim", T.DoubleType(), True),
-        ]
-    )
-    integral_id = id_field.dataType.typeName() in (
-        "long", "integer", "short", "byte",
-    )
-
-    def _verify_group(ids, vecs):
-        """One (band, bucket) group → kept-pair frame (or None).
-        Same ordering and arithmetic as the former join+verify."""
-        ok = ~pd.isna(ids)
-        ids, vecs = ids[ok], vecs[ok]
-        n = len(ids)
-        if n < 2:
-            return None
-        order = np.argsort(ids, kind="stable")
-        ids, vecs = ids[order], vecs[order]
-        if integral_id and ids.dtype.kind == "f":
-            ids = ids.astype(np.int64)
-        m = np.array(list(vecs), dtype=np.float64)
-        iu, ju = np.triu_indices(n, k=1)
-        outs = []
-        for ii, jj, cs in _gathered_pair_cosines(ids, m, iu, ju):
-            keep = cs > threshold
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[ii[keep]],
-                            "id_b": ids[jj[keep]],
-                            "cos_sim": cs[keep],
-                        }
-                    )
-                )
-        if not outs:
-            return None
-        return pd.concat(outs, ignore_index=True)
-
-    # groups are processed as SORTED RUNS inside one mapInPandas, not
-    # via groupBy().applyInPandas: the banding geometry makes the group
-    # count O(bands · 2^planes) — hundreds of thousands of tiny groups
-    # at scale — and applyInPandas pays a per-group pandas round-trip
-    # that dominated the x100 leg (~4 min of pure group overhead). The
-    # hash repartition colocates each (band, bucket) group, the
-    # in-partition sort makes it contiguous, and the kernel walks run
-    # boundaries with one carry buffer across Arrow batches.
-    sorted_rows = rows.repartition("band", "bucket").sortWithinPartitions(
-        "band", "bucket"
-    )
-
-    def verify_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry_key = None
-        carry_ids: list = []
-        carry_vecs: list = []
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            band = pdf["band"].to_numpy()
-            bucket = pdf["bucket"].to_numpy()
-            ids = pdf["id"].to_numpy()
-            vecs = pdf["v"].to_numpy()
-            # run boundaries over the sorted (band, bucket) keys
-            change = np.flatnonzero(
-                (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
-            )
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [len(pdf)]))
-            outs = []
-            for s, e in zip(starts, ends):
-                key = (band[s], bucket[s])
-                gids, gvecs = ids[s:e], vecs[s:e]
-                if carry_key is not None and key == carry_key:
-                    gids = np.concatenate((carry_ids[0], gids))
-                    gvecs = np.concatenate((carry_vecs[0], gvecs))
-                    carry_key = None
-                    carry_ids, carry_vecs = [], []
-                elif carry_key is not None:
-                    got = _verify_group(carry_ids[0], carry_vecs[0])
-                    if got is not None:
-                        outs.append(got)
-                    carry_key = None
-                    carry_ids, carry_vecs = [], []
-                if e == len(pdf):
-                    # last run may continue into the next batch — buffer
-                    carry_key = key
-                    carry_ids, carry_vecs = [gids], [gvecs]
-                else:
-                    got = _verify_group(gids, gvecs)
-                    if got is not None:
-                        outs.append(got)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-        if carry_key is not None:
-            got = _verify_group(carry_ids[0], carry_vecs[0])
-            if got is not None:
-                yield got
-
-    return sorted_rows.mapInPandas(verify_runs, out_schema).distinct()
 
 
 def semantic_dedup(
