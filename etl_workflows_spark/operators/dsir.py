@@ -221,66 +221,22 @@ def dsir_weights_within(
     scale: int = DEFAULT_SCALE,
 ) -> DataFrame:
     """:func:`dsir_weights` when the target is ``corpus.filter(pred)``:
-    the (id, is_target, bucket) gram relation is materialized ONCE and
-    feeds BOTH the tagged model aggregation and the per-document
-    weighting join — one corpus explode + md5 pass total, where the
-    model-then-weights composition paid two (and the naive
-    corpus/filtered form three). Same trade as charlm_grams: one
-    local-disk materialization of the gram stream against a repeated
-    full scan + per-gram hash. Counts, model, and weights are
-    bit-identical to the two-pass form (same gram stream, same integer
-    algebra)."""
-    v = 16**hex_chars
-    pred = (
-        F.expr(target_pred) if isinstance(target_pred, str) else target_pred
-    )
-    g = (
-        corpus.select(
-            F.col(id_col),
-            pred.alias("_t"),
-            F.explode(
-                F.expr(_gram_expr(f"coalesce({text_col}, '')"))
-            ).alias("gram"),
-        )
-        .select(
-            id_col,
-            "_t",
-            F.substring(F.md5("gram"), 1, hex_chars).alias("bucket"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    counts = (
-        g.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("cnt_q"),
-            F.sum(F.when(F.col("_t"), 1).otherwise(0))
-            .cast("long")
-            .alias("cnt_p"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    tot = counts.agg(F.sum("cnt_p"), F.sum("cnt_q")).collect()[0]
-    np_, nq = tot[0] or 0, tot[1] or 0
-    model = counts.select(
-        "bucket",
-        F.floor(
-            F.log(
-                ((F.col("cnt_p") + 1) * F.lit(nq + v)).cast("double")
-                / ((F.col("cnt_q") + 1) * F.lit(np_ + v)).cast("double")
-            )
-            * F.lit(scale)
-        )
-        .cast("long")
-        .alias("llr_fp"),
-    )
-    return (
-        g.join(F.broadcast(model), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("llr_fp").cast("long").alias("weight_fp"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-        )
-    )
+    the model comes from the one-pass tagged aggregation, so the whole
+    weighting costs TWO corpus gram scans instead of three (measured
+    ~20% faster at sf0.1; the saving is a full scan at any scale).
+
+    ROUND-10 NOTE (measured, kept deliberately): materializing the
+    (id, is_target, bucket) gram relation once (the charlm_grams trade)
+    and feeding both the model agg and the weighting join was tried —
+    it regressed the ×10 leg 7× (1.97 → 13.9 s): DSIR grams are a flat
+    split/zip + one md5 (cheap codegen to recompute), so writing and
+    re-reading the corpus-×2-sized gram stream costs far more than the
+    second explode. Contrast charlm, where the per-element bigram
+    construction is the expensive part and the shared materialization
+    wins. Recompute-vs-materialize is a per-operator measurement, not a
+    doctrine."""
+    model = dsir_model_tagged(corpus, target_pred, text_col, hex_chars, scale)
+    return _weights_from_model(corpus, model, id_col, text_col, hex_chars)
 
 
 def dsir_select(
