@@ -148,15 +148,19 @@ def bpe_encode(
     with len(merges); intended for the modest merge counts this in-plan
     encoder targets (tests cover 10-50).
 
-    ``id_col`` (a unique row key) switches to the vocabulary-join form:
+    ``id_col`` (MUST be a unique row key — duplicate ids would multiply
+    rows through the per-doc join) switches to the vocabulary-join form:
     the greedy merge fold is interpreted higher-order work that costs
     O(|word|² · merges) PER TOKEN OCCURRENCE in the direct projection —
     with an id to reassemble by, the fold instead runs once per DISTINCT
     word (vocabulary-sized, the same insight train_bpe rests on), and
     occurrences get their encoding from an equi-join + ordered rebuild
-    (guide §1.2: don't recompute what a join can attach). Outputs are
-    identical — same fold, same words, same order. Without ``id_col``
-    the direct in-plan projection is kept (no key to rebuild rows by).
+    (guide §1.2: don't recompute what a join can attach). Outputs match
+    the direct projection for non-NULL text — same fold, same words,
+    same order; NULL ``text_col`` yields ``[]`` here (the coalesce after
+    a no-rows join) where the direct projection propagates NULL.
+    Without ``id_col`` the direct in-plan projection is kept (no key to
+    rebuild rows by).
     """
     clean = lambda c: F.filter(  # noqa: E731
         _corpus_tokens(c), lambda w: w != ""

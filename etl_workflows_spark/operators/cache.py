@@ -18,6 +18,25 @@ recompute from); only release state that nothing will read again.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+#: Storage level for SINGLE-SHOT eager localCheckpoints whose blocks the
+#: RETURNED plan still references — they cannot be release_checkpoint'd
+#: on the return path, so they linger until the GC-lagged ContextCleaner
+#: runs. At the default MEMORY_AND_DISK a long-lived session (the bench:
+#: ~97 headline queries × 2 passes × 4 actions each, plus the scaled
+#: legs) piles GBs of deserialized UnsafeRows onto the heap — measured
+#: 1.8 GB of live rows plus 1.6 GB of broadcast pages at the moment the
+#: round-10 driver bench died in a BroadcastExchange build ("Not enough
+#: memory to build and broadcast"). DISK_ONLY keeps the
+#: materialize-once / lineage-cut contract and the LogicalRDD plan shape
+#: (guide §5: caching competes with execution memory) while the
+#: accumulation lands on executor-local disk, reclaimed on the same
+#: ContextCleaner schedule without ever crowding the heap. Iterative
+#: operators that release per-iteration checkpoints deterministically
+#: (bpe, cluster_duplicates, pagerank) keep the memory-first default —
+#: their scratch is bounded by construction.
+SCRATCH_LEVEL = StorageLevel.DISK_ONLY
 
 
 def _checkpoint_leaves(df: DataFrame):

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 # --- shared shingle / signature expressions --------------------------------
 
 
@@ -562,6 +564,10 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 ).alias("cluster"),
                 F.col("cluster").alias("__prev"),
             )
+            # memory-first level, NOT SCRATCH_LEVEL: this loop releases
+            # each iteration's blocks deterministically below, so the
+            # scratch is bounded and the next iteration's re-read should
+            # not pay a disk round-trip
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -609,7 +615,7 @@ def _cluster_losers(pairs: "DataFrame") -> "DataFrame":
         .join(clusters, "cluster")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     release_all_checkpoints(clusters)
     return losers
@@ -710,7 +716,7 @@ def dedup_embedding_cosine(
         .join(clusters, "cluster")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select(F.col("doc_id").alias(doc_id))  # caller's doc-id column name
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     from etl_workflows_spark.operators.cache import release_all_checkpoints
 
@@ -748,9 +754,7 @@ def near_dup_pairs_simhash(
             f"max_hamming must be in [0, {bits}) for a {bits}-bit "
             f"fingerprint, got {max_hamming}"
         )
-    fp = simhash_fingerprints(docs, text_col, bits).localCheckpoint(
-        eager=True
-    )
+    fp = simhash_fingerprints(docs, text_col, bits).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     # The banded joins run at FINGERPRINT granularity, not document
     # granularity (Manku et al. §4): documents sharing a fingerprint are
     # one row in the candidate join, and hamming-0 pairs (the most
@@ -769,7 +773,7 @@ def near_dup_pairs_simhash(
         fp.select("simhash")
         .distinct()
         .select("simhash", *blocks)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     # One banded EQUI-join per block over the distinct fingerprints,
     # unioned. An OR of the block equalities in a single join condition
@@ -904,7 +908,7 @@ def append_bloom_sidecar(
             )
         )
     )
-    merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+    merged.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL).write.mode("overwrite").saveAsTable(
         table_name
     )
 
@@ -1160,9 +1164,7 @@ def near_dup_incremental(
     # invisible persist to every caller (the streaming firewall leaked
     # one CacheManager entry per micro-batch this way); the checkpoint
     # is shard-sized and frees via release_checkpoint / ContextCleaner
-    out = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint(
-        eager=True
-    )
+    out = batch.join(dup_ids, "doc_id", "left_anti").localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     t_all.unpersist()
     from etl_workflows_spark.operators.cache import release_all_checkpoints
 

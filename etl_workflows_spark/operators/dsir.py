@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 DEFAULT_SCALE = 10**6
 
 
@@ -90,12 +92,12 @@ def dsir_model(
     p = (
         _bucket_counts(target, text_col, hex_chars)
         .withColumnRenamed("cnt", "cnt_p")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     q = (
         _bucket_counts(corpus, text_col, hex_chars)
         .withColumnRenamed("cnt", "cnt_q")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     np_ = p.agg(F.sum("cnt_p")).collect()[0][0] or 0
     nq = q.agg(F.sum("cnt_q")).collect()[0][0] or 0
@@ -152,7 +154,7 @@ def dsir_model_tagged(
             .cast("long")
             .alias("cnt_p"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     tot = counts.agg(F.sum("cnt_p"), F.sum("cnt_q")).collect()[0]
     np_, nq = tot[0] or 0, tot[1] or 0

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 
 def misra_gries_candidates(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     """Per-partition Misra-Gries survivors: ≤ k candidate values per
@@ -82,7 +84,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     # counts is tiny (≤ k·partitions + 1 rows) but its lineage is the full
     # corpus scan — checkpoint before the total collect so the returned
     # frame doesn't replay the scan for a second full pass
-    counts = _candidate_tag_counts(df, col, k).localCheckpoint(eager=True)
+    counts = _candidate_tag_counts(df, col, k).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     total = counts.agg(F.sum("freq").alias("n")).collect()[0]["n"] or 0
     return (
         counts.filter(F.col("__cand").isNotNull())
@@ -313,9 +315,7 @@ def streaming_cms(
         sentinel = spark.createDataFrame(
             [(-1, int(batch_id), 0)], merged.schema
         )
-        merged.unionByName(sentinel).localCheckpoint(
-            eager=True
-        ).write.mode("overwrite").saveAsTable(state_table)
+        merged.unionByName(sentinel).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL).write.mode("overwrite").saveAsTable(state_table)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -381,9 +381,7 @@ def streaming_heavy_hitters(
             [(None, int(batch_id))], merged.schema
         )
         # tiny table (≤ k rows): cut the self-read lineage, then overwrite
-        merged.unionByName(sentinel).localCheckpoint(
-            eager=True
-        ).write.mode("overwrite").saveAsTable(state_table)
+        merged.unionByName(sentinel).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL).write.mode("overwrite").saveAsTable(state_table)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -37,6 +37,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 
 def _norm_rows(mat):
     import numpy as np
@@ -505,7 +507,7 @@ def build_ivfpq_index(
         # (at cluster scale, persist to storage instead)
         res = _ivfpq_residuals(
             assigned, cents, id_col, vec_col
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
         books = train_pq_codebooks(
             res, m, k_codes, pq_iterations, id_col, "residual",
             normalize_inputs=False,
@@ -886,9 +888,7 @@ def ivfpq_append(
     assigned = similarity.ivf_assign_fast(new_vectors, cents, vec_col)
     if meta["by_residual"]:
         # one residual pass over the batch, read by encode AND the join
-        res = _ivfpq_residuals(assigned, cents, id_col, vec_col).localCheckpoint(
-            eager=True
-        )
+        res = _ivfpq_residuals(assigned, cents, id_col, vec_col).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
         codes = pq_encode(
             res, books, id_col, "residual", normalize_inputs=False
         ).join(res.select(id_col, "list_id"), id_col)

@@ -80,7 +80,10 @@ def bm25_topk(
     # Fallback for huge programmatic term lists: a broadcast semi-join
     # after a full explode (the pre-round-10 shape).
     distinct_terms = sorted({t for _, ts in queries for t in ts})
-    if len(distinct_terms) <= 256:
+    # empty term set must take the join path: Column.isin() with zero
+    # args raises at plan build, while the join form returns the same
+    # (empty) result an all-empty query list always produced
+    if distinct_terms and len(distinct_terms) <= 256:
         toks = arr.select(
             id_col,
             F.size("__arr").alias("len"),

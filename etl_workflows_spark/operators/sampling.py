@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 
 def _hex_threshold(fraction: float) -> str:
     """First-8-hex-chars threshold for a fraction: md5 hex compares
@@ -669,7 +671,7 @@ def materialize_token_budget(
     # scan → broadcast-join → explode → md5 upstream runs twice (same
     # contract as spans._duplicated_hits' checkpoint; at cluster scale
     # persist to storage instead)
-    d = d.localCheckpoint(eager=True)
+    d = d.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     out = ordering.global_cumsum(
         d,
         sort_cols=["__h", key_col, "epoch"],

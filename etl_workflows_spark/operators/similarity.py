@@ -808,22 +808,47 @@ def similar_pairs_banded(
     return paired.mapInPandas(verify, out_schema)
 
 
-def _gathered_pair_cosines(ids, m, iu, ju, chunk: int = 1 << 16):
-    """Per-pair cosines over gathered rows of one in-task matrix, in
-    bounded chunks: the SAME einsum/norm arithmetic as the old per-pair
-    verify kernels (row-wise einsum on gathered float64 rows is
-    bit-identical however the pairs were batched), so callers replacing
-    a join-then-verify plan with an in-task kernel keep exact outputs.
+def _gathered_pair_cosines(m, chunk: int = 1 << 16):
+    """Per-pair cosines over every upper-triangle pair of one in-task
+    matrix, in bounded chunks: the SAME einsum/norm arithmetic as the
+    old per-pair verify kernels (row-wise einsum on gathered float64
+    rows is bit-identical however the pairs were batched), so callers
+    replacing a join-then-verify plan with an in-task kernel keep exact
+    outputs. Pair indices are generated PER CHUNK in row-major
+    (i asc, j asc) order — the same enumeration ``np.triu_indices``
+    yields, without ever materializing all O(n²) index arrays at once
+    (a skewed cell would otherwise allocate the full triangle up front
+    and OOM where the former equi-join spilled distributedly).
     Yields (ia, ja, cs) index/cosine arrays per chunk."""
     import numpy as np
 
-    for s in range(0, len(iu), chunk):
-        ii, jj = iu[s : s + chunk], ju[s : s + chunk]
-        va, vb = m[ii], m[jj]
+    n = len(m)
+    rows_i: list = []
+    rows_j: list = []
+    buffered = 0
+
+    def flush():
+        iu = np.concatenate(rows_i)
+        ju = np.concatenate(rows_j)
+        va, vb = m[iu], m[ju]
         cs = np.einsum("ij,ij->i", va, vb) / (
             np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
         )
-        yield ii, jj, cs
+        return iu, ju, cs
+
+    for i in range(n - 1):
+        start = i + 1
+        while start < n:
+            take = min(n - start, chunk - buffered)
+            rows_i.append(np.full(take, i, dtype=np.int64))
+            rows_j.append(np.arange(start, start + take, dtype=np.int64))
+            buffered += take
+            start += take
+            if buffered >= chunk:
+                yield flush()
+                rows_i, rows_j, buffered = [], [], 0
+    if buffered:
+        yield flush()
 
 
 
@@ -949,9 +974,8 @@ def _within_cell_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
         if integral_id and ids.dtype.kind == "f":
             ids = ids.astype(np.int64)
         m = np.array(list(pdf["v"]), dtype=np.float64)
-        iu, ju = np.triu_indices(n, k=1)
         outs = []
-        for ii, jj, cs in _gathered_pair_cosines(ids, m, iu, ju):
+        for ii, jj, cs in _gathered_pair_cosines(m):
             keep = cs >= threshold
             outs.append(
                 pd.DataFrame({"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]]})

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 
 def _window_starts(toks: Column, length: int) -> Column:
     """1-based start positions of every L-token rolling window,
@@ -107,7 +109,7 @@ def _duplicated_hits(w: DataFrame) -> DataFrame:
     across self-referencing plans; measured ~25% of the x10 wall). The
     checkpoint blocks free via the ContextCleaner once the result is
     dropped (same contract as the prefix join's persisted shingles)."""
-    w = w.localCheckpoint(eager=True)
+    w = w.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     dup_keys = (
         w.groupBy("win")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -213,7 +215,7 @@ def excise_duplicate_spans(
         .agg(F.max(F.col("canonical").cast("int")).alias("__c"))
         .filter(F.col("__c") == 0)
         .select("doc_id", "tpos")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     from etl_workflows_spark.operators.parallelism import widen
 
@@ -316,7 +318,7 @@ def ngram_novelty(
     w = (
         token_windows(docs, length, text_col, id_col, hashed)
         .select(F.col("doc_id"), "win")  # pos unused: halve the checkpoint
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     freq = w.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
     return (

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 TOKEN_SPLIT_RE = " "
 # Small high-frequency function-word set used for quality/language scoring.
 STOPWORDS = ("a", "the", "of", "to", "and")
@@ -532,7 +534,7 @@ def word_bigram_lm_scores(
             F.col("bg.0").alias("w1"),
             F.col("bg.1").alias("w2"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     # the bigram model is materialized: it is consumed twice (the c1
     # context agg and the model join) and would otherwise re-run its
@@ -541,7 +543,7 @@ def word_bigram_lm_scores(
     c12 = (
         b.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = c1.agg(F.count(F.lit(1)).alias("v"))
@@ -807,7 +809,7 @@ def vocab_coverage(
     # frequency relation can be unpersisted HERE: DataFrame persists are
     # CacheManager entries the ContextCleaner never reaps, so a lazy
     # return would leak executor storage for the session
-    out = out.localCheckpoint(eager=True)
+    out = out.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     tc.unpersist()
     return out
 

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 from etl_workflows_spark.operators import (
     bpe,
     decontam,
@@ -2346,9 +2348,7 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the excised corpus ONCE: training makes many passes
     # (sampling, scaler stats, one treeAggregate per L-BFGS iteration)
     # and each would otherwise re-run the whole span-excision DAG
-    excised = spans.excise_duplicate_spans(d, min_len=8).localCheckpoint(
-        eager=True
-    )
+    excised = spans.excise_duplicate_spans(d, min_len=8).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     # min_stop_ratio=0.02: synthetic corpus stopword density sits near
     # 0.05, so the natural-English 0.1 rule would weak-label ~all junk;
     # sample-train / full-score is the 100 TB pattern
@@ -2819,7 +2819,7 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each pass would otherwise re-run the dedup agg + gate join DAG
     gated = kept.join(
         text.quality_gate(kept).filter("passes").select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     sel = dsir.dsir_select_within(gated, F.col("lang") == "en", budget=150)
     return sel.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
         "doc_id", "weight_fp", "lang", "source"
@@ -2877,7 +2877,7 @@ def cms_token_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     sketch = frequency.cms_build(tc, "token", weight_col="__n")
     return frequency.cms_estimate(tc.select("token"), sketch, "token")
@@ -3144,8 +3144,8 @@ def charlm_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-element bigram construction dominates both passes, so the
     # gram relation is materialized once and shared; the KB-sized model
     # is materialized so the broadcast build does not re-run training
-    g = text.charlm_grams(d).localCheckpoint(eager=True)
-    model = text.charlm_train(d, grams=g).localCheckpoint(eager=True)
+    g = text.charlm_grams(d).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
+    model = text.charlm_train(d, grams=g).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     scored = text.charlm_score(d, model, grams=g)
     return scored.select(
         "doc_id",

@@ -22,6 +22,8 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 
 def backfill_partitions(
     spark: SparkSession,
@@ -42,7 +44,7 @@ def backfill_partitions(
     """
     if not values:
         raise ValueError("values must name at least one partition")
-    df = rebuild(spark, values).localCheckpoint(eager=True)
+    df = rebuild(spark, values).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     # isNull first: ~isin(...) is NULL (not true) for NULL partition
     # values, which would slip past the guard and land in the Hive
     # default partition under dynamic overwrite

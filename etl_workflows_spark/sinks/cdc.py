@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 from etl_workflows_spark.sinks.merge import delete_from, merge_into
 
 OPS = ("I", "U", "D")
@@ -81,9 +83,7 @@ def apply_cdc(
         raise ValueError(
             f"unknown CDC op {bad[0][op_col]!r}: expected one of {OPS}"
         )
-    final = latest_changes(changes, key_cols, version_col, op_col).localCheckpoint(
-        eager=True
-    )
+    final = latest_changes(changes, key_cols, version_col, op_col).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     upserts = final.filter(F.col(op_col) != "D").drop(op_col, version_col)
     tombstones = final.filter(F.col(op_col) == "D").select(*key_cols)
     out = {"upserted": 0, "deleted": 0}

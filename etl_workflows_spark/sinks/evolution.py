@@ -29,6 +29,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 # keys are DataType.simpleString() names (SQL spelling: int/bigint/…)
 _WIDENINGS: dict[tuple[str, str], bool] = {
     ("int", "bigint"): True,
@@ -110,7 +112,7 @@ def evolve_table(
             F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
             for c in df.columns
         ]
-        rewritten = df.select(*cols).localCheckpoint(eager=True)
+        rewritten = df.select(*cols).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
         rewritten.write.mode("overwrite").saveAsTable(f"{table}__evolve_staging")
         spark.sql(f"DROP TABLE {table}")
         spark.sql(f"ALTER TABLE {table}__evolve_staging RENAME TO {table}")

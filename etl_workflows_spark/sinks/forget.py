@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 from etl_workflows_spark.sinks.merge import delete_from
 
 
@@ -37,14 +39,14 @@ def _rewrite_minus(
     anti-join), preserving the table's bucket/layout spec. Returns the
     number of rows removed."""
     target = spark.table(table)
-    d = doomed.select(*key_cols).distinct().localCheckpoint(eager=True)
+    d = doomed.select(*key_cols).distinct().localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     removed = target.join(F.broadcast(d), key_cols, "leftsemi").count()
     if removed == 0:
         return 0
     survivors = (
         target.join(F.broadcast(d), key_cols, "leftanti")
         .select(*target.columns)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     survivors.write.mode("overwrite").insertInto(table, overwrite=True)
     spark.catalog.refreshTable(table)
@@ -68,14 +70,12 @@ def forget_documents(
     shared-text guard consults the corpus AFTER the delete so an fp
     kept alive by a surviving duplicate is preserved.
     """
-    ids = doc_ids.selectExpr(f"{id_col} as {id_col}").distinct().localCheckpoint(
-        eager=True
-    )
+    ids = doc_ids.selectExpr(f"{id_col} as {id_col}").distinct().localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     corpus = spark.table(corpus_table)
     doomed_docs = (
         corpus.join(F.broadcast(ids), id_col, "leftsemi")
         .select(id_col, text_col)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     )
     out = {"corpus": delete_from(spark, corpus_table, ids, [id_col])["deleted"]}
 

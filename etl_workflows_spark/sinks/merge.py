@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 
 def _partition_spec(p, part_cols: list[str]) -> str:
     """ALTER TABLE ... PARTITION spec for a row of partition values —
@@ -78,7 +80,7 @@ def merge_into(
     part_cols = [
         c.name for c in spark.catalog.listColumns(target_table) if c.isPartition
     ]
-    src = source.localCheckpoint(eager=True)  # cut lineage; it's read 3×
+    src = source.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)  # cut lineage; it's read 3×
     keys = src.select(*key_cols)
     # matched counts SOURCE keys present in the target (not target rows:
     # a target holding duplicate rows per key — e.g. after a crashed
@@ -103,13 +105,13 @@ def merge_into(
             .distinct()
         )
         pvals = (
-            src_pvals.unionByName(tgt_pvals).distinct().localCheckpoint(eager=True)
+            src_pvals.unionByName(tgt_pvals).distinct().localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
         )
         affected = target.join(F.broadcast(pvals), part_cols, "leftsemi")
         survivors = affected.join(F.broadcast(keys), key_cols, "leftanti")
         merged = survivors.select(*target.columns).unionByName(src_aligned)
         # survivors reads the target; materialize before overwriting it
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -131,7 +133,7 @@ def merge_into(
 
     survivors = target.join(F.broadcast(keys), key_cols, "leftanti")
     merged = survivors.select(*target.columns).unionByName(src_aligned)
-    merged = merged.localCheckpoint(eager=True)
+    merged = merged.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     _staging_swap(spark, target_table, merged, "merge")
     return {"matched": matched, "inserted": inserted, "partitions_rewritten": -1}
 
@@ -180,7 +182,7 @@ def delete_from(
     part_cols = [
         c.name for c in spark.catalog.listColumns(target_table) if c.isPartition
     ]
-    k = keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    k = keys.select(*key_cols).distinct().localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     deleted = target.join(F.broadcast(k), key_cols, "leftsemi").count()
 
     if part_cols:
@@ -188,7 +190,7 @@ def delete_from(
             target.join(F.broadcast(k), key_cols, "leftsemi")
             .select(*part_cols)
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
         )
         n_parts = doomed_parts.count()
         if n_parts == 0:
@@ -197,7 +199,7 @@ def delete_from(
         survivors = affected.join(F.broadcast(k), key_cols, "leftanti").select(
             *target.columns
         )
-        survivors = survivors.localCheckpoint(eager=True)
+        survivors = survivors.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -217,6 +219,6 @@ def delete_from(
     survivors = target.join(F.broadcast(k), key_cols, "leftanti").select(
         *target.columns
     )
-    survivors = survivors.localCheckpoint(eager=True)
+    survivors = survivors.localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     _staging_swap(spark, target_table, survivors, "delete")
     return {"deleted": deleted, "partitions_rewritten": -1}

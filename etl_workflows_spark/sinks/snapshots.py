@@ -41,6 +41,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 _MAX_COMMIT_RETRIES = 20
@@ -838,7 +840,7 @@ def merge_into_snapshot(
                     "files_rewritten": 0, "files_total": len(m["files"]),
                     "idempotent_skip": True}
 
-    src = source.select(*target_cols).localCheckpoint(eager=True)
+    src = source.select(*target_cols).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     n_src = src.count()
     keys = src.select(*key_cols)
     _reject_null_keys(keys, key_cols, "MERGE")
@@ -909,7 +911,7 @@ def delete_from_snapshot(
         if existing is not None:
             return {"version": existing, "deleted": 0, "files_rewritten": 0,
                     "files_total": len(m["files"]), "idempotent_skip": True}
-    keys = source_keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    keys = source_keys.select(*key_cols).distinct().localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
     n_keys = keys.count()
     _reject_null_keys(keys, key_cols, "DELETE")
     prune_col = key_cols[0]

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_workflows_spark.operators.cache import SCRATCH_LEVEL
+
 from etl_workflows_spark.operators.coerce import coerce_columns
 from etl_workflows_spark.schema.registry import load_schema_file
 from etl_workflows_spark.sources.csv_source import (
@@ -346,7 +348,7 @@ def streaming_exact_dedup_firewall(
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         survivors = dedup_incremental(
             batch_df, index_table, text_col, bloom_table=bloom_table
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=SCRATCH_LEVEL)
         try:
             append_if_absent(survivors, corpus_table, ["doc_id"])
             # bloom fold BEFORE fingerprint registration: the sidecar
