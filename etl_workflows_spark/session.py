@@ -79,6 +79,26 @@ def get_spark(
         # recurring bucketed fact⋈fact join drop its Sort as well as its
         # Exchange (asserted in tests/test_bucketed_join.py).
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # Python workers must be able to import THIS package: Arrow
+        # kernels reference module-level helpers (pickled by reference),
+        # and a driver launched from another cwd with only a
+        # sys.path.insert would otherwise strand the workers
+        # (ModuleNotFoundError at first UDF batch). The package's parent
+        # dir rides the workers' PYTHONPATH; a pre-set PYTHONPATH is
+        # preserved after it.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            ":".join(
+                p
+                for p in (
+                    os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))
+                    ),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
         # Deterministic timestamps regardless of host TZ.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -151,3 +151,38 @@ def test_golden_record_validates_rules(spark):
         golden_record(df, "cluster", {"name": "mode"})
     with pytest.raises(ValueError, match="recency_col"):
         golden_record(df, "cluster", {"name": "latest"})
+
+
+def test_python_variants_match_expression(spark):
+    """The Arrow kernel's variant generator must produce the same
+    distinct sets as the in-plan ``deletion_variants`` expression it
+    replaced in ``_keyed`` (same keys ⇒ same candidates ⇒ same pairs)."""
+    from pyspark.sql import functions as F
+
+    from etl_workflows_spark.operators.fuzzy import _variants_py
+
+    words = ["", "a", "ab", "kitten", "héllo wörld", "x" * 12, "a b"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    for d in (1, 2):
+        got = {
+            r["s"]: r["v"]
+            for r in df.select(
+                "s", deletion_variants(F.col("s"), d).alias("v")
+            ).collect()
+        }
+        for w in words:
+            assert sorted(got[w]) == sorted(_variants_py(w, d)), (w, d)
+
+
+def test_keyed_kernel_drops_null_strings_only(spark):
+    """NULL strings contribute no candidate rows (their NULL key could
+    never match the equi-join); everything else keys as before."""
+    from etl_workflows_spark.operators.fuzzy import _keyed
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, None), (3, "")], "id long, s string"
+    )
+    rows = _keyed(df, "id", "s", 1).collect()
+    assert {r["id"] for r in rows} == {1, 3}
+    assert {r["key"] for r in rows if r["id"] == 1} == {"ab", "a", "b"}
+    assert {r["key"] for r in rows if r["id"] == 3} == {""}

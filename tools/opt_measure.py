@@ -1,4 +1,6 @@
-"""Round-10 optimization measurement harness (guide §1).
+"""Per-round optimization measurement harness (guide §1).
+
+Plans land in plans/$OPT_PLAN_ROUND (default r11).
 
 Times individual catalog queries ISOLATED, with both the bench's
 ``.count()`` action (comparability with bench.py) and the noop sink
@@ -39,7 +41,7 @@ def main() -> None:
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plan_dir = os.path.join(here, "plans", "r10")
+    plan_dir = os.path.join(here, "plans", os.environ.get("OPT_PLAN_ROUND", "r11"))
     os.makedirs(plan_dir, exist_ok=True)
 
     spark = get_spark(app_name="opt_measure_r10")
@@ -57,12 +59,12 @@ def main() -> None:
     for name in args.names:
         fn = QUERIES[name]
         rec: dict[str, float | list] = {}
-        spark.sparkContext.setJobDescription(f"r10:{name}:warmup")
+        spark.sparkContext.setJobDescription(f"opt:{name}:warmup")
         fn(spark, args.sf).count()  # untimed warmup (codegen, footers)
 
         samples = []
         for i in range(args.runs):
-            spark.sparkContext.setJobDescription(f"r10:{name}:count:{i}")
+            spark.sparkContext.setJobDescription(f"opt:{name}:count:{i}")
             t0 = time.perf_counter()
             fn(spark, args.sf).count()
             samples.append(round(time.perf_counter() - t0, 3))
@@ -72,7 +74,7 @@ def main() -> None:
         if not args.no_noop:
             noops = []
             for i in range(args.runs):
-                spark.sparkContext.setJobDescription(f"r10:{name}:noop:{i}")
+                spark.sparkContext.setJobDescription(f"opt:{name}:noop:{i}")
                 t0 = time.perf_counter()
                 fn(spark, args.sf).write.format("noop").mode(
                     "overwrite"
